@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided testdata tables (TESTDATA.md).
+  *
+  * Scale notes: all loads are plain parquet scans — Catalyst pushes filters
+  * and prunes columns into the scan, and at cluster scale the same paths
+  * would be directory-partitioned so partition pruning applies unchanged.
+  */
+object Tables {
+
+  /** `events.parquet` carries a nanosecond-precision INT64 timestamp, which
+    * Spark 4 refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). We read
+    * it as raw nanos via `spark.sql.legacy.parquet.nanosAsLong` and derive:
+    *   - `ts_us`  microseconds-since-epoch LONG (DuckDB's read of the same
+    *              file truncates ns→µs identically, so this is the
+    *              cross-engine-stable key),
+    *   - `ts`     TIMESTAMP_NTZ at µs precision (naive, session-TZ-free —
+    *              matches DuckDB's naive TIMESTAMP semantics).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", col("ts_ns") / 1000L cast "long")
+      .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet")
+  def part(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet")
+  def region(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/region.parquet")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** The five event_type series keys, fixed so pivots are single-pass (no
+    * distinct-scan) and oracle SQL can mirror them with FILTER clauses. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Series alignment: turn a long (ts, series_key, value) stream into the
+  * reference's wide multivariate table.
+  *
+  * Reference semantics: `pd.concat(axis=1, join='outer')` over per-query
+  * frames (`/root/reference/data_collector.py:108`) and `join='inner'` for
+  * the realtime window (`/root/reference/realtime_detector.py:195`).
+  *
+  * Spark-first design: instead of a (k−1)-deep full-outer join cascade
+  * (k−1 shuffles, exploding join plans at 100 TB), we do ONE shuffle:
+  * `groupBy(ts).pivot(key, knownKeys).agg(...)`. Passing the key list
+  * explicitly keeps it single-pass (no distinct pre-scan) and keeps the
+  * aggregation map-side-combinable. At cluster scale the shuffle is on the
+  * timestamp bucket — uniformly distributed, no skew.
+  */
+object Align {
+
+  /** Wide outer alignment (J1). One row per distinct `tsCol` value; one
+    * column per key; holes are SQL nulls (reference: NaN). */
+  def pivotAlignOuter(long: DataFrame, tsCol: String, keyCol: String,
+                      valueCol: String, keys: Seq[String],
+                      agg: Column => Column = avg): DataFrame =
+    long.groupBy(col(tsCol))
+      .pivot(keyCol, keys)
+      .agg(agg(col(valueCol)))
+
+  /** Wide inner alignment (J2): only timestamps where EVERY key has a value
+    * (reference drops rows missing any metric). */
+  def pivotAlignInner(long: DataFrame, tsCol: String, keyCol: String,
+                      valueCol: String, keys: Seq[String],
+                      agg: Column => Column = avg): DataFrame =
+    pivotAlignOuter(long, tsCol, keyCol, valueCol, keys, agg)
+      .na.drop("any", keys)
+
+  /** Schema totalization (P6, `data_collector.py:122-126`): inject missing
+    * series as all-null double columns so downstream column order is total. */
+  def totalize(df: DataFrame, requiredCols: Seq[String]): DataFrame =
+    requiredCols.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast("double"))
+    }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Missing-value strategies — the reference's `handle_missing_values`
+  * dispatch (`/root/reference/preprocess_data.py:41-75`): ffill_then_bfill
+  * (default), mean, median, drop, none; unknown strategy passes through.
+  *
+  * Scale notes:
+  *  - ffill/bfill are order-dependent analytic windows. With no partition
+  *    columns they run in a single task (fine at the reference's ~8k rows;
+  *    the oracle-checked paths here). At 100 TB you pass `partitionCols`
+  *    (e.g. series id, or series×day with boundary-value replication) so the
+  *    window parallelizes per series — the operator takes them as a
+  *    first-class argument for exactly that reason.
+  *  - mean/median fills are ONE map-side-combinable aggregate (collected to
+  *    the driver as a k-double row) + a broadcast-free projection: no extra
+  *    shuffle of the data itself. `median` is Spark's exact median — the
+  *    reference's pandas median is exact, so `percentile_approx` would be
+  *    wrong on oracle-checked paths.
+  */
+object Fill {
+
+  /** Forward-fill by time order, then backward-fill what remains (leading
+    * nulls) — `preprocess_data.py:46-47`. */
+  def ffillBfill(df: DataFrame, orderCol: String, cols: Seq[String],
+                 partitionCols: Seq[String] = Nil): DataFrame = {
+    val base =
+      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val back = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val fwd = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        coalesce(
+          last(col(c), ignoreNulls = true).over(fwd),
+          first(col(c), ignoreNulls = true).over(back)))
+    }
+  }
+
+  /** Fill each column's nulls with that column's mean (`preprocess_data.py:48-55`). */
+  def fillMean(df: DataFrame, cols: Seq[String]): DataFrame =
+    fillWithAgg(df, cols, c => avg(col(c)))
+
+  /** Fill each column's nulls with that column's exact median (`preprocess_data.py:56-62`). */
+  def fillMedian(df: DataFrame, cols: Seq[String]): DataFrame =
+    fillWithAgg(df, cols, c => median(col(c)))
+
+  private def fillWithAgg(df: DataFrame, cols: Seq[String],
+                          aggFor: String => org.apache.spark.sql.Column): DataFrame = {
+    val row = df.agg(aggFor(cols.head).as(cols.head),
+      cols.tail.map(c => aggFor(c).as(c)): _*).head()
+    val fills = cols.flatMap { c =>
+      val i = row.fieldIndex(c)
+      if (row.isNullAt(i)) None else Some(c -> row.getDouble(i))
+    }.toMap
+    df.na.fill(fills)
+  }
+
+  /** Drop rows with any null in `cols` (`preprocess_data.py:63-66`). */
+  def dropNa(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.drop("any", cols)
+
+  /** Strategy dispatch mirroring `preprocess_data.py:41-75` (unknown
+    * strategy = passthrough, as the reference only logs a warning). */
+  def apply(df: DataFrame, strategy: String, orderCol: String,
+            cols: Seq[String], partitionCols: Seq[String] = Nil): DataFrame =
+    strategy match {
+      case "ffill_then_bfill" => ffillBfill(df, orderCol, cols, partitionCols)
+      case "mean"             => fillMean(df, cols)
+      case "median"           => fillMedian(df, cols)
+      case "drop"             => dropNa(df, cols)
+      case "none"             => df
+      case _                  => df
+    }
+}
