@@ -1,0 +1,665 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Align, Fill, Score, Windows}
+import graft.operators.Scalers
+
+/** The verification surface: every oracle-checkable operator registered as a
+  * named query over the driver testdata, with matching DuckDB SQL.
+  *
+  * Conventions that make the hash-compare stable cross-engine:
+  *  - every column name matches between the Spark result and the oracle SQL;
+  *  - every query ends with a deterministic ORDER BY mirrored in the SQL;
+  *  - computed doubles are rounded (6 dp for unit-scale values, 2 dp for
+  *    money sums) because Spark and DuckDB sum in different orders (ulp
+  *    drift); pass-through and pure-integer values are left exact;
+  *  - `events.ts` (ns parquet) is keyed as integer microseconds `ts_us` —
+  *    identical to DuckDB's ns→µs truncation of the same file;
+  *  - float formulas that feed ordering/bucketing use the identical
+  *    operation order on both sides (see Score.histogramBucket).
+  */
+object Queries {
+
+  private val Types = Tables.EventTypes // click, error, purchase, signup, view
+  private val L = 20 // reference sequence_length (config.yaml:97)
+
+  // --- shared Spark-side building blocks ---
+
+  /** Long-form per-minute series: (ts_min, event_type, v) with v = rounded
+    * minute average per type. */
+  private def minuteLong(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(expr("ts_us div 60000000").as("ts_min"), col("event_type"))
+      .agg(round(avg("value"), 6).as("v"))
+
+  /** Wide per-minute table: one row per minute, one column per event type. */
+  private def minuteWide(s: SparkSession, dir: String): DataFrame =
+    Align.pivotAlignOuter(minuteLong(s, dir), "ts_min", "event_type", "v",
+      Types, agg = Some(avg))
+
+  /** Single-series (click) minute values with 0-based row number `rn`. */
+  private def clickSeries(s: SparkSession, dir: String): DataFrame =
+    minuteLong(s, dir).filter(col("event_type") === "click")
+      .select("ts_min", "v")
+
+  // --- shared oracle-side SQL building blocks ---
+
+  /** events with integer-µs key (DuckDB truncates ns→µs identically). */
+  private val EvSql =
+    "SELECT event_id, user_id, event_type, value, props, epoch_us(ts) AS ts_us FROM events"
+
+  private val MinuteLongSql =
+    s"""SELECT ts_us // 60000000 AS ts_min, event_type, round(avg(value),6) AS v
+       |FROM ($EvSql) GROUP BY 1, 2""".stripMargin
+
+  private def filterAvg(t: String) =
+    s"""round(avg(value) FILTER (WHERE event_type = '$t'), 6) AS "$t""""
+
+  private val MinuteWideSql =
+    s"""SELECT ts_us // 60000000 AS ts_min,
+       |  ${Types.map(filterAvg).mkString(",\n  ")}
+       |FROM ($EvSql) GROUP BY 1""".stripMargin
+
+  private val ClickSeriesSql =
+    s"SELECT ts_min, v FROM ($MinuteLongSql) WHERE event_type = 'click'"
+
+  // ffill-then-bfill of one column by ts_min (mirrors Fill.ffillBfill).
+  private def fillSql(c: String) =
+    s"""round(coalesce(
+       |  last_value("$c" IGNORE NULLS) OVER (ORDER BY ts_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |  first_value("$c" IGNORE NULLS) OVER (ORDER BY ts_min ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS "$c"""".stripMargin
+
+  // ==========================================================================
+  // Query registry
+  // ==========================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- alignment / ingest family (J1, J2, W3, P4, P6, S2-ish) ---
+
+    "q_pivot_outer_j1" -> ((s, d) =>
+      minuteWide(s, d).orderBy("ts_min")),
+
+    "q_pivot_inner_j2" -> ((s, d) =>
+      Align.pivotAlignInner(minuteLong(s, d), "ts_min", "event_type", "v",
+        Types, agg = Some(avg)).orderBy("ts_min")),
+
+    "q_pivot_keepfirst_j1" -> ((s, d) =>
+      Align.pivotAlignOuter(Tables.events(s, d), "ts_us", "event_type",
+        "value", Types, tiebreakCol = "event_id").orderBy("ts_us")),
+
+    "q_totalize_p6" -> ((s, d) =>
+      Align.totalize(minuteWide(s, d), Types :+ "refund").orderBy("ts_min")),
+
+    "q_dedup_keepfirst_w3" -> ((s, d) =>
+      Windows.dedupKeepFirst(Tables.events(s, d),
+          Seq("user_id", "event_type"), Seq("ts_us", "event_id"))
+        .select("event_id", "user_id", "event_type", "ts_us", "value")
+        .orderBy("user_id", "event_type")),
+
+    "q_calendar_p4" -> ((s, d) =>
+      graft.ingest.PromIngest.withCalendar(Tables.events(s, d), "ts")
+        .select("event_id", "ts_us", "day_of_week", "hour_of_day")
+        .orderBy("event_id")),
+
+    "q_json_s2" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_int"))
+        .orderBy("event_id")),
+
+    "q_cast_coerce_p2" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          // try_cast = pandas to_numeric(errors='coerce'): bad → null.
+          // (plain cast throws under Spark 4's default ANSI mode)
+          when(col("event_id") % 10 === 0, lit("bad"))
+            .otherwise(col("value").cast("string")).try_cast("double").as("coerced"))
+        .orderBy("event_id")),
+
+    "q_epoch_ts_p3" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          timestamp_seconds(expr("ts_us div 1000000"))
+            .cast("timestamp_ntz").as("ts_sec"))
+        .orderBy("event_id")),
+
+    // --- fills (A1, A2, W1, A5) ---
+
+    "q_fill_mean_a1" -> ((s, d) => {
+      val filled = Fill.fillMean(minuteWide(s, d), Types)
+      filled.select(col("ts_min") +: Types.map(c => round(col(c), 6).as(c)): _*)
+        .orderBy("ts_min")
+    }),
+
+    "q_fill_median_a2" -> ((s, d) => {
+      val filled = Fill.fillMedian(minuteWide(s, d), Types)
+      filled.select(col("ts_min") +: Types.map(c => round(col(c), 6).as(c)): _*)
+        .orderBy("ts_min")
+    }),
+
+    "q_ffill_bfill_w1" -> ((s, d) => {
+      val filled = Fill.ffillBfill(minuteWide(s, d), "ts_min", Types)
+      filled.select(col("ts_min") +: Types.map(c => round(col(c), 6).as(c)): _*)
+        .orderBy("ts_min")
+    }),
+
+    "q_nan_report_a5" -> ((s, d) => {
+      val w = minuteWide(s, d)
+      w.agg(count(lit(1)).as("n_rows"),
+        Types.map(c =>
+          sum(col(c).isNull.cast("long")).as(s"${c}_nulls")): _*)
+    }),
+
+    // --- scalers (A3, A4, M5) ---
+
+    "q_scale_minmax_a3" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      // (l_orderkey, l_linenumber) is NOT unique in this synthetic data, so
+      // the ORDER BY covers every output column for a deterministic row set.
+      Scalers.fitMinMax(li, cols).transform(li)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+    }),
+
+    "q_scale_standard_a4" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_quantity", "l_extendedprice")
+      val t = Scalers.fitStandard(li, cols).transform(li)
+      t.select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("l_quantity"),
+          round(col("l_extendedprice"), 6).as("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
+    "q_scale_transform_m5" -> ((s, d) => {
+      // M5: params FROZEN on a subset (orders before 1999), applied to all.
+      val li = Tables.lineitem(s, d)
+      val fitOn = li.filter(col("l_shipdate") < lit("1999-01-01"))
+      Scalers.fitMinMax(fitOn, Seq("l_quantity")).transform(li)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    // --- windows (W2 global + partitioned, W5, W6, W7) ---
+
+    "q_window_w2" -> ((s, d) =>
+      Windows.slidingWindows(clickSeries(s, d), Seq("ts_min"), Seq("v"), L)
+        .select(col("window_id").cast("long").as("window_id"),
+          posexplode(col("window")).as(Seq("pos", "row")))
+        .select(col("window_id"), col("pos"), col("row.v").as("v"))
+        .orderBy("window_id", "pos")),
+
+    "q_window_w2_partitioned" -> ((s, d) =>
+      // Same result as q_window_w2, produced by the 100TB-safe
+      // boundary-replicated bucketed plan (bucketSize 64 forces many buckets
+      // even at sf0.01, so the overlap path is genuinely exercised).
+      Windows.slidingWindowsPartitioned(clickSeries(s, d), Seq("ts_min"),
+          Seq("v"), L, bucketSize = 64)
+        .select(col("window_id").cast("long").as("window_id"),
+          posexplode(col("window")).as(Seq("pos", "row")))
+        .select(col("window_id"), col("pos"), col("row.v").as("v"))
+        .orderBy("window_id", "pos")),
+
+    "q_tail_w5" -> ((s, d) =>
+      Windows.tail(Tables.events(s, d), Seq("ts_us", "event_id"), L)
+        .select("event_id", "ts_us", "value")),
+
+    "q_stepalign_w6" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(Windows.stepAlign(col("ts_us"), 120000000L).as("step_us"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("step_us")),
+
+    // --- scoring (A6, A7, A8, A9, A10, P8, F3, F4) ---
+
+    "q_window_mse_a6" -> ((s, d) => {
+      // MSE of each sliding window against its own mean-value "reconstruction"
+      // (a deterministic X̂ the oracle can mirror): equals var_pop per window.
+      // Computed through the HOF MSE path (zip_with/aggregate) to exercise A6.
+      val wins = Windows.slidingWindows(clickSeries(s, d), Seq("ts_min"), Seq("v"), L)
+      val x = transform(col("window"), r => array(r.getField("v")))
+      val mean = aggregate(col("window"), lit(0.0),
+        (acc, r) => acc + r.getField("v")) / L
+      val xhat = transform(col("window"), _ => array(mean))
+      wins.select(col("window_id").cast("long").as("window_id"),
+          round(Score.windowMse(x, xhat), 6).as("mse"))
+        .orderBy("window_id")
+    }),
+
+    "q_per_feature_mse_a8" -> ((s, d) => {
+      // Per-feature MSE vs the feature's own mean (deterministic X̂).
+      val long = minuteLong(s, d)
+      val withMean = long.withColumn("xhat",
+        avg(col("v")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")))
+      Score.perFeatureMse(withMean, "event_type", "v", "xhat")
+        .select(col("event_type"), round(col("feature_mse"), 6).as("feature_mse"))
+        .orderBy("event_type")
+    }),
+
+    "q_hist_a7" -> ((s, d) =>
+      Score.histogram(Tables.events(s, d), "value", 50)
+        .orderBy("bucket")),
+
+    "q_threshold_p8" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+          Score.classify(col("value"), 150.0).as("is_anomaly"))
+        .orderBy("event_id")),
+
+    "q_anomaly_stats_a9" -> ((s, d) =>
+      Score.anomalyStats(Tables.events(s, d), "value", 150.0)
+        .orderBy("is_anomaly")),
+
+    "q_running_anomaly_a10" -> ((s, d) =>
+      Score.runningAnomalyCount(Tables.events(s, d),
+          Seq("ts_us", "event_id"), "value", 150.0)
+        .select("event_id", "anomaly_total")
+        .orderBy("event_id")),
+
+    // --- set ops (U1/U2) ---
+
+    "q_union_u1" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_id") % 2 === 0)
+      val b = ev.filter(col("event_id") % 2 === 1)
+      a.unionByName(b)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+        .orderBy("event_type")
+    }),
+
+    // --- relational workhorses on TPC-H-ish tables ---
+
+    "q1_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_join_broadcast" -> ((s, d) =>
+      // Star join: fact orders against broadcast dims (customer→nation→region)
+      // — the dims are broadcast explicitly, so the plan has zero shuffles of
+      // the fact side beyond the final groupBy.
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("cnt"))
+        .orderBy("r_name", "n_name")),
+
+    "q_join_shuffle" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")),
+
+    // --- LLM-data-pipeline: dedup / text / similarity ---
+
+    "q_dedup_exact" -> ((s, d) =>
+      graft.dedup.Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_text_stats" -> ((s, d) =>
+      graft.text.TextStats.withQualitySignals(Tables.documents(s, d), "text")
+        .select("doc_id", "n_chars_calc", "n_tokens", "mean_token_len",
+          "punct_ratio", "digit_ratio", "stopword_ratio")
+        .orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          graft.text.TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.text.TextStats.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "q_ngram_jaccard" -> ((s, d) => {
+      // Exact 3-gram Jaccard over consecutive doc pairs (deterministic,
+      // oracle-expressible candidate set; the LSH-generated candidate path is
+      // covered by q_minhash_lsh below).
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id").as("id1"),
+        (col("doc_id") + 1).as("id2"))
+      graft.dedup.Dedup.jaccardVerify(pairs, docs, "doc_id", "text",
+          k = 3, threshold = 0.0)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1")
+    }),
+
+    "q_minhash_lsh" -> ((s, d) =>
+      // Banded MinHash near-dup candidates — no oracle (xxhash64 is not
+      // reproducible in DuckDB); plan contract: equi-join on band buckets,
+      // never a cartesian product.
+      // bands of r=2 signature rows: collision prob per band = jaccard², so
+      // the shared-vocabulary corpus yields a bounded candidate set (r=1
+      // degenerates to ~all-pairs on word-soup data).
+      graft.dedup.Dedup.minhashCandidates(Tables.documents(s, d), "doc_id",
+          "text", k = 2, numHashes = 32, bands = 16)
+        .orderBy("id1", "id2")),
+
+    "q_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.dedup.Dedup.tokenHashes(col("text")).as("_h"))
+        .select(col("doc_id"),
+          graft.dedup.Dedup.simhashFromHashes(col("_h")).as("simhash"))
+        .orderBy("doc_id")),
+
+    "q_ann_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.sim.Ann.bruteForceTopK(q, "qid", "qv", emb, "vec_id", "embedding", 5)
+        .select(col("qid"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    "q_ann_lsh" -> ((s, d) => {
+      // LSH-bucketed ANN — no oracle (bucket keys are xxhash64-derived);
+      // plan contract: equi-join on bucket, no cartesian product.
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.sim.Ann.lshTopK(q, "qid", "qv", emb, "vec_id", "embedding", 5, bits = 4)
+        .orderBy("qid", "rank")
+    }),
+
+    "q_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("comp").cast("double")), 6).as("mean_v"))
+        .orderBy("label", "pos")),
+
+    "q_mm_features" -> ((s, d) =>
+      // Multimodal plumbing smoke: synthetic binary assets → stubbed decode →
+      // feature vectors. No oracle (hash-derived features).
+      graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.syntheticAssets(
+            Tables.documents(s, d), "doc_id", "text"), dim = 16)
+        .select(col("asset_id"), size(col("features")).as("n_features"))
+        .orderBy("asset_id"))
+  )
+
+  // ==========================================================================
+  // Oracle SQL (DuckDB) — keys must mirror `queries` names and column names.
+  // ==========================================================================
+
+  private def fillAllSql(inner: String): String =
+    s"""SELECT ts_min, ${Types.map(fillSql).mkString(",\n  ")}
+       |FROM ($inner) ORDER BY ts_min""".stripMargin
+
+  private val stopIn =
+    graft.text.TextStats.DefaultStopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_pivot_outer_j1" ->
+      s"SELECT * FROM ($MinuteWideSql) ORDER BY ts_min",
+
+    "q_pivot_inner_j2" ->
+      s"""SELECT * FROM ($MinuteWideSql)
+         |WHERE ${Types.map(t => s""""$t" IS NOT NULL""").mkString(" AND ")}
+         |ORDER BY ts_min""".stripMargin,
+
+    "q_pivot_keepfirst_j1" ->
+      s"""SELECT ts_us,
+         |  ${Types.map(t => s"""arg_min(value, event_id) FILTER (WHERE event_type = '$t') AS "$t"""").mkString(",\n  ")}
+         |FROM ($EvSql) GROUP BY ts_us ORDER BY ts_us""".stripMargin,
+
+    "q_totalize_p6" ->
+      s"""SELECT *, CAST(NULL AS DOUBLE) AS refund FROM ($MinuteWideSql)
+         |ORDER BY ts_min""".stripMargin,
+
+    "q_dedup_keepfirst_w3" ->
+      s"""SELECT event_id, user_id, event_type, ts_us, value FROM ($EvSql)
+         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+         |  ORDER BY ts_us, event_id) = 1
+         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_calendar_p4" ->
+      s"""SELECT event_id, epoch_us(ts) AS ts_us, isodow(ts) - 1 AS day_of_week,
+         |hour(ts) AS hour_of_day FROM events ORDER BY event_id""".stripMargin,
+
+    "q_json_s2" ->
+      s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k_int
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_cast_coerce_p2" ->
+      s"""SELECT event_id, TRY_CAST(CASE WHEN event_id % 10 = 0 THEN 'bad'
+         |ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS coerced
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_epoch_ts_p3" ->
+      s"""SELECT event_id, make_timestamp((epoch_us(ts) // 1000000) * 1000000) AS ts_sec
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_fill_mean_a1" ->
+      fillAllSqlWith(MinuteWideSql, c =>
+        s"""round(coalesce("$c", avg("$c") OVER ()), 6) AS "$c""""),
+
+    "q_fill_median_a2" ->
+      fillAllSqlWith(MinuteWideSql, c =>
+        s"""round(coalesce("$c", median("$c") OVER ()), 6) AS "$c""""),
+
+    "q_ffill_bfill_w1" -> fillAllSql(MinuteWideSql),
+
+    "q_nan_report_a5" ->
+      s"""SELECT count(*) AS n_rows,
+         |  ${Types.map(c => s"""CAST(sum(CASE WHEN "$c" IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "${c}_nulls"""").mkString(",\n  ")}
+         |FROM ($MinuteWideSql)""".stripMargin,
+
+    "q_scale_minmax_a3" -> {
+      def mm(c: String) =
+        s"""("$c" - min("$c") OVER ()) / (max("$c") OVER () - min("$c") OVER ()) AS "$c""""
+      s"""SELECT l_orderkey, l_linenumber, ${Seq("l_quantity", "l_extendedprice", "l_discount").map(mm).mkString(", ")}
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber, "l_quantity", "l_extendedprice", "l_discount"""".stripMargin
+    },
+
+    "q_scale_standard_a4" -> {
+      def st(c: String) =
+        s"""round(("$c" - avg("$c") OVER ()) / stddev_pop("$c") OVER (), 6) AS "$c""""
+      s"""SELECT l_orderkey, l_linenumber, ${Seq("l_quantity", "l_extendedprice").map(st).mkString(", ")}
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber, "l_quantity", "l_extendedprice"""".stripMargin
+    },
+
+    "q_scale_transform_m5" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  (l_quantity - (SELECT min(l_quantity) FROM lineitem WHERE l_shipdate < '1999-01-01'))
+         |  / ((SELECT max(l_quantity) FROM lineitem WHERE l_shipdate < '1999-01-01')
+         |     - (SELECT min(l_quantity) FROM lineitem WHERE l_shipdate < '1999-01-01')) AS l_quantity
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber, "l_quantity"""".stripMargin,
+
+    "q_window_w2" -> windowSql,
+    "q_window_w2_partitioned" -> windowSql,
+
+    "q_tail_w5" ->
+      s"""SELECT event_id, ts_us, value FROM (
+         |  SELECT event_id, ts_us, value FROM ($EvSql)
+         |  ORDER BY ts_us DESC, event_id DESC LIMIT $L)
+         |ORDER BY ts_us, event_id""".stripMargin,
+
+    "q_stepalign_w6" ->
+      s"""SELECT ts_us - (ts_us % 120000000) AS step_us, count(*) AS cnt
+         |FROM ($EvSql) GROUP BY 1 ORDER BY step_us""".stripMargin,
+
+    "q_window_mse_a6" ->
+      s"""WITH s AS (SELECT row_number() OVER (ORDER BY ts_min) - 1 AS rn, v
+         |  FROM ($ClickSeriesSql)),
+         |n AS (SELECT count(*) AS n FROM s)
+         |SELECT s.rn - p.pos AS window_id, round(var_pop(s.v), 6) AS mse
+         |FROM s CROSS JOIN generate_series(0, ${L - 1}) p(pos) CROSS JOIN n
+         |WHERE s.rn - p.pos >= 0 AND s.rn - p.pos <= n.n - $L
+         |GROUP BY 1 ORDER BY window_id""".stripMargin,
+
+    "q_per_feature_mse_a8" ->
+      s"""SELECT event_type, round(avg(pow(v - m, 2)), 6) AS feature_mse
+         |FROM (SELECT event_type, v, avg(v) OVER (PARTITION BY event_type) AS m
+         |      FROM ($MinuteLongSql))
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_hist_a7" ->
+      s"""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+         |SELECT least(CAST(floor(((value - lo) * 50) / (hi - lo)) AS BIGINT) + 1, 50) AS bucket,
+         |  count(*) AS cnt
+         |FROM events, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_threshold_p8" ->
+      s"""SELECT event_id, value, value > 150.0 AS is_anomaly FROM events
+         |ORDER BY event_id""".stripMargin,
+
+    "q_anomaly_stats_a9" ->
+      s"""SELECT is_anomaly, cnt, cnt / CAST(sum(cnt) OVER () AS DOUBLE) AS ratio
+         |FROM (SELECT value > 150.0 AS is_anomaly, count(*) AS cnt
+         |      FROM events GROUP BY 1)
+         |ORDER BY is_anomaly""".stripMargin,
+
+    "q_running_anomaly_a10" ->
+      s"""SELECT event_id, CAST(sum(CASE WHEN value > 150.0 THEN 1 ELSE 0 END)
+         |  OVER (ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS anomaly_total
+         |FROM ($EvSql) ORDER BY event_id""".stripMargin,
+
+    "q_union_u1" ->
+      s"""SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v
+         |FROM (SELECT * FROM events WHERE event_id % 2 = 0
+         |      UNION ALL SELECT * FROM events WHERE event_id % 2 = 1)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  round(sum(l_quantity), 2) AS sum_qty,
+         |  round(sum(l_extendedprice), 2) AS sum_base_price,
+         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         |  round(avg(l_quantity), 6) AS avg_qty,
+         |  round(avg(l_extendedprice), 4) AS avg_price,
+         |  round(avg(l_discount), 6) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_broadcast" ->
+      s"""SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS cnt
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_shuffle" ->
+      s"""SELECT o_orderpriority,
+         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         |  count(*) AS cnt
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |  min(doc_id) AS doc_id, count(*) AS dup_count
+         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars_calc,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    / len(string_split_regex(trim(text), '\\s+')) AS mean_token_len,
+         |  CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS punct_ratio,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS digit_ratio,
+         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |    t -> t IN $stopIn)) AS DOUBLE)
+         |    / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> langIdSql,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" -> jaccardSql,
+
+    "q_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |    round(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+         |SELECT qid, vec_id, cosine, rank FROM scored WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+
+    "q_centroids" ->
+      s"""SELECT label, CAST(p.pos - 1 AS INTEGER) AS pos,
+         |  round(avg(CAST(embedding[CAST(p.pos AS INTEGER)] AS DOUBLE)), 6) AS mean_v
+         |FROM embeddings CROSS JOIN generate_series(1, 64) p(pos)
+         |GROUP BY label, p.pos ORDER BY label, pos""".stripMargin
+  )
+
+  // --- oracle SQL helpers that need to be defs (used before declaration) ---
+
+  private def fillAllSqlWith(inner: String, f: String => String): String =
+    s"""SELECT ts_min, ${Types.map(f).mkString(",\n  ")}
+       |FROM ($inner) ORDER BY ts_min""".stripMargin
+
+  private lazy val windowSql: String =
+    s"""WITH s AS (SELECT row_number() OVER (ORDER BY ts_min) - 1 AS rn, v
+       |  FROM ($ClickSeriesSql)),
+       |n AS (SELECT count(*) AS n FROM s)
+       |SELECT s.rn - p.pos AS window_id, CAST(p.pos AS INTEGER) AS pos, s.v AS v
+       |FROM s CROSS JOIN generate_series(0, ${L - 1}) p(pos) CROSS JOIN n
+       |WHERE s.rn - p.pos >= 0 AND s.rn - p.pos <= n.n - $L
+       |ORDER BY window_id, pos""".stripMargin
+
+  private lazy val langIdSql: String = {
+    val arms = graft.text.TextStats.LangProfiles.map { case (lang, words) =>
+      val in = words.map(w => s"'$w'").mkString("(", ",", ")")
+      s"""SELECT doc_id, lang, '$lang' AS cand,
+         |  len(list_filter(tk, t -> t IN $in)) AS score FROM t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents)
+       |SELECT doc_id, lang, cand AS lang_pred FROM ($arms)
+       |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private lazy val jaccardSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(0, len(tk) - 2),
+       |    i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS s
+       |  FROM (SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+       |    FROM documents))
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+       |ORDER BY id1""".stripMargin
+}

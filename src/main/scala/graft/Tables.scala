@@ -21,10 +21,15 @@ object Tables {
     *              matches DuckDB's naive TIMESTAMP semantics).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Session-level conf is also set by Verify/Bench/test builders; this is a
+    // safety net for ad-hoc sessions (idempotent).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", col("ts_ns") / 1000L cast "long")
+      // Integer division: ns epochs (~1.7e18) exceed double's 2^53 exact
+      // range, so float `/` would drift ±1µs vs DuckDB's exact ns→µs
+      // truncation of the same file.
+      .withColumn("ts_us", expr("ts_ns div 1000"))
       .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
   }
 

@@ -1,0 +1,138 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact, MinHash+LSH banded
+  * near-dup, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (the whole point of these shapes):
+  *  - exact dedup = one hash-groupBy shuffle on the fingerprint — the
+  *    minimum possible.
+  *  - near-dup candidate generation NEVER does all-pairs: LSH bands bucket
+  *    the corpus so the only join is an equi-join on (band, band_hash) —
+  *    quadratic only within a bucket, and bucket sizes are bounded by
+  *    collision probability, not corpus size.
+  *  - Jaccard verification runs only on LSH candidates, not the corpus.
+  */
+object Dedup {
+
+  /** Word k-shingles of normalized text (k consecutive tokens joined). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    // transform over 0..n-k: slice(toks, i+1, k) joined by space
+    val n = size(toks)
+    when(n < k, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded xxhash64 functions,
+    * the minimum hash over the shingle set. One array column; no shuffle. */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 128): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** LSH banding: (doc, band_id, band_hash) rows — `bands` bands of
+    * `rowsPerBand` signature entries each, hashed to one bucket key. Docs
+    * sharing any (band_id, band_hash) are near-dup candidates. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64(concat_ws("_",
+          (0 until rowsPerBand).map(r =>
+            element_at(col(sigCol), b * rowsPerBand + r + 1)): _*))
+          .as("band_hash"))
+    }
+    df.select(col(idCol), explode(array(bandRows: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Candidate pairs via the banded equi-join (id1 < id2, distinct).
+    * Plan check: this is a shuffle hash/sort-merge join on
+    * (band_id, band_hash) — NO cartesian product anywhere. */
+  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col(idCol).as("id1"), col("band_id"), col("band_hash"))
+    val b = bandsDf.select(col(idCol).as("id2"), col("band_id"), col("band_hash"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** End-to-end MinHash-LSH near-dup candidates over a text column.
+    *
+    * The shingle array is materialized in its own projection before the
+    * signature: the signature expression references it `numHashes` times,
+    * and keeping it as a multi-referenced alias stops Catalyst's
+    * CollapseProject from re-inlining (= recomputing) the tokenize+shingle
+    * work once per hash function — a ~30× difference in practice. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, numHashes: Int = 128,
+                        bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val withSh = df.select(col(idCol), shingles(col(textCol), k).as("_sh"))
+    val sigs = withSh.select(col(idCol),
+      minhashSignature(col("_sh"), numHashes).as("sig"))
+    candidatePairs(lshBands(sigs, idCol, "sig", bands, numHashes / bands), idCol)
+  }
+
+  /** Exact n-gram Jaccard for (id1, id2) candidate pairs — joins the shingle
+    * sets back in (broadcast-friendly: candidates are small) and computes
+    * |∩| / |∪| with array HOFs. */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, k: Int = 3,
+                    threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash-64 of the token multiset: sign-sum of per-token hash bits.
+    * Near-dups have small Hamming distance between fingerprints. Pure
+    * expression tree (transform over 64 bit positions + HOF fold).
+    * NOTE: the 64 bit-position folds each reference `hashes`; when applying
+    * per-row at volume, materialize the token-hash array first (see
+    * [[simhashFromHashes]]) so it isn't recomputed 64×. */
+  def simhash(text: Column): Column =
+    simhashFromHashes(tokenHashes(text))
+
+  /** Per-token xxhash64 array — materialize this under an alias before
+    * calling [[simhashFromHashes]] in hot paths. */
+  def tokenHashes(text: Column): Column =
+    transform(graft.text.TextStats.tokens(lower(text)), t => xxhash64(t))
+
+  def simhashFromHashes(hashes: Column): Column = {
+    // For each bit position: +1 if set else -1, summed over tokens; the
+    // fingerprint sets the bit when the sum is positive.
+    // shiftright/shiftleft DSL overloads take a literal Int shift; inside a
+    // HOF lambda the shift is a Column, so go through call_function (the SQL
+    // expressions accept arbitrary child expressions).
+    val bits = transform(sequence(lit(0), lit(63)), bit =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(
+          call_function("shiftright", h, bit).bitwiseAND(lit(1L)) === 1, 1L)
+          .otherwise(-1L)) > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(zip_with(bits, sequence(lit(0), lit(63)),
+      (b, i) => call_function("shiftleft", b, i)), lit(0L),
+      (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact dedup: keep the smallest `idCol` per normalized-text fingerprint.
+    * One map-side-combinable min_by groupBy — the minimal shuffle shape. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = graft.text.TextStats.fingerprintMd5(col(textCol))
+    df.withColumn("fp", fp)
+      .groupBy("fp").agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+  }
+}

@@ -19,21 +19,39 @@ import org.apache.spark.sql.functions._
   */
 object Align {
 
+  /** Duplicate-timestamp resolution matching the reference's keep-FIRST rule
+    * (`data_collector.py:222-224`: sort then `~index.duplicated(keep='first')`)
+    * — "first" made deterministic by a caller-named arrival/tiebreak column.
+    * `min_by` is a map-side-combinable builtin, so the pivot stays one shuffle. */
+  def keepFirst(valueCol: String, tiebreakCol: String): Column => Column =
+    _ => min_by(col(valueCol), col(tiebreakCol))
+
   /** Wide outer alignment (J1). One row per distinct `tsCol` value; one
-    * column per key; holes are SQL nulls (reference: NaN). */
+    * column per key; holes are SQL nulls (reference: NaN).
+    *
+    * Default duplicate handling is keep-first over `tiebreakCol` (reference
+    * semantics); pass `agg = Some(avg)` etc. for an explicit alternative. */
   def pivotAlignOuter(long: DataFrame, tsCol: String, keyCol: String,
                       valueCol: String, keys: Seq[String],
-                      agg: Column => Column = avg): DataFrame =
+                      tiebreakCol: String = "",
+                      agg: Option[Column => Column] = None): DataFrame = {
+    val a: Column => Column = agg.getOrElse {
+      require(tiebreakCol.nonEmpty,
+        "pivotAlignOuter: give a tiebreakCol for keep-first, or an explicit agg")
+      keepFirst(valueCol, tiebreakCol)
+    }
     long.groupBy(col(tsCol))
       .pivot(keyCol, keys)
-      .agg(agg(col(valueCol)))
+      .agg(a(col(valueCol)))
+  }
 
   /** Wide inner alignment (J2): only timestamps where EVERY key has a value
     * (reference drops rows missing any metric). */
   def pivotAlignInner(long: DataFrame, tsCol: String, keyCol: String,
                       valueCol: String, keys: Seq[String],
-                      agg: Column => Column = avg): DataFrame =
-    pivotAlignOuter(long, tsCol, keyCol, valueCol, keys, agg)
+                      tiebreakCol: String = "",
+                      agg: Option[Column => Column] = None): DataFrame =
+    pivotAlignOuter(long, tsCol, keyCol, valueCol, keys, tiebreakCol, agg)
       .na.drop("any", keys)
 
   /** Schema totalization (P6, `data_collector.py:122-126`): inject missing

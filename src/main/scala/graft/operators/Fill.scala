@@ -49,15 +49,23 @@ object Fill {
     fillWithAgg(df, cols, c => median(col(c)))
 
   private def fillWithAgg(df: DataFrame, cols: Seq[String],
-                          aggFor: String => org.apache.spark.sql.Column): DataFrame = {
-    val row = df.agg(aggFor(cols.head).as(cols.head),
-      cols.tail.map(c => aggFor(c).as(c)): _*).head()
-    val fills = cols.flatMap { c =>
-      val i = row.fieldIndex(c)
-      if (row.isNullAt(i)) None else Some(c -> row.getDouble(i))
-    }.toMap
-    df.na.fill(fills)
-  }
+                          aggFor: String => org.apache.spark.sql.Column): DataFrame =
+    if (cols.isEmpty) df
+    else {
+      val row = df.agg(aggFor(cols.head).as(cols.head),
+        cols.tail.map(c => aggFor(c).as(c)): _*).head()
+      val fills = cols.flatMap { c =>
+        val i = row.fieldIndex(c)
+        if (row.isNullAt(i)) None
+        else Some(c -> (row.get(i) match {
+          case d: java.lang.Double      => d.doubleValue
+          case n: java.lang.Number      => n.doubleValue
+          case b: java.math.BigDecimal  => b.doubleValue
+          case o => throw new IllegalStateException(s"non-numeric agg for $c: $o")
+        }))
+      }.toMap
+      df.na.fill(fills)
+    }
 
   /** Drop rows with any null in `cols` (`preprocess_data.py:63-66`). */
   def dropNa(df: DataFrame, cols: Seq[String]): DataFrame =
@@ -68,11 +76,16 @@ object Fill {
   def apply(df: DataFrame, strategy: String, orderCol: String,
             cols: Seq[String], partitionCols: Seq[String] = Nil): DataFrame =
     strategy match {
-      case "ffill_then_bfill" => ffillBfill(df, orderCol, cols, partitionCols)
-      case "mean"             => fillMean(df, cols)
-      case "median"           => fillMedian(df, cols)
-      case "drop"             => dropNa(df, cols)
-      case "none"             => df
-      case _                  => df
+      case "ffill_then_bfill"    => ffillBfill(df, orderCol, cols, partitionCols)
+      case "mean"                => fillMean(df, cols)
+      case "median"              => fillMedian(df, cols)
+      // Reference strategy name is "drop_rows" (preprocess_data.py:63,
+      // config.yaml); "drop" kept as a lenient alias.
+      case "drop_rows" | "drop"  => dropNa(df, cols)
+      case "none"                => df
+      case other =>
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"unknown missing-value strategy '$other'; passing through unfilled")
+        df
     }
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reconstruction-error scoring — the reference's evaluation surface:
+  *  - A6 per-window MSE `mean((X − X̂)²)` over a (L,F) window
+  *    (`/root/reference/train_autoencoder.py:278`,
+  *     `/root/reference/filter_anomalous_data.py:138`).
+  *  - A7 equal-width error histogram, 50 bins
+  *    (`/root/reference/train_autoencoder.py:281`).
+  *  - A8 per-feature MSE (`/root/reference/realtime_detector.py:309-311`).
+  *  - A9 normal/anomalous counts + ratios
+  *    (`/root/reference/filter_anomalous_data.py:148-156`).
+  *  - P8 threshold classify (`/root/reference/realtime_detector.py:322`).
+  *
+  * All are built-in aggregates / higher-order functions — codegen'd, map-side
+  * combinable, no UDFs — so every path here scales linearly with input and
+  * shuffles only grouped keys.
+  */
+object Score {
+
+  /** A6 on array form: MSE between two ArrayType(ArrayType(Double)) windows
+    * via HOFs — no explode, no shuffle; stays row-local. */
+  def windowMse(x: Column, xhat: Column): Column = {
+    val se = zip_with(x, xhat, (rowX, rowXhat) =>
+      aggregate(zip_with(rowX, rowXhat, (a, b) => pow(a - b, lit(2))),
+        lit(0.0), (acc, v) => acc + v))
+    aggregate(se, lit(0.0), (acc, v) => acc + v) /
+      (size(x) * size(element_at(x, 1)))
+  }
+
+  /** A6 on long (exploded) form: one row per (windowId, pos, feature). */
+  def windowMseLong(df: DataFrame, windowIdCol: String, xCol: String,
+                    xhatCol: String): DataFrame =
+    df.groupBy(col(windowIdCol))
+      .agg(avg(pow(col(xCol) - col(xhatCol), 2)).as("mse"))
+
+  /** A8: per-feature MSE over the time axis. */
+  def perFeatureMse(df: DataFrame, featureCol: String, xCol: String,
+                    xhatCol: String): DataFrame =
+    df.groupBy(col(featureCol))
+      .agg(avg(pow(col(xCol) - col(xhatCol), 2)).as("feature_mse"))
+
+  /** A7: 50-bin equal-width histogram bucket id (1-based) for `c` over
+    * [lo, hi]. Matches matplotlib's right-inclusive last bin by clamping
+    * the `c == hi` overflow bucket back to `bins`. Written as the explicit
+    * `floor((c − lo) · bins / (hi − lo))` formula (not `width_bucket`) so
+    * the identical IEEE operation order can be mirrored in oracle SQL —
+    * cross-engine bit-stable at bucket boundaries. */
+  def histogramBucket(c: Column, lo: Column, hi: Column, bins: Int = 50): Column =
+    least(floor(((c - lo) * lit(bins)) / (hi - lo)).cast("long") + 1, lit(bins.toLong))
+
+  /** A7 as a table: (bucket, count) for `valueCol` over its own min/max.
+    * Two passes (min/max agg, then bucket counts) — both map-side combinable. */
+  def histogram(df: DataFrame, valueCol: String, bins: Int = 50): DataFrame = {
+    val r = df.agg(min(col(valueCol)).cast("double").as("lo"),
+                   max(col(valueCol)).cast("double").as("hi")).head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    df.withColumn("bucket", histogramBucket(col(valueCol), lit(lo), lit(hi), bins))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** P8: anomaly flag. */
+  def classify(mse: Column, threshold: Double): Column = mse > lit(threshold)
+
+  /** A9: (is_anomaly, cnt, ratio) — one tiny two-row result; the ratio is a
+    * window-over-() on the already-aggregated two rows, not on the data. */
+  def anomalyStats(df: DataFrame, mseCol: String, threshold: Double): DataFrame = {
+    val counts = df.groupBy(classify(col(mseCol), threshold).as("is_anomaly"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.withColumn("ratio",
+      col("cnt") / sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+  }
+
+  /** A10: running anomaly count in time order (streaming counterpart is the
+    * exporter-side counter; this is the batch/backfill equivalent). */
+  def runningAnomalyCount(df: DataFrame, orderCols: Seq[String], mseCol: String,
+                          threshold: Double): DataFrame =
+    df.withColumn("anomaly_total",
+      sum(classify(col(mseCol), threshold).cast("long")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(orderCols.map(col): _*)
+          .rowsBetween(Long.MinValue, 0)))
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Row-order operators: sliding windows, dedup-keep-first, tail, step
+  * alignment, train/val split.
+  *
+  * Reference semantics:
+  *  - W2 stride-1 length-L windows: `data[i:i+L]` for i in 0..n-L
+  *    (`/root/reference/train_autoencoder.py:61-74`,
+  *     `/root/reference/filter_anomalous_data.py:57-67`) — strictly
+  *    row-count-based, NOT time-based, so Spark's time sliding windows are
+  *    the wrong tool; an analytic `collect_list over rowsBetween` is right.
+  *  - W3 dedup keep-first per duplicate timestamp
+  *    (`/root/reference/data_collector.py:222-224`).
+  *  - W5 tail(L): newest L rows re-sorted ascending
+  *    (`/root/reference/realtime_detector.py:210`).
+  *  - W6 floor-to-step alignment (`/root/reference/realtime_detector.py:148-153`).
+  *  - W7 80/20 shuffled split seed 42 (`/root/reference/train_autoencoder.py:188-190`).
+  *
+  * Scale notes: the default no-partition variants are single-task (global
+  * row order is inherently sequential — same caveat as pandas). Every
+  * operator takes `partitionCols` so that at 100 TB the window runs
+  * per-series/per-day; for sliding windows crossing partition boundaries use
+  * [[slidingWindowsPartitioned]], which replicates the (L−1)-row boundary
+  * overlap so results equal the global computation, with parallelism.
+  */
+object Windows {
+
+  /** W2: append `window_id` (0-based) and `window` = the last `length` values
+    * of `valueCols` (as a struct list), keeping only complete windows.
+    * Emits n−L+1 rows; empty output when n<L — matching `data[i:i+L]`. */
+  def slidingWindows(df: DataFrame, orderCols: Seq[String],
+                     valueCols: Seq[String], length: Int,
+                     partitionCols: Seq[String] = Nil): DataFrame = {
+    val base =
+      if (partitionCols.isEmpty) Window.orderBy(orderCols.map(col): _*)
+      else Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+    val w = base.rowsBetween(-(length - 1), Window.currentRow)
+    df.withColumn("window",
+        collect_list(struct(valueCols.map(col): _*)).over(w))
+      .withColumn("window_id",
+        row_number().over(base) - lit(length))
+      .filter(size(col("window")) === length)
+  }
+
+  /** W2 at scale: partition rows into contiguous buckets of `bucketSize` by
+    * global row number, replicate each bucket's first (L−1) rows into the
+    * previous bucket, then window within buckets. Result set equals
+    * [[slidingWindows]] with no partitioning, but each task holds only
+    * bucketSize + L − 1 rows — the 100 TB-safe plan (one extra shuffle, no
+    * single-task bottleneck). */
+  def slidingWindowsPartitioned(df: DataFrame, orderCols: Seq[String],
+                                valueCols: Seq[String], length: Int,
+                                bucketSize: Int = 1 << 16): DataFrame = {
+    require(bucketSize >= length, "bucketSize must be >= window length")
+    val rn = row_number().over(Window.orderBy(orderCols.map(col): _*)) - lit(1)
+    val numbered = df.withColumn("_rn", rn)
+      .select((valueCols :+ "_rn").map(col): _*)
+    // Home bucket, plus a copy of each bucket's LAST (L−1) rows into the NEXT
+    // bucket: a window ending near the start of bucket b reaches back into
+    // bucket b−1, so b needs b−1's tail rows for full support.
+    val home = numbered.withColumn("_bkt", floor(col("_rn") / bucketSize))
+    val overlap = numbered
+      .filter(col("_rn") % bucketSize >= bucketSize - (length - 1))
+      .withColumn("_bkt", floor(col("_rn") / bucketSize) + 1)
+    val both = home.unionByName(overlap)
+    val w = Window.partitionBy(col("_bkt")).orderBy(col("_rn"))
+      .rowsBetween(-(length - 1), Window.currentRow)
+    both
+      .withColumn("window", collect_list(struct(valueCols.map(col): _*)).over(w))
+      // A window is owned by its home bucket and must span exactly L rows.
+      .filter(size(col("window")) === length &&
+        floor(col("_rn") / bucketSize) === col("_bkt"))
+      .withColumn("window_id", col("_rn") - lit(length - 1))
+      .drop("_rn", "_bkt")
+  }
+
+  /** W3: keep the first row per duplicate key, "first" = smallest
+    * `tiebreakCols` (explicit deterministic arrival order — plain
+    * dropDuplicates is nondeterministic under retries/reordering). */
+  def dedupKeepFirst(df: DataFrame, keyCols: Seq[String],
+                     tiebreakCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(tiebreakCols.map(col): _*)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+  }
+
+  /** W5: newest `n` rows by `orderCols`, returned in ascending order.
+    * Top-k via sort+limit — Spark plans this as TakeOrderedAndProject
+    * (per-partition heap + driver merge), no full sort at scale. */
+  def tail(df: DataFrame, orderCols: Seq[String], n: Int): DataFrame =
+    df.orderBy(orderCols.map(c => col(c).desc): _*).limit(n)
+      .orderBy(orderCols.map(col): _*)
+
+  /** W6: floor an epoch column to a step boundary (`ts // step * step`).
+    * Pure integer arithmetic (`c − c mod step`) — float division of µs
+    * epochs would be inexact near boundaries. */
+  def stepAlign(c: Column, step: Long): Column =
+    c - pmod(c, lit(step))
+
+  /** W7: randomized train/val split. Exact sklearn row assignment is
+    * RNG-specific (not reproducible cross-stack); contract here is sizes ≈
+    * ratio, disjoint, union = input — same as the reference's intent. */
+  def trainValSplit(df: DataFrame, trainRatio: Double, seed: Long = 42L)
+      : (DataFrame, DataFrame) = {
+    val Array(tr, va) = df.randomSplit(Array(trainRatio, 1.0 - trainRatio), seed)
+    (tr, va)
+  }
+}

