@@ -107,7 +107,10 @@ object PromIngest {
     import spark.implicits._
     val cached: Option[DataFrame] = cacheDir.filter { d =>
       new java.io.File(d).exists()
-    }.map(d => spark.read.parquet(d))
+    }.map(d => spark.read.parquet(d)
+      // partition-dir columns are type-inferred on read (int for small
+      // epochs) — normalize back to long before compare/union
+      .withColumn("chunk_start", col("chunk_start").cast("long")))
     val have: Set[(String, Long)] = cached match {
       case Some(c) => c.select("alias", "chunk_start").distinct()
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet

@@ -134,8 +134,9 @@ object Lstm {
     fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 
   def toJson(p: AeParams): String = {
+    // column-major "data" (Breeze's native layout) — unambiguous round-trip
     def m(x: DenseMatrix[Double]): String =
-      s"""{"rows":${x.rows},"cols":${x.cols},"data":[${x.t.toArray.mkString(",")}]}"""
+      s"""{"rows":${x.rows},"cols":${x.cols},"data":[${x.toDenseMatrix.toArray.mkString(",")}]}"""
     def v(x: DenseVector[Double]): String = s"[${x.toArray.mkString(",")}]"
     def lp(l: LstmParams): String =
       s"""{"w":${m(l.w)},"u":${m(l.u)},"b":${v(l.b)}}"""
@@ -164,7 +165,7 @@ object Lstm {
       val rows = s.substring(s.indexOf("\"rows\":") + 7).takeWhile(_.isDigit).toInt
       val cols = s.substring(s.indexOf("\"cols\":") + 7).takeWhile(_.isDigit).toInt
       val data = nums(s.substring(s.indexOf("\"data\":")))
-      new DenseMatrix(rows, cols, data, 0, cols, isTranspose = true)
+      new DenseMatrix(rows, cols, data) // column-major, matches toJson
     }
     def vecAfter(s: String, key: String): DenseVector[Double] =
       DenseVector(nums(s.substring(s.indexOf("\"" + key + "\":"))))

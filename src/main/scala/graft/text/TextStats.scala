@@ -18,11 +18,13 @@ object TextStats {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  /** BPE-ish subword pre-tokenization: word pieces, numbers, and single
+  /** BPE-ish subword pre-tokenization: word pieces, number runs, and single
     * punctuation marks (the GPT-2-style contraction/word/number/punct split,
-    * simplified to an ASCII-safe regex). */
+    * simplified to an ASCII-safe regex). Splits at letter↔digit transitions
+    * so "stop2day" → ["stop","2","day"]. */
   def bpeTokens(text: Column): Column =
-    filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+    filter(split(text,
+      "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
       t => length(trim(t)) > 0)
 
   val DefaultStopwords: Seq[String] = Seq(
@@ -86,10 +88,10 @@ object TextStats {
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
-  /** 64-bit polynomial rolling hash over tokens (base 1000003, wrapping
-    * arithmetic) — an order-sensitive content fingerprint; same recurrence
-    * as Rabin-Karp. Expressed as a HOF fold so it's codegen-friendly. */
+  /** 64-bit rolling chain hash over tokens: acc' = xxhash64(acc, token) —
+    * an order-sensitive content fingerprint (Rabin-Karp-style recurrence;
+    * hash chaining instead of polynomial multiply because ANSI mode treats
+    * wrapping long arithmetic as overflow). HOF fold, codegen-friendly. */
   def fingerprintRolling(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 }

@@ -1,0 +1,65 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "THE  QUICK  BROWN fox jumps over the lazy dog"), // normalized dup of 1
+    (4L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (5L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups normalized duplicates, keeps min id, counts dups") {
+    val d = Dedup.exactDedup(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(d.length == 3)
+    assert(d(0).getAs[Long]("doc_id") == 1L && d(0).getAs[Long]("dup_count") == 3L)
+    assert(d(1).getAs[Long]("doc_id") == 4L && d(1).getAs[Long]("dup_count") == 1L)
+  }
+
+  test("shingles: k-gram count and n<k degenerate case") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val sh = df.select(Dedup.shingles(col("t"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq("a b")) // n<k: whole text as one shingle
+  }
+
+  test("jaccardVerify: identical docs 1.0, near dups high, disjoint 0") {
+    val pairs = Seq((1L, 2L), (1L, 4L), (1L, 5L)).toDF("id1", "id2")
+    val j = Dedup.jaccardVerify(pairs, docs, "doc_id", "text", 3, 0.0)
+      .orderBy("id2").collect()
+    assert(j(0).getAs[Double]("jaccard") == 1.0)
+    assert(j(1).getAs[Double]("jaccard") > 0.5 && j(1).getAs[Double]("jaccard") < 1.0)
+    assert(j(2).getAs[Double]("jaccard") == 0.0)
+  }
+
+  test("minhashCandidates surfaces exact and near duplicates, never self-pairs") {
+    val c = Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = 2, numHashes = 32, bands = 16).collect()
+    val pairs = c.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always collide
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("minhash candidate plan is a bucket equi-join, not a cartesian product") {
+    val plan = Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = 2, numHashes = 32, bands = 16).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("simhash: identical texts equal, near texts close in Hamming distance") {
+    val s = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    assert(s(0) == s(1))
+    val near = java.lang.Long.bitCount(s(0) ^ s(3))
+    val far = java.lang.Long.bitCount(s(0) ^ s(4))
+    assert(near < far, s"near=$near far=$far")
+  }
+}

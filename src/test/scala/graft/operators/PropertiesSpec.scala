@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5): windowing reassembly, scaler
+  * round-trip, fill completeness — over scalacheck-generated inputs sampled
+  * under fixed seeds (no scalatest-plus bridge in the offline cache, so
+  * generation is driven manually; each case is a Spark job, so N is small). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val seriesGen: Gen[List[Double]] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0)))
+
+  test("windowing: count = max(0, n-L+1); stride-1 windows are exact slices") {
+    for (seed <- 1L to 6L) {
+      val xs = sample(seriesGen, seed)
+      val l = sample(Gen.chooseNum(1, 8), seed * 31)
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("ts", "v")
+      val wins = Windows.slidingWindows(df, Seq("ts"), Seq("v"), l)
+        .orderBy("window_id").collect()
+        .map(r => r.getSeq[Row](r.fieldIndex("window")).map(_.getDouble(0)))
+      assert(wins.length == math.max(0, xs.size - l + 1), s"seed=$seed n=${xs.size} l=$l")
+      if (wins.nonEmpty) {
+        val reassembled = wins.head ++ wins.tail.map(_.last)
+        assert(reassembled.toList == xs, s"seed=$seed reassembly")
+        wins.zipWithIndex.foreach { case (w, i) =>
+          assert(w.toList == xs.slice(i, i + l), s"seed=$seed window $i")
+        }
+      }
+    }
+  }
+
+  test("scaler round-trip: inverse(transform(x)) ≈ x for both kinds") {
+    for (seed <- 1L to 4L) {
+      val xs = sample(seriesGen.suchThat(_.size >= 2), seed * 7)
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      for (kind <- Seq("minmax", "standard")) {
+        val s = Scalers.fit(df, kind, Seq("v"))
+        val back = s.inverse(s.transform(df)).orderBy("id")
+          .select("v").as[Double].collect()
+        xs.zip(back).foreach { case (a, b) =>
+          assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)),
+            s"seed=$seed kind=$kind $a vs $b")
+        }
+      }
+    }
+  }
+
+  test("ffillBfill leaves no nulls iff the column has at least one non-null") {
+    val optGen = Gen.listOfN(20, Gen.option(Gen.chooseNum(-10.0, 10.0)))
+    for (seed <- 1L to 6L) {
+      val xs = sample(optGen, seed * 13)
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("ts", "v")
+      val nulls = Fill.ffillBfill(df, "ts", Seq("v"))
+        .filter(org.apache.spark.sql.functions.col("v").isNull).count()
+      if (xs.exists(_.isDefined)) assert(nulls == 0, s"seed=$seed")
+      else assert(nulls == xs.size, s"seed=$seed")
+    }
+  }
+
+  test("windowMse ≥ 0, = 0 on identical windows, symmetric in arguments") {
+    for (seed <- 1L to 4L) {
+      val xs = sample(Gen.listOfN(6, Gen.chooseNum(-5.0, 5.0)), seed * 17)
+      val ys = sample(Gen.listOfN(6, Gen.chooseNum(-5.0, 5.0)), seed * 19)
+      val w1 = xs.grouped(3).map(_.toSeq).toSeq
+      val w2 = ys.grouped(3).map(_.toSeq).toSeq
+      val df = Seq((w1, w1, w2)).toDF("x", "same", "other")
+      import org.apache.spark.sql.functions.col
+      val r = df.select(
+        Score.windowMse(col("x"), col("same")).as("zero"),
+        Score.windowMse(col("x"), col("other")).as("ab"),
+        Score.windowMse(col("other"), col("x")).as("ba")).head()
+      assert(r.getDouble(0) == 0.0)
+      assert(r.getDouble(1) >= 0.0)
+      assert(r.getDouble(1) == r.getDouble(2), s"seed=$seed symmetry")
+    }
+  }
+}

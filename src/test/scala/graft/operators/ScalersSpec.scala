@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ScalersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (0.0, 10.0, 7.0), (5.0, 20.0, 7.0), (10.0, 30.0, 7.0)
+  ).toDF("a", "b", "c") // c is zero-range
+
+  test("minmax: (x-min)/(max-min); zero-range column maps to 0.0 (sklearn, A3)") {
+    val s = Scalers.fitMinMax(df, Seq("a", "b", "c"))
+    val t = s.transform(df).orderBy("a").collect()
+    assert(t.map(_.getDouble(0)).toSeq == Seq(0.0, 0.5, 1.0))
+    assert(t.map(_.getDouble(1)).toSeq == Seq(0.0, 0.5, 1.0))
+    assert(t.map(_.getDouble(2)).toSeq == Seq(0.0, 0.0, 0.0)) // NOT 0.5 (MLlib)
+  }
+
+  test("standard: population std ddof=0 (sklearn, A4)") {
+    val s = Scalers.fitStandard(df, Seq("a"))
+    assert(s.means == Seq(5.0))
+    assert(math.abs(s.stds.head - math.sqrt(50.0 / 3.0)) < 1e-12) // stddev_pop
+    val t = s.transform(df).orderBy("b").collect().map(_.getDouble(0))
+    assert(math.abs(t(1)) < 1e-12) // centered value at the mean
+  }
+
+  test("inverse transform round-trips (scaler round-trip property)") {
+    for (kind <- Seq("minmax", "standard")) {
+      val s = Scalers.fit(df, kind, Seq("a", "b"))
+      val back = s.inverse(s.transform(df)).orderBy("a").collect()
+      val orig = df.orderBy("a").collect()
+      for (i <- orig.indices; j <- 0 to 1)
+        assert(math.abs(back(i).getDouble(j) - orig(i).getDouble(j)) < 1e-9)
+    }
+  }
+
+  test("params persist and load as JSON (S8)") {
+    val p = java.nio.file.Files.createTempFile("scaler", ".json").toString
+    val s = Scalers.fitMinMax(df, Seq("a", "b", "c"))
+    Scalers.save(s, p)
+    val loaded = Scalers.load(p).asInstanceOf[Scalers.MinMaxScaler]
+    assert(loaded.cols == s.cols && loaded.mins == s.mins && loaded.maxs == s.maxs)
+    val s2 = Scalers.fitStandard(df, Seq("a"))
+    Scalers.save(s2, p)
+    val l2 = Scalers.load(p).asInstanceOf[Scalers.StandardScaler]
+    assert(l2.means == s2.means && l2.stds == s2.stds)
+  }
+
+  test("unknown scaler kind is rejected") {
+    intercept[IllegalArgumentException] { Scalers.fit(df, "banana", Seq("a")) }
+  }
+}

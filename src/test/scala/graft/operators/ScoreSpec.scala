@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowMse: 0 iff X == Xhat, else mean of squared error (A6)") {
+    val df = Seq((
+      Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      Seq(Seq(2.0, 2.0), Seq(3.0, 0.0))
+    )).toDF("x", "same", "diff")
+    val r = df.select(
+      Score.windowMse(col("x"), col("same")).as("zero"),
+      Score.windowMse(col("x"), col("diff")).as("nz")).head()
+    assert(r.getDouble(0) == 0.0)
+    assert(math.abs(r.getDouble(1) - (1.0 + 16.0) / 4) < 1e-12)
+  }
+
+  test("histogram: equal-width buckets, max value lands in last bucket (A7)") {
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val h = Score.histogram(df, "v", bins = 10).orderBy("bucket").collect()
+    assert(h.length == 10)
+    assert(h.head.getLong(1) == 10)  // 0..9
+    assert(h.last.getLong(1) == 11)  // 90..100: right-inclusive last bin
+    assert(h.map(_.getLong(1)).sum == 101)
+  }
+
+  test("anomalyStats: counts and ratios sum to 1 (A9/P8)") {
+    val df = Seq(0.1, 0.2, 0.9, 1.5).toDF("mse")
+    val s = Score.anomalyStats(df, "mse", 0.5).orderBy("is_anomaly").collect()
+    assert(s.map(r => (r.getBoolean(0), r.getLong(1))).toSeq ==
+      Seq((false, 2L), (true, 2L)))
+    assert(math.abs(s.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+  }
+
+  test("runningAnomalyCount is monotone cumulative (A10)") {
+    val df = Seq((1L, 0.9), (2L, 0.1), (3L, 0.8), (4L, 0.7)).toDF("ts", "mse")
+    val r = Score.runningAnomalyCount(df, Seq("ts"), "mse", 0.5)
+      .orderBy("ts").select("anomaly_total").as[Long].collect().toSeq
+    assert(r == Seq(1L, 1L, 2L, 3L))
+  }
+
+  test("perFeatureMse groups squared error by feature (A8)") {
+    val df = Seq(("a", 1.0, 2.0), ("a", 3.0, 3.0), ("b", 0.0, 2.0))
+      .toDF("f", "x", "xhat")
+    val m = Score.perFeatureMse(df, "f", "x", "xhat").orderBy("f").collect()
+    assert(m(0).getDouble(1) == 0.5) // (1+0)/2
+    assert(m(1).getDouble(1) == 4.0)
+  }
+}

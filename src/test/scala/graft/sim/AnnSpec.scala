@@ -1,0 +1,70 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.0f, 1.0f)),
+    (4L, Seq(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal 0, identical 1, opposite -1") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 2.0f), Seq(1.0f, 0.0f), Seq(-3.0f, 0.0f)))
+      .toDF("a", "b", "c", "d")
+    val r = df.select(
+      Ann.cosine(col("a"), col("b")), Ann.cosine(col("a"), col("c")),
+      Ann.cosine(col("a"), col("d"))).head()
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks nearest first, excludes self") {
+    val q = corpus.filter($"vec_id" === 0L)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val top = Ann.bruteForceTopK(q, "qid", "qv", corpus, "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(top.length == 2)
+    assert(top(0).getAs[Long]("vec_id") == 1L) // closest
+    assert(top.forall(_.getAs[Long]("vec_id") != 0L))
+  }
+
+  test("bruteForceTopK plan broadcasts the query side") {
+    val q = corpus.limit(1).select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val plan = Ann.bruteForceTopK(q, "qid", "qv", corpus, "vec_id", "embedding", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"))
+  }
+
+  test("lshBucket groups identical vectors identically; lshTopK finds same-bucket hits") {
+    val q = corpus.filter($"vec_id" === 0L)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val r = Ann.lshTopK(q, "qid", "qv", corpus, "vec_id", "embedding", 5, bits = 2)
+      .collect()
+    // vec 1 (nearly identical direction) must share vec 0's bucket at 2 bits
+    assert(r.map(_.getAs[Long]("vec_id")).contains(1L))
+    assert(r.forall(_.getAs[Long]("vec_id") != 0L))
+  }
+
+  test("cosineNearDup finds the near-identical pair without all-pairs") {
+    val nd = Ann.cosineNearDup(corpus, "vec_id", "embedding", 0.95, bits = 2)
+    val pairs = nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    val plan = nd.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("centroids: per-label mean vectors with ordered components") {
+    val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(0.0f, 2.0f)))
+      .toDF("label", "embedding")
+    val c = Ann.centroids(df, "label", "embedding").orderBy("label").collect()
+    assert(c(0).getSeq[Double](c(0).fieldIndex("centroid")).toList == List(2.0, 4.0))
+    assert(c(1).getSeq[Double](c(1).fieldIndex("centroid")).toList == List(0.0, 2.0))
+  }
+}

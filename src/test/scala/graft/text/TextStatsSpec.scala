@@ -1,0 +1,54 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: whitespace split, empty text yields empty array") {
+    val df = Seq("  a  b\tc ", "", "   ").toDF("t")
+    val r = df.select(size(TextStats.tokens(col("t")))).as[Int].collect().toSeq
+    assert(r == Seq(3, 0, 0))
+  }
+
+  test("quality signals: ratios computed over tokens/chars") {
+    val df = Seq((1L, "the cat, the hat!")).toDF("id", "text")
+    val q = TextStats.withQualitySignals(df, "text").head()
+    assert(q.getAs[Long]("n_tokens") == 4L)
+    assert(q.getAs[Long]("n_chars_calc") == 17L)
+    assert(math.abs(q.getAs[Double]("punct_ratio") - 2.0 / 17) < 1e-12)
+    assert(math.abs(q.getAs[Double]("stopword_ratio") - 0.5) < 1e-12) // the, the
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    val df = Seq(
+      "the cat and the dog of a house",  // en
+      "der hund und die katze ist von",  // de
+      "le chat et la maison est pour")   // fr
+      .toDF("text")
+    val r = df.select(TextStats.langId(col("text"))).as[String].collect().toSeq
+    assert(r == Seq("en", "de", "fr"))
+  }
+
+  test("fingerprintMd5 is whitespace/case-normalized and stable") {
+    val df = Seq("Hello  World", "hello world", "different").toDF("t")
+    val fps = df.select(TextStats.fingerprintMd5(col("t"))).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    assert(fps(0).matches("[0-9a-f]{32}"))
+  }
+
+  test("fingerprintRolling is order-sensitive") {
+    val df = Seq("a b c", "c b a").toDF("t")
+    val fps = df.select(TextStats.fingerprintRolling(col("t"))).as[Long].collect()
+    assert(fps(0) != fps(1))
+  }
+
+  test("bpeTokens splits words, numbers and punctuation apart") {
+    val df = Seq("don't stop2day!").toDF("t")
+    val r = df.select(TextStats.bpeTokens(col("t"))).as[Seq[String]].head()
+    assert(r.contains("don") && r.contains("'") && r.contains("t"))
+    assert(r.contains("!") && r.contains("2"))
+  }
+}
