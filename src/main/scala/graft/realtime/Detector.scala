@@ -1,0 +1,134 @@
+package graft.realtime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import breeze.linalg.DenseMatrix
+
+import graft.config.GraftConfig
+import graft.ingest.PromIngest
+import graft.model.Lstm
+import graft.operators.{Align, Fill, Scalers, Windows}
+
+/** ST1–ST6: the realtime detection loop, re-expressing
+  * `/root/reference/realtime_detector.py:142-398` as a testable cycle
+  * function + a scheduled driver loop.
+  *
+  *  - ST1 trigger: fixed-interval loop (`:392-398`).
+  *  - ST2 window: each cycle independently re-fetches the last
+  *    (L+2)·step seconds — stateless, overlapping reads (`:146-153`).
+  *  - ST3 step alignment + 2-step margin; inner alignment drops timestamps
+  *    missing any metric; no watermarks (`:150-153,195`).
+  *  - ST4 stateful anomaly counter lives in the exporter (`:328-329`).
+  *  - ST5 degraded modes: missing model → gauges 0; scoring failure →
+  *    mse gauge −1 (`:289-299,339-348`).
+  *  - ST6 partial window: < L aligned rows → skip cycle, publish row count
+  *    (`:199-215`).
+  *
+  * The data source is a pluggable `fetchWindow` function so tests (and the
+  * batch backfill path) inject frames without a live Prometheus; the
+  * HTTP implementation composes PromIngest.
+  */
+final class Detector(
+    spark: SparkSession,
+    cfg: GraftConfig,
+    exporter: Exporter,
+    scaler: Option[Scalers.Scaler],
+    model: Option[Lstm.AeParams],
+    fetchWindow: (Long, Long, Long) => DataFrame // (startSec, endSec, stepSec) → long rows (alias, ts, value)
+) {
+
+  private val L = cfg.training.sequenceLength
+  private val step = cfg.data.stepSeconds
+  private val aliases = cfg.queries.map(_._1)
+  private val features = cfg.featureColumns
+
+  /** W6: end = now floored to a step boundary; start = end − (L+2)·step
+    * (`realtime_detector.py:146-153`). */
+  def windowBounds(nowSec: Long): (Long, Long) = {
+    val end = nowSec - (nowSec % step)
+    (end - (L + 2) * step, end)
+  }
+
+  /** One detection cycle at time `nowSec`. Returns the published MSE
+    * (None on skip/degraded). Synchronous and side-effect-free except for
+    * exporter updates — directly testable. */
+  def runCycle(nowSec: Long): Option[Double] = {
+    if (model.isEmpty || scaler.isEmpty) {
+      // ST5: missing artifacts → publish zeros, no crash
+      exporter.setGauge(exporter.LatestMse, 0.0)
+      exporter.setGauge(exporter.IsAnomaly, 0.0)
+      return None
+    }
+    try {
+      val (startSec, endSec) = windowBounds(nowSec)
+      val long = fetchWindow(startSec, endSec, step)
+      // J2 inner alignment: keep only timestamps present for every metric;
+      // broadcast-trivial at window size ≤ L+2 rows.
+      val wide = Align.pivotAlignInner(long, "ts", "alias", "value", aliases,
+        agg = Some(c => first(c, ignoreNulls = true)))
+      val withCal = PromIngest.withCalendar(wide, "ts")
+      // P5: re-impose the training column order (positional contract).
+      val ordered = withCal.select(("ts" +: features).map(col): _*)
+      val n = ordered.count()
+      exporter.setGauge(exporter.WindowPoints, n.toDouble)
+      if (n < L) return None // ST6: partial window → skip cycle
+      // W5 tail(L), W1 fallback fill, M5 frozen transform
+      val tail = Windows.tail(ordered, Seq("ts"), L)
+      val filled = Fill.ffillBfill(tail, "ts", features)
+      val scaled = scaler.get.transform(
+        filled.select(features.map(c => col(c).cast("double").as(c)): _*))
+      val rows = scaled.collect()
+      if (rows.length < L) return None
+      val x = DenseMatrix.tabulate(L, features.size) { (i, j) =>
+        val v = rows(i).get(j)
+        if (v == null) 0.0 else v.asInstanceOf[Double]
+      }
+      // M4 single-window inference + A6/A8 scoring
+      val xhat = Lstm.forward(model.get, x)
+      val mse = Lstm.mse(x, xhat)
+      val perFeature = Lstm.perFeatureMse(x, xhat)
+      val isAnomaly = mse > cfg.realtime.anomalyThresholdMse // P8
+      exporter.setGauge(exporter.LatestMse, mse)
+      exporter.setGauge(exporter.IsAnomaly, if (isAnomaly) 1.0 else 0.0)
+      if (isAnomaly) exporter.incCounter(exporter.TotalAnomalies) // ST4/A10
+      features.zip(perFeature).foreach { case (f, m) =>
+        exporter.setFeatureGauge(exporter.FeatureMse, f, m)
+      }
+      exporter.setGauge(exporter.LastSuccess, nowSec.toDouble)
+      Some(mse)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // ST5: scoring failure → mse gauge −1 (realtime_detector.py:339-348)
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"detection cycle failed: ${e.getMessage}")
+        exporter.setGauge(exporter.LatestMse, -1.0)
+        exporter.setGauge(exporter.IsAnomaly, 0.0)
+        None
+    }
+  }
+
+  /** ST1: the 30 s polling loop (`realtime_detector.py:392-398`). Runs
+    * `cycles` iterations (negative = forever); interruptible. */
+  def runLoop(cycles: Int = -1): Unit = {
+    var i = 0
+    while (cycles < 0 || i < cycles) {
+      runCycle(System.currentTimeMillis() / 1000)
+      i += 1
+      if (cycles < 0 || i < cycles)
+        Thread.sleep(cfg.realtime.queryIntervalSeconds * 1000L)
+    }
+  }
+}
+
+object Detector {
+
+  /** HTTP-backed window fetch composing PromIngest (the production path). */
+  def prometheusFetch(spark: SparkSession, cfg: GraftConfig)
+      : (Long, Long, Long) => DataFrame = { (start, end, step) =>
+    val chunks = cfg.queries.map { case (alias, q) =>
+      PromIngest.Chunk(alias, q, start, end, step)
+    }
+    PromIngest.fetchChunks(spark, cfg.prometheusUrl, chunks, cacheDir = None)
+      .select("alias", "ts", "value")
+  }
+}
