@@ -1,0 +1,128 @@
+package graft
+
+import graft.config.GraftConfig
+import graft.model.{Lstm, Training}
+import org.apache.spark.sql.functions._
+
+/** Pipeline smoke (SURVEY §5.4): synthetic Prometheus JSON → collect →
+  * preprocess → train → filter, through the real stage artifacts; plus the
+  * behavioral anomaly test (spiked windows score above clean ones). */
+class StagesSpec extends SparkSpec {
+
+  private val tmp = java.nio.file.Files.createTempDirectory("graft-stages").toString
+
+  private val cfg = GraftConfig.fromYaml(
+    s"""artifacts_dir: "$tmp"
+       |queries:
+       |  m1: 'q_m1'
+       |  m2: 'q_m2'
+       |data_settings:
+       |  step: "120"
+       |  collection_periods_iso:
+       |    - start: "2024-01-01T00:00:00"
+       |      end: "2024-01-01T04:00:00"
+       |preprocessing_settings:
+       |  nan_fill_strategy: "ffill_then_bfill"
+       |  scaler_type: "MinMaxScaler"
+       |training_settings:
+       |  sequence_length: 6
+       |  epochs: 60
+       |  batch_size: 16
+       |  learning_rate: 0.01
+       |  lstm_units_encoder1: 6
+       |  lstm_units_encoder2_latent: 3
+       |  lstm_units_decoder1: 3
+       |  lstm_units_decoder2: 6
+       |real_time_anomaly_detection:
+       |  anomaly_threshold_mse: 0.05
+       |""".stripMargin)
+
+  private val fakeFetch: String => String = StagesSpecFetch.fetch _
+
+  test("collect: chunked fetch -> wide parquet with calendar columns (S1-S4)") {
+    // (fetch fn lives in a top-level object: executor closures must not
+    // capture the non-serializable spec instance)
+    val wide = Stages.collect(spark, cfg, fakeFetch)
+    assert(wide.columns.toSeq ==
+      Seq("ts", "m1", "m2", "day_of_week", "hour_of_day"))
+    assert(wide.count() == 4 * 30) // 4h at 2min step
+    assert(new java.io.File(s"$tmp/prometheus_metrics_data.parquet").exists())
+    assert(new java.io.File(s"$tmp/prom_cache").exists()) // chunk cache written
+  }
+
+  test("preprocess: fill + scale to [0,1], scaler persisted (A3/S6/S8)") {
+    val scaled = Stages.preprocess(spark, cfg)
+    val stats = scaled.agg(min("m1"), max("m1"), min("hour_of_day"),
+      max("hour_of_day")).head()
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
+    assert(stats.getDouble(2) >= 0.0 && stats.getDouble(3) <= 1.0) // calendar scaled too
+    val sc = graft.operators.Scalers.load(s"$tmp/fitted_scaler.json")
+    assert(sc.cols == Seq("m1", "m2", "day_of_week", "hour_of_day"))
+  }
+
+  test("train: windows -> Adam/BPTT -> model JSON with loss history (M2/S9)") {
+    val r = Stages.train(spark, cfg)
+    assert(r.history.nonEmpty && r.history.size <= 60)
+    // loss must actually decrease over training
+    assert(r.history.last._1 < r.history.head._1 * 0.5)
+    val loaded = Lstm.load(s"$tmp/lstm_autoencoder.json")
+    assert(loaded.out.w.cols == 4) // F = 2 metrics + 2 calendar
+  }
+
+  test("filter: spiked windows score above clean windows (behavioral anomaly)") {
+    val scored = Stages.filterAnomalies(spark, cfg)
+    assert(scored.count() == 120 - 6 + 1)
+    // windows overlapping the spike must out-score clean windows on average
+    val spikeIds = scored.join(
+      spark.read.parquet(s"$tmp/processed_metrics_data.parquet")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("ts")) - 1)
+        .filter(col("m1") === 1.0) // spike scales to the max
+        .select((col("rn") - 5).as("lo"), col("rn").as("hi")),
+      col("window_id").between(col("lo"), col("hi")), "inner")
+      .select("window_id").distinct()
+    val spikeMse = scored.join(spikeIds, Seq("window_id"))
+      .agg(avg("mse")).head().getDouble(0)
+    val cleanMse = scored.join(spikeIds, Seq("window_id"), "left_anti")
+      .agg(avg("mse")).head().getDouble(0)
+    assert(spikeMse > cleanMse * 2,
+      s"spike windows $spikeMse vs clean $cleanMse")
+    assert(new java.io.File(s"$tmp/normal_sequences.parquet").exists())
+    assert(new java.io.File(s"$tmp/anomalous_sequences.parquet").exists())
+    assert(new java.io.File(s"$tmp/error_histogram.parquet").exists())
+  }
+
+  test("distributed training path (treeAggregate) reduces loss like the driver path") {
+    import breeze.linalg.DenseMatrix
+    val wins = (0 until 24).map(s =>
+      DenseMatrix.tabulate(6, 2)((i, j) => 0.5 + 0.3 * math.sin(s + i * 0.7 + j)))
+    val init = Lstm.glorotInit(2, Seq(4, 2, 2, 4), seed = 3L)
+    val before = wins.map(x => Lstm.mse(x, Lstm.forward(init, x))).sum / wins.size
+    val r = Training.trainDistributed(spark,
+      spark.sparkContext.parallelize(wins, 4), init, epochs = 40, lr = 1e-2,
+      patience = 40)
+    val after = wins.map(x => Lstm.mse(x, Lstm.forward(r.params, x))).sum / wins.size
+    assert(after < before, s"before=$before after=$after")
+  }
+}
+
+/** Fake Prometheus fetch in a top-level object so executor closures stay
+  * serializable: parses start/end/step/query back out of the URL; smooth
+  * sine (m1) / cosine (m2) plus a spike at a fixed timestamp window. */
+object StagesSpecFetch {
+  def fetch(url: String): String = {
+    def param(k: String) =
+      url.split("[?&]").find(_.startsWith(k + "=")).get.drop(k.length + 1)
+    val start = param("start").toLong
+    val end = param("end").toLong
+    val step = param("step").toLong
+    val isM1 = java.net.URLDecoder.decode(param("query"), "UTF-8").contains("m1")
+    val values = (start until end by step).map { t =>
+      val base = if (isM1) math.sin(t / 1200.0) else math.cos(t / 1200.0)
+      val spike = if (t >= 1704074400L && t < 1704075600L) 8.0 else 0.0
+      s"""[$t,"${base + spike}"]"""
+    }.mkString(",")
+    s"""{"status":"success","data":{"resultType":"matrix","result":[""" +
+      s"""{"metric":{"m":"${if (isM1) "m1" else "m2"}"},"values":[$values]}]}}"""
+  }
+}

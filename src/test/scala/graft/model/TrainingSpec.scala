@@ -1,0 +1,80 @@
+package graft.model
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrainingSpec extends AnyFunSuite {
+
+  private val F = 2
+  private val L = 4
+  private def tinyParams(seed: Long) =
+    Lstm.glorotInit(F, units = Seq(3, 2, 2, 3), seed = seed)
+  private def window(seed: Int): DenseMatrix[Double] =
+    DenseMatrix.tabulate(L, F)((i, j) => 0.3 + 0.4 * math.sin(seed + i * 0.7 + j * 1.3))
+
+  test("BPTT gradients match central finite differences (gradient check)") {
+    val p = tinyParams(11L)
+    val x = window(3)
+    val acc = Training.zeroGrads(p)
+    Training.forwardBackward(p, x, acc)
+    val analytic = Training.flattenGrads(acc)
+    val flat = Training.flatten(p)
+    val eps = 1e-6
+    // probe a spread of parameter indices across all layers
+    val idxs = (0 until flat.length by math.max(1, flat.length / 60)).toSeq
+    var checked = 0
+    idxs.foreach { k =>
+      val fp = flat.clone(); fp(k) += eps
+      val fm = flat.clone(); fm(k) -= eps
+      val lp = Lstm.mse(x, Lstm.forward(Training.unflatten(p, fp), x))
+      val lm = Lstm.mse(x, Lstm.forward(Training.unflatten(p, fm), x))
+      val numeric = (lp - lm) / (2 * eps)
+      // denom floor 1e-6 absorbs finite-difference noise on near-zero grads
+      // (eps=1e-6 steps on an O(1e-2) loss bound absolute accuracy ~1e-10)
+      val denom = math.max(1e-6, math.abs(numeric) + math.abs(analytic(k)))
+      assert(math.abs(numeric - analytic(k)) / denom < 1e-4,
+        s"param $k: numeric=$numeric analytic=${analytic(k)}")
+      checked += 1
+    }
+    assert(checked > 40)
+  }
+
+  test("training reduces reconstruction loss on a learnable signal (sine)") {
+    val windows = (0 until 40).map(window)
+    val init = Lstm.glorotInit(F, units = Seq(8, 4, 4, 8), seed = 5L)
+    val before = windows.map(x => Lstm.mse(x, Lstm.forward(init, x))).sum / 40
+    val result = Training.trainDriver(windows, IndexedSeq.empty, init,
+      epochs = 120, batchSize = 8, lr = 1e-2, patience = 120, seed = 1L)
+    val after = windows.map(x =>
+      Lstm.mse(x, Lstm.forward(result.params, x))).sum / 40
+    assert(after < before * 0.5, s"before=$before after=$after")
+    assert(result.history.size > 1)
+    // loss history is broadly decreasing
+    assert(result.history.last._1 < result.history.head._1)
+  }
+
+  test("early stopping restores the best-validation weights") {
+    val train = (0 until 20).map(window)
+    val valW = (100 until 110).map(window)
+    val r = Training.trainDriver(train, valW, tinyParams(9L),
+      epochs = 30, batchSize = 8, lr = 5e-3, patience = 3, seed = 2L)
+    val bestVal = r.history.map(_._2).min
+    val restored = valW.map(x => Lstm.mse(x, Lstm.forward(r.params, x))).sum / valW.size
+    assert(math.abs(restored - bestVal) < 1e-9) // params are the best epoch's
+    assert(r.bestEpoch >= 0 && r.bestEpoch < r.history.size)
+  }
+
+  test("flatten/unflatten round-trips parameters exactly") {
+    val p = tinyParams(13L)
+    val back = Training.unflatten(p, Training.flatten(p))
+    assert(back.enc1.w == p.enc1.w && back.dec2.u == p.dec2.u
+      && back.out.b == p.out.b)
+  }
+
+  test("Adam takes a descent step on a quadratic") {
+    val adam = new Training.Adam(lr = 0.1)
+    val params = Array(5.0, -3.0)
+    for (_ <- 0 until 200) adam.step(params, Array(2 * params(0), 2 * params(1)))
+    assert(math.abs(params(0)) < 0.2 && math.abs(params(1)) < 0.2)
+  }
+}
