@@ -33,10 +33,15 @@ object Queries {
       .groupBy(expr("ts_us div 60000000").as("ts_min"), col("event_type"))
       .agg(round(avg("value"), 6).as("v"))
 
-  /** Wide per-minute table: one row per minute, one column per event type. */
+  /** Wide per-minute table: one row per minute, one column per event type.
+    * Pivoted DIRECTLY from events in one shuffle — `avg` per (minute, type)
+    * inside the pivot equals the pre-aggregated two-shuffle form, so the
+    * intermediate minuteLong grouping is fused away. */
   private def minuteWide(s: SparkSession, dir: String): DataFrame =
-    Align.pivotAlignOuter(minuteLong(s, dir), "ts_min", "event_type", "v",
-      Types, agg = Some(avg))
+    Tables.events(s, dir)
+      .groupBy(expr("ts_us div 60000000").as("ts_min"))
+      .pivot("event_type", Types)
+      .agg(round(avg("value"), 6))
 
   /** Single-series (click) minute values with 0-based row number `rn`. */
   private def clickSeries(s: SparkSession, dir: String): DataFrame =

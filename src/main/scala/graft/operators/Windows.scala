@@ -62,12 +62,16 @@ object Windows {
       .select((valueCols :+ "_rn").map(col): _*)
     // Home bucket, plus a copy of each bucket's LAST (L−1) rows into the NEXT
     // bucket: a window ending near the start of bucket b reaches back into
-    // bucket b−1, so b needs b−1's tail rows for full support.
-    val home = numbered.withColumn("_bkt", floor(col("_rn") / bucketSize))
-    val overlap = numbered
-      .filter(col("_rn") % bucketSize >= bucketSize - (length - 1))
-      .withColumn("_bkt", floor(col("_rn") / bucketSize) + 1)
-    val both = home.unionByName(overlap)
+    // bucket b−1, so b needs b−1's tail rows for full support. The copy is
+    // made by exploding each row into 1–2 bucket assignments in a single
+    // pass — a union of two branches would recompute the global row-number
+    // pipeline (and its single-partition exchange) once per branch.
+    val both = numbered
+      .withColumn("_bkt", explode(array(
+        floor(col("_rn") / bucketSize),
+        when(col("_rn") % bucketSize >= bucketSize - (length - 1),
+          floor(col("_rn") / bucketSize) + 1))))
+      .filter(col("_bkt").isNotNull)
     val w = Window.partitionBy(col("_bkt")).orderBy(col("_rn"))
       .rowsBetween(-(length - 1), Window.currentRow)
     both

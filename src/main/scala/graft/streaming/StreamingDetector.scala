@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import breeze.linalg.DenseMatrix
+
+import graft.model.Lstm
+import graft.realtime.Detector
+
+/** Structured Streaming surface for the realtime stage.
+  *
+  * Two shapes, matching SURVEY §2.8:
+  *
+  *  1. [[startPolling]] — the faithful port of the reference's 30 s poll
+  *     loop (`realtime_detector.py:392-398`): a rate source fires
+  *     `Trigger.ProcessingTime` microbatches and `foreachBatch` runs one
+  *     stateless detection cycle (ST1/ST2). The stream is pure clockwork;
+  *     each cycle re-fetches its own window, exactly like the reference.
+  *
+  *  2. [[scoredWindows]] — the genuinely incremental upgrade path: a long
+  *     stream of per-series feature rows is bucketed per series key and a
+  *     `flatMapGroupsWithState` keeps the trailing (L−1)-row buffer as
+  *     explicit state, emitting one scored window per arriving row (W2 in
+  *     streaming form + M4 scoring + P8 classification). State size is
+  *     O(L · F) per key regardless of stream length — the 100 TB-safe
+  *     shape, since each key's state and compute are independent and
+  *     Spark shards keys across executors.
+  */
+object StreamingDetector {
+
+  /** Shape 1: rate-source clock → foreachBatch polling cycles (ST1). */
+  def startPolling(spark: SparkSession, detector: Detector,
+                   intervalSeconds: Int): StreamingQuery = {
+    spark.readStream
+      .format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (_: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        detector.runCycle(System.currentTimeMillis() / 1000)
+        ()
+      }
+      .start()
+  }
+
+  /** One input row of the incremental stream. */
+  final case class FeatureRow(seriesKey: String, tsSec: Long, features: Seq[Double])
+  /** One emitted scored window. */
+  final case class ScoredWindow(seriesKey: String, tsEnd: Long, mse: Double,
+                                isAnomaly: Boolean, anomalyTotal: Long)
+  /** Per-key state: trailing rows + the running anomaly counter (ST4/A10). */
+  final case class WindowState(rows: Seq[(Long, Seq[Double])], anomalyTotal: Long)
+
+  /** Shape 2: incremental sliding-window scoring with explicit state. */
+  def scoredWindows(rows: Dataset[FeatureRow], params: Lstm.AeParams,
+                    seqLen: Int, threshold: Double): Dataset[ScoredWindow] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(params)
+
+    def update(key: String, batch: Iterator[FeatureRow],
+               state: GroupState[WindowState]): Iterator[ScoredWindow] = {
+      var st = state.getOption.getOrElse(WindowState(Vector.empty, 0L))
+      val out = scala.collection.mutable.ArrayBuffer[ScoredWindow]()
+      // within-batch ordering by event time (cross-batch order is the
+      // stream's arrival order, as in the reference's append-only feed)
+      batch.toSeq.sortBy(_.tsSec).foreach { r =>
+        val rows = (st.rows :+ (r.tsSec, r.features)).takeRight(seqLen)
+        var total = st.anomalyTotal
+        if (rows.size == seqLen) {
+          val f = rows.head._2.size
+          val x = DenseMatrix.tabulate(seqLen, f)((i, j) => rows(i)._2(j))
+          val mse = Lstm.mse(x, Lstm.forward(bc.value, x))
+          val isAnomaly = mse > threshold
+          if (isAnomaly) total += 1
+          out += ScoredWindow(key, r.tsSec, mse, isAnomaly, total)
+        }
+        st = WindowState(rows, total)
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    rows.groupByKey(_.seriesKey)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.Lstm
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingDetectorSpec extends SparkSpec {
+  import StreamingDetector._
+
+  private val L = 4
+  private val params = Lstm.glorotInit(2, units = Seq(4, 2, 2, 4), seed = 3L)
+
+  private def row(k: String, t: Long): FeatureRow =
+    FeatureRow(k, t, Seq(0.4 + 0.1 * math.sin(t.toDouble), 0.5))
+
+  test("incremental windows: one scored window per row once the buffer fills") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[FeatureRow]
+    val scored = scoredWindows(input.toDS(), params, L, threshold = 1e9)
+    val q = scored.writeStream.format("memory").queryName("scored1")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L to 6L).map(t => row("a", t)))
+      q.processAllAvailable()
+      val out = spark.table("scored1").as[ScoredWindow].collect().sortBy(_.tsEnd)
+      // 6 rows, L=4 → windows end at t=4,5,6
+      assert(out.map(_.tsEnd).toSeq == Seq(4L, 5L, 6L))
+      assert(out.forall(w => w.mse >= 0 && !w.isAnomaly))
+
+      // next batch continues from state: one more row → one more window
+      input.addData(Seq(row("a", 7L)))
+      q.processAllAvailable()
+      val out2 = spark.table("scored1").as[ScoredWindow].collect()
+      assert(out2.map(_.tsEnd).sorted.toSeq == Seq(4L, 5L, 6L, 7L))
+    } finally q.stop()
+  }
+
+  test("streaming windows equal the batch computation on the same series") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val series = (1L to 10L).map(t => row("k", t))
+    val input = MemoryStream[FeatureRow]
+    val scored = scoredWindows(input.toDS(), params, L, threshold = 1e9)
+    val q = scored.writeStream.format("memory").queryName("scored2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // feed in two arbitrary chunks — state must bridge the batch boundary
+      input.addData(series.take(5)); q.processAllAvailable()
+      input.addData(series.drop(5)); q.processAllAvailable()
+      val stream = spark.table("scored2").as[ScoredWindow].collect()
+        .sortBy(_.tsEnd).map(w => (w.tsEnd, w.mse)).toSeq
+      val batch = series.sliding(L).map { win =>
+        val x = breeze.linalg.DenseMatrix.tabulate(L, 2)((i, j) => win(i).features(j))
+        (win.last.tsSec, Lstm.mse(x, Lstm.forward(params, x)))
+      }.toSeq
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
+  test("per-key state is independent; anomaly counter accumulates (ST4)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[FeatureRow]
+    val scored = scoredWindows(input.toDS(), params, L, threshold = 0.0) // all anomalous
+    val q = scored.writeStream.format("memory").queryName("scored3")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L to 6L).flatMap(t => Seq(row("a", t), row("b", t))))
+      q.processAllAvailable()
+      val byKey = spark.table("scored3").as[ScoredWindow].collect()
+        .groupBy(_.seriesKey)
+      assert(byKey.keySet == Set("a", "b"))
+      // each key saw 3 windows; its counter ends at 3 (not 6 — keys independent)
+      assert(byKey("a").map(_.anomalyTotal).max == 3L)
+      assert(byKey("b").map(_.anomalyTotal).max == 3L)
+    } finally q.stop()
+  }
+
+  test("polling shape: rate-source stream drives detection cycles (ST1)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cfg = graft.config.GraftConfig.fromYaml(
+      "queries:\n  m1: 'q'\ndata_settings:\n  step: \"60\"\ntraining_settings:\n  sequence_length: 3\n")
+    val exp = new graft.realtime.Exporter()
+    val feats = cfg.featureColumns
+    val det = new graft.realtime.Detector(spark, cfg, exp,
+      Some(graft.operators.Scalers.MinMaxScaler(feats,
+        Seq.fill(feats.size)(0.0), Seq(1.0, 6.0, 23.0))),
+      Some(Lstm.glorotInit(feats.size, Seq(4, 2, 2, 4), 1L)),
+      (s, e, st) => (s until e by st).map(t => ("m1", t, 0.5)).toSeq
+        .toDF("alias", "epoch", "value")
+        .select($"alias", timestamp_seconds($"epoch").as("ts"), $"value"))
+    val q = StreamingDetector.startPolling(spark, det, intervalSeconds = 1)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!exp.render().contains("latest_reconstruction_error_mse") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(exp.render().contains("latest_reconstruction_error_mse"))
+      assert(exp.render().contains("last_successful_run_timestamp_seconds"))
+    } finally q.stop()
+  }
+}
