@@ -150,6 +150,20 @@ object Queries {
         .orderBy("ts_min")
     }),
 
+    "q_ffill_partitioned_w1" -> ((s, d) => {
+      // The 100TB-shape fill: one analytic window PER SERIES (partitionBy
+      // event_type) instead of a global single-task window. Nulls come from
+      // the full minute×type grid (absent series-minutes).
+      val long = minuteLong(s, d)
+      val grid = long.select("ts_min").distinct()
+        .crossJoin(s.createDataset(Types)(
+          org.apache.spark.sql.Encoders.STRING).toDF("event_type"))
+      val sparse = grid.join(long, Seq("ts_min", "event_type"), "left")
+      Fill.ffillBfill(sparse, "ts_min", Seq("v"), partitionCols = Seq("event_type"))
+        .select(col("ts_min"), col("event_type"), round(col("v"), 6).as("v"))
+        .orderBy("ts_min", "event_type")
+    }),
+
     "q_nan_report_a5" -> ((s, d) => {
       val w = minuteWide(s, d)
       w.agg(count(lit(1)).as("n_rows"),
@@ -471,6 +485,19 @@ object Queries {
         s"""round(coalesce("$c", median("$c") OVER ()), 6) AS "$c""""),
 
     "q_ffill_bfill_w1" -> fillAllSql(MinuteWideSql),
+
+    "q_ffill_partitioned_w1" ->
+      s"""WITH long AS ($MinuteLongSql),
+         |grid AS (SELECT ts_min, t.event_type
+         |  FROM (SELECT DISTINCT ts_min FROM long)
+         |  CROSS JOIN (VALUES ${Types.map(t => s"('$t')").mkString(",")}) t(event_type)),
+         |sparse AS (SELECT g.ts_min, g.event_type, l.v
+         |  FROM grid g LEFT JOIN long l
+         |  ON g.ts_min = l.ts_min AND g.event_type = l.event_type)
+         |SELECT ts_min, event_type, round(coalesce(
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts_min ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS v
+         |FROM sparse ORDER BY ts_min, event_type""".stripMargin,
 
     "q_nan_report_a5" ->
       s"""SELECT count(*) AS n_rows,
