@@ -99,10 +99,21 @@ object Dedup {
                         bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val withTk = df.select(col(idCol), normTokens(col(textCol)).as("_tk"))
-    val withSh = withTk.select(col(idCol),
-      shinglesFromTokens(col("_tk"), k).as("_sh"))
-    val sigs = withSh.select(col(idCol),
-      minhashSignature(col("_sh"), numHashes).as("sig"))
+    // Prefer the native codegen'd kernel (graft.expressions.MinHashSignature,
+    // registered via GraftExtensions) — one loop per row vs numHashes
+    // interpreted HOF passes. Falls back to the pure-builtin composition
+    // in sessions without the extension.
+    val sigs =
+      if (df.sparkSession.catalog.functionExists("graft_minhash64"))
+        withTk.select(col(idCol),
+          call_function("graft_minhash64", col("_tk"), lit(k), lit(numHashes))
+            .as("sig"))
+      else {
+        val withSh = withTk.select(col(idCol),
+          shinglesFromTokens(col("_tk"), k).as("_sh"))
+        withSh.select(col(idCol),
+          minhashSignature(col("_sh"), numHashes).as("sig"))
+      }
     candidatePairs(lshBands(sigs, idCol, "sig", bands, numHashes / bands), idCol)
   }
 
