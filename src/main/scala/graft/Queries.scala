@@ -406,6 +406,14 @@ object Queries {
         .orderBy("qid", "rank")
     }),
 
+    "q_cosine_neardup" -> ((s, d) =>
+      // Embedding-cosine near-dup pairs via LSH buckets — rows-only (bucket
+      // keys are hash-derived); plan contract: equi-join, no cartesian.
+      graft.sim.Ann.cosineNearDup(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.15, bits = 4)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id1", "id2")),
+
     "q_centroids" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
