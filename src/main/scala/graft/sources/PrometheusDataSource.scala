@@ -1,0 +1,192 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1 as a first-class DataSource V2 `TableProvider`: a Prometheus
+  * `query_range` table with **time-range predicate pushdown** — filters on
+  * `ts` shrink (and clip) the (query × chunk) fetch grid before any HTTP
+  * call happens, which is the manual "fetch only the needed range" trick of
+  * the reference (`data_collector.py:42`) expressed as a Catalyst-visible
+  * `SupportsPushDownFilters`.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.PrometheusDataSource")
+  *   .option("url", "http://prom:9090")
+  *   .option("queries", "cpu=rate(cpu_total[1m]);mem=mem_free_bytes")
+  *   .option("start", "1704067200").option("end", "1704153600")
+  *   .option("step", "120").option("chunkHours", "1")
+  *   .load()
+  *   .filter($"ts" >= lit(...) && $"ts" < lit(...))  // pushed into fetch grid
+  * }}}
+  *
+  * Each (alias, chunk) cell is one `InputPartition`, so a 1000-executor
+  * cluster fetches chunks concurrently; decode happens in the partition
+  * reader (Jackson, executor-side), not on the driver. The fetcher is
+  * pluggable via the `fetcher` option (class name implementing [[Fetcher]])
+  * so tests inject fixtures.
+  */
+class PrometheusDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PrometheusDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PromTable(properties.asScala.toMap)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object PrometheusDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("alias", StringType, nullable = false),
+    StructField("ts", TimestampType),
+    StructField("value", DoubleType),
+    StructField("labels", MapType(StringType, StringType))))
+}
+
+/** Pluggable HTTP boundary (reflection-instantiated on executors). */
+trait Fetcher extends Serializable {
+  def fetch(url: String): String
+}
+
+final class HttpFetcher extends Fetcher {
+  override def fetch(url: String): String = graft.ingest.PromIngest.httpFetch(url)
+}
+
+private[sources] class PromTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"prometheus(${props.getOrElse("url", "?")})"
+  override def schema(): StructType = PrometheusDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PromScanBuilder(props ++ options.asScala)
+}
+
+private[sources] class PromScanBuilder(props: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var tsLowerSec: Long = props.getOrElse("start", "0").toLong
+  private var tsUpperSec: Long = props.getOrElse("end", "0").toLong
+  private var pushed: Array[Filter] = Array.empty
+
+  private def toEpochSec(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime / 1000)
+    case i: java.time.Instant  => Some(i.getEpochSecond)
+    case _                     => None
+  }
+
+  /** Accept ts range filters (clipping the fetch grid); everything else is
+    * left for Spark to evaluate post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case GreaterThan("ts", v)        => toEpochSec(v).exists { s => tsLowerSec = math.max(tsLowerSec, s + 1); true }
+      case GreaterThanOrEqual("ts", v) => toEpochSec(v).exists { s => tsLowerSec = math.max(tsLowerSec, s); true }
+      case LessThan("ts", v)           => toEpochSec(v).exists { s => tsUpperSec = math.min(tsUpperSec, s); true }
+      case LessThanOrEqual("ts", v)    => toEpochSec(v).exists { s => tsUpperSec = math.min(tsUpperSec, s + 1); true }
+      case _ => false
+    }
+    pushed = accepted
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new PromScan(props, tsLowerSec, tsUpperSec)
+}
+
+private[sources] case class PromChunkPartition(alias: String, url: String)
+    extends InputPartition
+
+private[sources] class PromScan(props: Map[String, String],
+                                startSec: Long, endSec: Long)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = PrometheusDataSource.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PrometheusScan(range=[$startSec,$endSec), pushed ts bounds applied)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val base = props.getOrElse("url", "http://localhost:9090")
+    val step = props.getOrElse("step", "120").toLong
+    val chunkHours = props.getOrElse("chunkHours", "1").toInt
+    val queries = props.getOrElse("queries", "").split(";").toSeq
+      .filter(_.contains("=")).map { q =>
+        val Array(a, p) = q.split("=", 2); (a, p)
+      }
+    if (endSec <= startSec) Array.empty
+    else graft.ingest.PromIngest
+      .chunkGrid(queries, startSec, endSec, step, chunkHours)
+      .map(c => PromChunkPartition(c.alias,
+        graft.ingest.PromIngest.chunkUrl(base, c)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fetcherClass = props.getOrElse("fetcher", classOf[HttpFetcher].getName)
+    new PromReaderFactory(fetcherClass)
+  }
+}
+
+private[sources] class PromReaderFactory(fetcherClass: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PromChunkPartition]
+    val fetcher = Class.forName(fetcherClass).getDeclaredConstructor()
+      .newInstance().asInstanceOf[Fetcher]
+    new PromPartitionReader(p, fetcher)
+  }
+}
+
+/** Executor-side chunk reader: one HTTP GET, Jackson decode (first series
+  * only, coerce-to-null values — `data_collector.py:59-75` semantics). */
+private[sources] class PromPartitionReader(p: PromChunkPartition, fetcher: Fetcher)
+    extends PartitionReader[InternalRow] {
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(fetcher.fetch(p.url))
+    if (root.path("status").asText() != "success") Iterator.empty
+    else {
+      val result = root.path("data").path("result")
+      if (!result.isArray || result.size() == 0) Iterator.empty
+      else {
+        val series = result.get(0) // first series only
+        val labels = series.path("metric")
+        val keyNames = labels.fieldNames().asScala.toArray
+        val keys = keyNames.map(k => UTF8String.fromString(k): Any)
+        val labelVals = keyNames.map(k =>
+          UTF8String.fromString(labels.get(k).asText()): Any)
+        val labelMap = new ArrayBasedMapData(
+          new GenericArrayData(keys), new GenericArrayData(labelVals))
+        val alias = UTF8String.fromString(p.alias)
+        series.path("values").elements().asScala.map { pair =>
+          val tsMicros = (pair.get(0).asDouble() * 1e6).toLong
+          val raw = pair.get(1).asText()
+          val value: Any =
+            try java.lang.Double.valueOf(raw)
+            catch { case _: NumberFormatException => null }
+          new GenericInternalRow(
+            Array[Any](alias, tsMicros, value, labelMap)): InternalRow
+        }
+      }
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -44,6 +44,20 @@ object StreamingDetector {
       .start()
   }
 
+  /** Streaming J1 building block: event-time windowed per-series averages
+    * with a watermark — `readStream → withWatermark → groupBy(window(...))`.
+    * Late rows beyond `lateness` are dropped and windows finalize, so state
+    * is bounded by (watermark horizon × active series), not stream length.
+    * The output long rows feed the same pivot-align the batch path uses. */
+  def windowedRates(events: DataFrame, tsCol: String, keyCol: String,
+                    valueCol: String, windowDuration: String,
+                    lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(avg(col(valueCol)).as("v"), count(lit(1)).as("n"))
+      .select(col("window.start").as("ts"), col(keyCol), col("v"), col("n"))
+
   /** One input row of the incremental stream. */
   final case class FeatureRow(seriesKey: String, tsSec: Long, features: Seq[Double])
   /** One emitted scored window. */

@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Canned fetcher (reflection-instantiated on executors); counts fetched
+  * URLs in a static set so tests can assert pushdown pruned the grid. */
+class CannedFetcher extends Fetcher {
+  override def fetch(url: String): String = {
+    CannedFetcher.record(url)
+    def param(k: String) =
+      url.split("[?&]").find(_.startsWith(k + "=")).get.drop(k.length + 1)
+    val start = param("start").toLong
+    val end = param("end").toLong
+    val step = param("step").toLong
+    val values = (start until end by step)
+      .map(t => s"""[$t,"${if ((t / step) % 5 == 0) "bad" else (t % 100).toString}"]""")
+      .mkString(",")
+    s"""{"status":"success","data":{"resultType":"matrix","result":[""" +
+      s"""{"metric":{"job":"test"},"values":[$values]}]}}"""
+  }
+}
+
+object CannedFetcher {
+  private val urls = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def record(u: String): Unit = urls.add(u)
+  def reset(): Unit = urls.clear()
+  def count: Int = urls.size()
+}
+
+class PrometheusDataSourceSpec extends SparkSpec {
+
+  private def reader = spark.read
+    .format("graft.sources.PrometheusDataSource")
+    .option("url", "http://prom.test")
+    .option("queries", "cpu=rate(cpu[1m]);mem=mem_free")
+    .option("start", "0").option("end", (4 * 3600).toString)
+    .option("step", "120").option("chunkHours", "1")
+    .option("fetcher", classOf[CannedFetcher].getName)
+
+  test("DSv2 scan: schema, chunk-parallel fetch, coerce-to-null decode") {
+    CannedFetcher.reset()
+    val df = reader.load()
+    assert(df.schema.fieldNames.toSeq == Seq("alias", "ts", "value", "labels"))
+    val n = df.count()
+    // 2 queries x 4 one-hour chunks fetched, 30 points each
+    assert(CannedFetcher.count == 8)
+    assert(n == 2 * 4 * 30)
+    val bad = df.filter(col("value").isNull).count()
+    assert(bad == 2 * 4 * 6) // every 5th point is "bad" -> null
+    assert(df.select("labels").head().getMap[String, String](0)("job") == "test")
+  }
+
+  test("ts range filters push into the fetch grid (fewer HTTP calls)") {
+    CannedFetcher.reset()
+    val df = reader.load()
+      .filter(col("ts") >= to_timestamp(lit("1970-01-01 01:00:00")) &&
+        col("ts") < to_timestamp(lit("1970-01-01 02:00:00")))
+    val n = df.count()
+    // only the second hour chunk per query is fetched: 2 calls, not 8
+    assert(CannedFetcher.count == 2, s"fetched ${CannedFetcher.count} chunks")
+    assert(n == 2 * 30)
+    // and the plan advertises the pushed range
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PrometheusScan"), scan)
+  }
+
+  test("empty effective range plans zero partitions") {
+    CannedFetcher.reset()
+    val df = reader.load()
+      .filter(col("ts") >= to_timestamp(lit("2030-01-01 00:00:00")))
+    assert(df.count() == 0)
+    assert(CannedFetcher.count == 0)
+  }
+}

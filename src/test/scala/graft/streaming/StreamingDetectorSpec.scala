@@ -78,6 +78,37 @@ class StreamingDetectorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed rates: watermark + event-time windows finalize and drop late rows") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamingDetector.windowedRates(
+      input.toDF().toDF("ts", "alias", "value"),
+      "ts", "alias", "value", "1 minute", "2 minutes")
+    val q = agg.writeStream.format("memory").queryName("rates")
+      .outputMode(OutputMode.Append()).start()
+    def t(min: Int, sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+    try {
+      input.addData((t(0, 10), "m1", 2.0), (t(0, 50), "m1", 4.0), (t(1, 5), "m1", 8.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 10:01 windows
+      input.addData((t(10, 0), "m1", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("rates").orderBy("ts").collect()
+      assert(rows.length == 2) // finalized windows only
+      assert(rows(0).getAs[Double]("v") == 3.0) // avg(2,4) in 10:00
+      assert(rows(0).getAs[Long]("n") == 2L)
+      assert(rows(1).getAs[Double]("v") == 8.0)
+      // a row older than the watermark is dropped, closed windows stay final
+      input.addData((t(0, 30), "m1", 100.0), (t(11, 0), "m1", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("rates").orderBy("ts").collect()
+      assert(after.count(_.getAs[java.sql.Timestamp]("ts").toString.contains("10:00")) == 1)
+      assert(after.head.getAs[Double]("v") == 3.0) // unchanged by the late row
+    } finally q.stop()
+  }
+
   test("polling shape: rate-source stream drives detection cycles (ST1)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
