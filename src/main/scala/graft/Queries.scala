@@ -331,6 +331,32 @@ object Queries {
           .as("revenue"), count(lit(1)).as("cnt"))
         .orderBy("o_orderpriority")),
 
+    "q_salted_agg" -> ((s, d) =>
+      // Skew-safe two-stage aggregation — must equal the plain groupBy
+      // (the oracle IS the unsalted form), demonstrating hot-key salting
+      // without changing results.
+      graft.operators.Skew.saltedAggregate(Tables.events(s, d),
+          Seq("event_type"),
+          Map("cnt" -> ("value", "count"), "min_v" -> ("value", "min"),
+            "max_v" -> ("value", "max"), "sum_v" -> ("value", "sum")),
+          saltFactor = 8)
+        .select(col("event_type"), col("cnt"), col("min_v"), col("max_v"),
+          round(col("sum_v"), 4).as("sum_v"))
+        .orderBy("event_type")),
+
+    "q3_shipping" -> ((s, d) =>
+      // Q3-style 3-way join with a pushed filter: market segment revenue
+      // for recent orders. Filter reaches the orders scan; dims broadcast.
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderdate") >= lit("1999-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")),
+
     // --- LLM-data-pipeline: dedup / text / similarity ---
 
     "q_dedup_exact" -> ((s, d) =>
@@ -614,6 +640,20 @@ object Queries {
          |  count(*) AS cnt
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_salted_agg" ->
+      s"""SELECT event_type, count(value) AS cnt, min(value) AS min_v,
+         |  max(value) AS max_v, round(sum(value), 4) AS sum_v
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q3_shipping" ->
+      s"""SELECT c_mktsegment,
+         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         |  count(*) AS cnt
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey AND o_orderdate >= '1999-01-01'
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_dedup_exact" ->
       s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,

@@ -46,7 +46,15 @@ object Align {
   }
 
   /** Wide inner alignment (J2): only timestamps where EVERY key has a value
-    * (reference drops rows missing any metric). */
+    * (reference drops rows missing any metric).
+    *
+    * Semantics note vs pandas `concat(join='inner')`: pandas intersects on
+    * the timestamp INDEX, so a present-but-NaN value survives; this
+    * implementation drops any row with a null in a key column. After the
+    * coerce-to-null decode the two differ only for series that explicitly
+    * report non-numeric samples at an aligned timestamp — the realtime
+    * consumer (`realtime_detector.py:199-215`) treats such rows as unusable
+    * anyway (they fail the scaler), so the stricter form is used here. */
   def pivotAlignInner(long: DataFrame, tsCol: String, keyCol: String,
                       valueCol: String, keys: Seq[String],
                       tiebreakCol: String = "",
