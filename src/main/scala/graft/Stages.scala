@@ -25,9 +25,11 @@ object Stages {
   /** Stage 1 (collect, `data_collector.py`): fetch every configured period
     * chunk-wise (cached), assemble the wide table, write raw parquet (S4). */
   def collect(spark: SparkSession, cfg: GraftConfig,
-              fetch: String => String = PromIngest.httpFetch): DataFrame = {
+              fetch: String => String = PromIngest.httpFetch,
+              now: java.time.LocalDateTime = java.time.LocalDateTime
+                .now(java.time.ZoneOffset.UTC)): DataFrame = {
     val zone = java.time.ZoneOffset.UTC
-    val chunks = cfg.data.collectionPeriodsIso.flatMap { p =>
+    val chunks = cfg.data.effectivePeriods(now).flatMap { p =>
       PromIngest.chunkGrid(cfg.queries,
         p.start.toEpochSecond(zone), p.end.toEpochSecond(zone),
         cfg.data.stepSeconds, cfg.data.cacheChunkHours)

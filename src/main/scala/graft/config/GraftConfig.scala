@@ -17,9 +17,27 @@ final case class Period(start: LocalDateTime, end: LocalDateTime) {
 final case class DataSettings(
     collectionPeriodHours: Int,
     collectionPeriodsIso: Seq[Period],
+    startTimeIso: Option[LocalDateTime],
+    endTimeIso: Option[LocalDateTime],
     cacheChunkHours: Int,
     stepSeconds: Long,
-    outputFilename: String)
+    outputFilename: String) {
+
+  /** The reference's period-resolution ladder
+    * (`data_collector.py:172-213`): explicit multi-period list wins; else
+    * the legacy single-window fallbacks — start/end ISO pair when
+    * `collection_period_hours` is 0/absent, otherwise
+    * `collection_period_hours` back from `now`. */
+  def effectivePeriods(now: LocalDateTime): Seq[Period] =
+    if (collectionPeriodsIso.nonEmpty) collectionPeriodsIso
+    else (startTimeIso, endTimeIso) match {
+      case (Some(s), Some(e)) if collectionPeriodHours <= 0 =>
+        Seq(Period(s, e)).filter(_.valid)
+      case _ if collectionPeriodHours > 0 =>
+        Seq(Period(now.minusHours(collectionPeriodHours.toLong), now))
+      case _ => Nil
+    }
+}
 
 final case class PreprocessingSettings(
     nanFillStrategy: String,
@@ -129,6 +147,8 @@ object GraftConfig {
       data = DataSettings(
         collectionPeriodHours = int(ds, "collection_period_hours", 0),
         collectionPeriodsIso = periods,
+        startTimeIso = ds.get("start_time_iso").map(v => parseIso(v.toString)),
+        endTimeIso = ds.get("end_time_iso").map(v => parseIso(v.toString)),
         cacheChunkHours = int(ds, "cache_chunk_hours", 1),
         stepSeconds = ds.get("step").map(v => parseDurationSeconds(v.toString))
           .getOrElse(120L),

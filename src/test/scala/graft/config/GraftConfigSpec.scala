@@ -72,6 +72,29 @@ class GraftConfigSpec extends AnyFunSuite {
     intercept[Exception] { GraftConfig.parseDurationSeconds("abc") }
   }
 
+  test("legacy period fallbacks follow the reference ladder") {
+    import java.time.LocalDateTime
+    val now = LocalDateTime.parse("2025-06-10T12:00:00")
+    // explicit periods win
+    val c1 = GraftConfig.fromYaml(yaml)
+    assert(c1.data.effectivePeriods(now) == c1.data.collectionPeriodsIso)
+    // ISO pair used when hours = 0
+    val c2 = GraftConfig.fromYaml(
+      """data_settings:
+        |  collection_period_hours: 0
+        |  start_time_iso: "2025-05-31T10:00:00"
+        |  end_time_iso: "2025-05-31T11:00:00"
+        |""".stripMargin)
+    val p2 = c2.data.effectivePeriods(now)
+    assert(p2.size == 1 && p2.head.start.getHour == 10 && p2.head.end.getHour == 11)
+    // hours-back-from-now otherwise
+    val c3 = GraftConfig.fromYaml("data_settings:\n  collection_period_hours: 24\n")
+    val p3 = c3.data.effectivePeriods(now)
+    assert(p3 == Seq(Period(now.minusHours(24), now)))
+    // nothing configured -> no periods
+    assert(GraftConfig.fromYaml("").data.effectivePeriods(now).isEmpty)
+  }
+
   test("empty yaml yields pure defaults") {
     val c = GraftConfig.fromYaml("")
     assert(c.queries.isEmpty)

@@ -60,6 +60,34 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("lshTopK recall on clustered data: same-cluster neighbors are found") {
+    // 4 well-separated direction clusters in 8-d; LSH must keep most
+    // same-cluster neighbors (they share hyperplane signs with the query).
+    val rng = new scala.util.Random(7)
+    val centers = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, -1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f),
+      Array(-1f, 0f, 0f, 1f, 0f, 0f, 0f, -1f))
+    val vecs = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + (rng.nextFloat() - 0.5f) * 0.2f).toSeq, i % 4)
+    }
+    val corpus = vecs.map { case (id, v, _) => (id, v) }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val brute = Ann.bruteForceTopK(queries, "qid", "qv", corpus, "vec_id",
+      "embedding", 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(queries, "qid", "qv", corpus, "vec_id",
+      "embedding", 5, bits = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall brute=${brute.size} lsh=${lsh.size}")
+    // and every LSH hit is a genuine same-cluster neighbor
+    val cluster = vecs.map(v => v._1 -> v._3).toMap
+    assert(lsh.forall { case (q, n) => cluster(q) == cluster(n) })
+  }
+
   test("centroids: per-label mean vectors with ordered components") {
     val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(0.0f, 2.0f)))
       .toDF("label", "embedding")
