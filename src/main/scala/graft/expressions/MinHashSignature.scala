@@ -98,6 +98,71 @@ case class MinHashSignature(tokens: Expression, kExpr: Expression,
     copy(tokens = newFirst, kExpr = newSecond, numHashesExpr = newThird)
 }
 
+/** Static kernel for [[CosineSimilarity]]: double-precision cosine of two
+  * numeric arrays in one loop (vs three interpreted HOF folds). */
+object CosineUtil {
+  def cosine(a: ArrayData, b: ArrayData, elemType: DataType): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val isFloat = elemType == FloatType
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** `graft_cosine(a, b)` — native codegen'd cosine similarity over
+  * array<float|double>. One loop, inside whole-stage codegen; the HOF
+  * composition (zip_with + two aggregate folds) walks the arrays three
+  * times interpreted. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(t, _) => t
+    case _ => DoubleType
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def okArr(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (okArr(left.dataType) && right.dataType.equals(left.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects two equal array<float|double>, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineUtil.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], elemType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = if (elemType == FloatType) "org.apache.spark.sql.types.FloatType$.MODULE$"
+             else "org.apache.spark.sql.types.DoubleType$.MODULE$"
+    val cos = ctx.freshName("cos")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object $cos = graft.expressions.CosineUtil.cosine($a, $b, ($et));
+      if ($cos == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Double) $cos).doubleValue(); }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extension injecting the graft native functions — enable with
   * `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`.
   */
@@ -108,5 +173,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash64"),
       (children: Seq[Expression]) =>
         MinHashSignature(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children(0), children(1))))
   }
 }

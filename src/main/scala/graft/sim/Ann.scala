@@ -26,7 +26,15 @@ object Ann {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity. Uses the native codegen'd `graft_cosine` expression
+    * when the session has GraftExtensions (one loop vs three interpreted
+    * HOF folds); falls back to the pure-builtin composition otherwise. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(s => scala.util.Try(s.catalog.functionExists("graft_cosine"))
+        .getOrElse(false))
+      .map(_ => call_function("graft_cosine", a, b))
+      .getOrElse(dot(a, b) / (norm(a) * norm(b)))
 
   /** Exact top-k cosine neighbors of each query vector.
     * `queries`: (qidCol, qvecCol) — must be small (it is broadcast);
