@@ -405,6 +405,16 @@ object Queries {
           "text", k = 2, numHashes = 32, bands = 16)
         .orderBy("id1", "id2")),
 
+    "q_simhash_md5" -> ((s, d) =>
+      // Oracle-checkable SimHash-32 (md5-parity bit basis — md5 is
+      // identical cross-engine, unlike xxhash64): verifies the sign-sum
+      // fingerprint math bit-for-bit against DuckDB.
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
+        .select(col("doc_id"),
+          graft.dedup.Dedup.simhash32Md5(col("_m")).as("simhash32"))
+        .orderBy("doc_id")),
+
     "q_simhash" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), graft.dedup.Dedup.tokenHashes(col("text")).as("_h"))
@@ -676,6 +686,19 @@ object Queries {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" -> langIdSql,
+
+    "q_simhash_md5" -> {
+      val bitTerms = (0 until 32).map { j =>
+        s"""CASE WHEN 2 * len(list_filter(m, x -> (ascii(substr(x, ${j + 1}, 1)) % 2) = 1))
+           |  > len(m) THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+      s"""SELECT doc_id, $bitTerms AS simhash32
+         |FROM (SELECT doc_id,
+         |  list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+         |    t -> md5(t)) AS m
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp

@@ -168,6 +168,27 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash-32 on an md5-parity basis: token hash bit j = parity of hex
+    * char j of md5(token). Functionally identical to [[simhash]] but built
+    * ONLY from cross-engine-stable primitives (md5/ascii/substring), so a
+    * SQL oracle can verify the sign-sum fingerprint math bit-for-bit.
+    * `md5s` must be a materialized array<string> of per-token md5 hex. */
+  def simhash32Md5(md5s: Column): Column = {
+    val n = size(md5s)
+    val bits = (0 until 32).map { j =>
+      // count of tokens with an odd hex char at position j
+      val ones = size(filter(md5s,
+        m => pmod(ascii(substring(m, j + 1, 1)), lit(2)) === 1))
+      // bit set when strictly more than half the tokens vote 1
+      when(ones * 2 > n, lit(1L) * lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Per-token md5 array for [[simhash32Md5]] — materialize under an alias. */
+  def tokenMd5s(text: Column): Column =
+    transform(graft.text.TextStats.tokens(lower(text)), t => md5(t.cast("binary")))
+
   /** Exact dedup: keep the smallest `idCol` per normalized-text fingerprint.
     * One map-side-combinable min_by groupBy — the minimal shuffle shape. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
