@@ -115,12 +115,17 @@ object Stages {
       .parquet(artifact(cfg, cfg.preprocessing.processedOutputFilename))
     val params = Lstm.load(artifact(cfg, cfg.training.modelOutputFilename))
     val features = cfg.featureColumns
+    // Persist: the windowing (global-order analytic) and the LSTM scoring
+    // are the two expensive lineages, and four downstream actions consume
+    // them (two filtered writes + the histogram's min/max and count jobs).
     val wins = Windows.slidingWindows(scaled, Seq("ts"), features,
       cfg.training.sequenceLength)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = Pipeline.scoreWindows(spark,
       wins.select("window_id", "window"), features, params)
       .withColumn("is_anomaly",
         Score.classify(col("mse"), cfg.realtime.anomalyThresholdMse))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withWindows = wins.join(scored, Seq("window_id"))
     withWindows.filter(!col("is_anomaly")).write.mode("overwrite")
       .parquet(artifact(cfg, "normal_sequences.parquet"))
@@ -128,6 +133,7 @@ object Stages {
       .parquet(artifact(cfg, "anomalous_sequences.parquet"))
     Score.histogram(scored, "mse", 50).write.mode("overwrite")
       .parquet(artifact(cfg, "error_histogram.parquet"))
+    wins.unpersist()
     scored
   }
 }

@@ -101,8 +101,10 @@ object Dedup {
     val withTk = df.select(col(idCol), normTokens(col(textCol)).as("_tk"))
     // Prefer the native codegen'd kernel (graft.expressions.MinHashSignature,
     // registered via GraftExtensions) — one loop per row vs numHashes
-    // interpreted HOF passes. Falls back to the pure-builtin composition
-    // in sessions without the extension.
+    // interpreted HOF passes. Falls back to the pure-builtin composition in
+    // sessions without the extension. NOTE: the two paths use different
+    // (both valid) hash families — signatures/bands persisted by one are
+    // NOT comparable with the other; pick one path per corpus.
     val sigs =
       if (df.sparkSession.catalog.functionExists("graft_minhash64"))
         withTk.select(col(idCol),

@@ -107,10 +107,13 @@ object PromIngest {
     import spark.implicits._
     val cached: Option[DataFrame] = cacheDir.filter { d =>
       new java.io.File(d).exists()
-    }.map(d => spark.read.parquet(d)
+    }.flatMap(d => scala.util.Try(spark.read.parquet(d)
       // partition-dir columns are type-inferred on read (int for small
       // epochs) — normalize back to long before compare/union
-      .withColumn("chunk_start", col("chunk_start").cast("long")))
+      .withColumn("chunk_start", col("chunk_start").cast("long"))).toOption)
+      // (a cache dir holding only _SUCCESS — e.g. a first run whose fetches
+      // all decoded to zero rows — fails schema inference; treat as absent
+      // instead of permanently breaking the collect stage)
     val have: Set[(String, Long)] = cached match {
       case Some(c) => c.select("alias", "chunk_start").distinct()
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
@@ -125,7 +128,13 @@ object PromIngest {
           .toDF("alias", "chunk_start", "url")
           .repartition(math.min(missing.size, 64))
           .withColumn("body", udf(fetch).apply(col("url")))
+        // Persist before the cache write: the write is an action, and the
+        // returned frame is consumed again downstream — without the persist
+        // every chunk would be fetched over HTTP once per action, and the
+        // cache could diverge from the data actually used (a range ending
+        // near now() returns different samples on each fetch).
         val decoded = decodeResponses(raw, "body", "alias", Seq("chunk_start"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cacheDir.foreach { d =>
           decoded.write.mode("append").partitionBy("alias", "chunk_start").parquet(d)
         }

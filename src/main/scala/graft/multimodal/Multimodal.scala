@@ -77,7 +77,8 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](idx)
         val resized =
           if (bytes == null) null
-          else Array.tabulate[Byte](math.min(outSize, math.max(1, bytes.length)))(
+          else if (bytes.isEmpty) bytes // zero-length payload: avoid % 0
+          else Array.tabulate[Byte](math.min(outSize, bytes.length))(
             i => bytes(i % bytes.length))
         val old = r.getAs[Row](midx)
         val meta = Row(w, h,

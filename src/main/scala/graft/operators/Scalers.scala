@@ -66,6 +66,17 @@ object Scalers {
       Map("mean" -> means, "std" -> stds))
   }
 
+  /** Null aggregate = all-null column or empty input; `getAs[Double]` would
+    * silently unbox it to 0.0 and fit a dead scaler — fail loudly instead
+    * (sklearn likewise raises on NaN input). */
+  private def requireFit(row: org.apache.spark.sql.Row, field: String,
+                         c: String): Double = {
+    val i = row.fieldIndex(field)
+    require(!row.isNullAt(i),
+      s"scaler fit: column '$c' has no non-null values (empty input or all-null series)")
+    row.getDouble(i)
+  }
+
   /** A3: fit per-column min/max in one aggregate pass. */
   def fitMinMax(df: DataFrame, cols: Seq[String]): MinMaxScaler = {
     val aggs = cols.flatMap(c =>
@@ -73,8 +84,8 @@ object Scalers {
           max(col(c)).cast("double").as(s"max_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     MinMaxScaler(cols,
-      cols.map(c => row.getAs[Double](s"min_$c")),
-      cols.map(c => row.getAs[Double](s"max_$c")))
+      cols.map(c => requireFit(row, s"min_$c", c)),
+      cols.map(c => requireFit(row, s"max_$c", c)))
   }
 
   /** A4: fit per-column mean/population-std in one aggregate pass. */
@@ -83,8 +94,8 @@ object Scalers {
       Seq(avg(col(c)).as(s"mean_$c"), stddev_pop(col(c)).as(s"std_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     StandardScaler(cols,
-      cols.map(c => row.getAs[Double](s"mean_$c")),
-      cols.map(c => row.getAs[Double](s"std_$c")))
+      cols.map(c => requireFit(row, s"mean_$c", c)),
+      cols.map(c => requireFit(row, s"std_$c", c)))
   }
 
   /** Strategy dispatch mirroring `preprocess_data.py:85-91`. */

@@ -61,7 +61,13 @@ final class Detector(
     }
     try {
       val (startSec, endSec) = windowBounds(nowSec)
+      // Persist the fetched window for the cycle: the lineage is consumed by
+      // both the ST6 row-count guard and the scoring collect — without the
+      // persist each action would re-run the HTTP fetch (2× Prometheus load)
+      // and could score a different snapshot than the guard checked.
       val long = fetchWindow(startSec, endSec, step)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       // J2 inner alignment: keep only timestamps present for every metric;
       // broadcast-trivial at window size ≤ L+2 rows.
       val wide = Align.pivotAlignInner(long, "ts", "alias", "value", aliases,
@@ -96,6 +102,7 @@ final class Detector(
       }
       exporter.setGauge(exporter.LastSuccess, nowSec.toDouble)
       Some(mse)
+      } finally long.unpersist()
     } catch {
       case scala.util.control.NonFatal(e) =>
         // ST5: scoring failure → mse gauge −1 (realtime_detector.py:339-348)

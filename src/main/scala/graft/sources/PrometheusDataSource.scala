@@ -81,24 +81,35 @@ private[sources] class PromScanBuilder(props: Map[String, String])
   private var tsUpperSec: Long = props.getOrElse("end", "0").toLong
   private var pushed: Array[Filter] = Array.empty
 
-  private def toEpochSec(v: Any): Option[Long] = v match {
-    case t: java.sql.Timestamp => Some(t.getTime / 1000)
-    case i: java.time.Instant  => Some(i.getEpochSecond)
-    case _                     => None
+  /** (floor epoch-sec, has-subsecond-part). */
+  private def toEpochSec(v: Any): Option[(Long, Boolean)] = v match {
+    case t: java.sql.Timestamp =>
+      Some((Math.floorDiv(t.getTime, 1000L), Math.floorMod(t.getTime, 1000L) != 0))
+    case i: java.time.Instant =>
+      Some((i.getEpochSecond, i.getNano != 0))
+    case _ => None
   }
 
-  /** Accept ts range filters (clipping the fetch grid); everything else is
-    * left for Spark to evaluate post-scan. */
+  /** Accept ts range filters to clip the fetch grid, but return ALL filters
+    * for Spark to re-evaluate post-scan (advisory pushdown): the grid
+    * bounds are coarse — epoch-second granularity and Prometheus's
+    * inclusive range ends — so the source alone cannot guarantee exact
+    * predicate semantics. Spark applying the residual filter makes the
+    * result exact while the pushdown still prunes the HTTP calls. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rest) = filters.partition {
-      case GreaterThan("ts", v)        => toEpochSec(v).exists { s => tsLowerSec = math.max(tsLowerSec, s + 1); true }
-      case GreaterThanOrEqual("ts", v) => toEpochSec(v).exists { s => tsLowerSec = math.max(tsLowerSec, s); true }
-      case LessThan("ts", v)           => toEpochSec(v).exists { s => tsUpperSec = math.min(tsUpperSec, s); true }
-      case LessThanOrEqual("ts", v)    => toEpochSec(v).exists { s => tsUpperSec = math.min(tsUpperSec, s + 1); true }
+    val accepted = filters.filter {
+      case GreaterThan("ts", v) => toEpochSec(v).exists { case (s, sub) =>
+        tsLowerSec = math.max(tsLowerSec, if (sub) s else s + 1); true }
+      case GreaterThanOrEqual("ts", v) => toEpochSec(v).exists { case (s, _) =>
+        tsLowerSec = math.max(tsLowerSec, s); true }
+      case LessThan("ts", v) => toEpochSec(v).exists { case (s, sub) =>
+        tsUpperSec = math.min(tsUpperSec, if (sub) s + 1 else s); true }
+      case LessThanOrEqual("ts", v) => toEpochSec(v).exists { case (s, _) =>
+        tsUpperSec = math.min(tsUpperSec, s + 1); true }
       case _ => false
     }
     pushed = accepted
-    rest
+    filters // residual = everything: Spark enforces exact bounds post-scan
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -128,8 +139,14 @@ private[sources] class PromScan(props: Map[String, String],
     if (endSec <= startSec) Array.empty
     else graft.ingest.PromIngest
       .chunkGrid(queries, startSec, endSec, step, chunkHours)
+      // Prometheus query_range is INCLUSIVE of its end instant, so adjacent
+      // chunks sharing a boundary would both return the boundary sample;
+      // fetch each chunk as [start, end−1] to keep cells disjoint
+      // (integer-second steps; the overall range end stays exclusive, as
+      // the residual ts filter enforces exact bounds anyway).
       .map(c => PromChunkPartition(c.alias,
-        graft.ingest.PromIngest.chunkUrl(base, c)): InputPartition)
+        graft.ingest.PromIngest.chunkUrl(base, c.copy(endSec = c.endSec - 1)))
+        : InputPartition)
       .toArray
   }
 

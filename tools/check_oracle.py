@@ -47,10 +47,21 @@ for name in sorted(os.listdir(out)):
         r["rows_match"] = len(s) == len(o)
     results[name] = r
 
+# coverage hole guard: an oracle key whose query crashed in Verify has no
+# output dir -- that must FAIL, not silently vanish from the gate
+for name in oracle:
+    d = os.path.join(out, name)
+    if not os.path.isdir(d):
+        results[name] = {"error": "no output dir (query failed in Verify?)"}
+
 ok = fail = 0
 for name, r in sorted(results.items()):
     if r.get("oracle") is False:
         print(f"{name}: ROWS-ONLY rows={r['rows']}")
+        continue
+    if "error" in r:
+        fail += 1
+        print(f"{name}: FAIL {r['error']}")
         continue
     good = r.get("rows_match") and r.get("cols_match") and not r.get("value_mismatches") 
     status = "OK" if good else "FAIL"
