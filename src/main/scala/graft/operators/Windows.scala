@@ -47,18 +47,45 @@ object Windows {
       .filter(size(col("window")) === length)
   }
 
+  /** Scale-safe 0-based global row number by `orderCols`: range-partition,
+    * sort within partitions, count per partition (tiny job), then add the
+    * cumulative offset to a PER-PARTITION row_number. No single-partition
+    * window anywhere — every stage parallelizes. Two jobs over a persisted
+    * sorted frame (the counts pass + the main pass). */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[String],
+                      out: String = "_rn"): DataFrame = {
+    val sorted = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.groupBy("_pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+    val offsets = (0 to maxPid).scanLeft(0L)((acc, pid) =>
+      acc + counts.getOrElse(pid, 0L)).toArray
+    val offsetCol =
+      if (maxPid < 0) lit(0L) // empty input: no rows evaluate this anyway
+      else element_at(
+        array(offsets.take(maxPid + 1).map(lit(_)): _*), col("_pid") + 1)
+    val w = Window.partitionBy("_pid").orderBy(orderCols.map(col): _*)
+    sorted
+      .withColumn(out, offsetCol + row_number().over(w) - 1)
+      .drop("_pid")
+  }
+
   /** W2 at scale: partition rows into contiguous buckets of `bucketSize` by
     * global row number, replicate each bucket's first (L−1) rows into the
     * previous bucket, then window within buckets. Result set equals
     * [[slidingWindows]] with no partitioning, but each task holds only
-    * bucketSize + L − 1 rows — the 100 TB-safe plan (one extra shuffle, no
-    * single-task bottleneck). */
+    * bucketSize + L − 1 rows. With [[globalRowNumber]] doing the numbering,
+    * NO stage is single-task — the 100 TB-safe plan end to end. */
   def slidingWindowsPartitioned(df: DataFrame, orderCols: Seq[String],
                                 valueCols: Seq[String], length: Int,
                                 bucketSize: Int = 1 << 16): DataFrame = {
     require(bucketSize >= length, "bucketSize must be >= window length")
-    val rn = row_number().over(Window.orderBy(orderCols.map(col): _*)) - lit(1)
-    val numbered = df.withColumn("_rn", rn)
+    val numbered = globalRowNumber(
+      df.select((orderCols ++ valueCols).distinct.map(col): _*), orderCols)
       .select((valueCols :+ "_rn").map(col): _*)
     // Home bucket, plus a copy of each bucket's LAST (L−1) rows into the NEXT
     // bucket: a window ending near the start of bucket b reaches back into
