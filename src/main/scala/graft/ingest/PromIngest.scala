@@ -120,31 +120,44 @@ object PromIngest {
       case None => Set.empty
     }
     val missing = chunks.filterNot(c => have.contains((c.alias, c.startSec)))
-    val fetched: Option[DataFrame] =
-      if (missing.isEmpty) None
-      else {
-        val urls = missing.map(c => (c.alias, c.startSec, chunkUrl(base, c)))
-        val raw = spark.createDataset(urls)
-          .toDF("alias", "chunk_start", "url")
-          .repartition(math.min(missing.size, 64))
-          .withColumn("body", udf(fetch).apply(col("url")))
-        // Persist before the cache write: the write is an action, and the
-        // returned frame is consumed again downstream — without the persist
-        // every chunk would be fetched over HTTP once per action, and the
-        // cache could diverge from the data actually used (a range ending
-        // near now() returns different samples on each fetch).
-        val decoded = decodeResponses(raw, "body", "alias", Seq("chunk_start"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cacheDir.foreach { d =>
-          decoded.write.mode("append").partitionBy("alias", "chunk_start").parquet(d)
-        }
-        Some(decoded)
-      }
-    (cached, fetched) match {
-      case (Some(c), Some(f)) => c.unionByName(f, allowMissingColumns = true)
-      case (Some(c), None)    => c
-      case (None, Some(f))    => f
-      case (None, None)       => spark.emptyDataFrame
+
+    def decodeMissing(): DataFrame = {
+      val urls = missing.map(c => (c.alias, c.startSec, chunkUrl(base, c)))
+      val raw = spark.createDataset(urls)
+        .toDF("alias", "chunk_start", "url")
+        .repartition(math.min(missing.size, 64))
+        .withColumn("body", udf(fetch).apply(col("url")))
+      decodeResponses(raw, "body", "alias", Seq("chunk_start"))
+    }
+
+    cacheDir match {
+      case Some(d) =>
+        // Write-then-read-back: the cache write is the ONE action that runs
+        // the HTTP fetch; everything downstream reads the parquet just
+        // written, so (a) no chunk is fetched twice, (b) the returned data
+        // is byte-identical to the cache (a re-fetch near now() would
+        // differ), and (c) no persisted RDD leaks out of this call.
+        if (missing.nonEmpty)
+          decodeMissing().write.mode("append")
+            .partitionBy("alias", "chunk_start").parquet(d)
+        val all = spark.read.parquet(d)
+          .withColumn("chunk_start", col("chunk_start").cast("long"))
+        // return only the REQUESTED chunks (the dir may hold other ranges)
+        val wanted = spark.createDataset(chunks.map(c => (c.alias, c.startSec)))
+          .toDF("alias", "chunk_start")
+        all.join(broadcast(wanted), Seq("alias", "chunk_start"), "left_semi")
+      case None =>
+        // No cache: single-lineage result; callers that consume it more
+        // than once persist it themselves (Detector.runCycle does).
+        if (missing.nonEmpty) decodeMissing()
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("alias", StringType),
+            StructField("labels", MapType(StringType, StringType)),
+            StructField("ts", TimestampType),
+            StructField("value", DoubleType),
+            StructField("chunk_start", LongType))))
     }
   }
 
