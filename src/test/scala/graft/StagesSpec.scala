@@ -92,6 +92,13 @@ class StagesSpec extends SparkSpec {
     assert(new java.io.File(s"$tmp/error_histogram.parquet").exists())
   }
 
+  test("train stage with distributed=true uses the treeAggregate path end-to-end") {
+    val r = Stages.train(spark, cfg, distributed = true)
+    assert(r.history.nonEmpty)
+    assert(r.history.last._1 < r.history.head._1) // full-batch loss decreases
+    assert(new java.io.File(s"$tmp/lstm_autoencoder.json").exists())
+  }
+
   test("distributed training path (treeAggregate) reduces loss like the driver path") {
     import breeze.linalg.DenseMatrix
     val wins = (0 until 24).map(s =>
