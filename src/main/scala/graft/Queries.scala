@@ -236,15 +236,28 @@ object Queries {
 
     "q_window_mse_a6" -> ((s, d) => {
       // MSE of each sliding window against its own mean-value "reconstruction"
-      // (a deterministic X̂ the oracle can mirror): equals var_pop per window.
-      // Computed through the HOF MSE path (zip_with/aggregate) to exercise A6.
+      // (a deterministic X̂ the oracle can mirror) = var_pop per window.
+      // Cross-engine exactness: v is 6-dp-rounded, so vi = round(v·1e6) is an
+      // EXACT integer; the integer sums Σvi and Σvi² are order-independent
+      // and identical in both engines, and the final float formula
+      // (n·avg identity) runs the same IEEE ops on identical inputs —
+      // bit-equal results. (Naively comparing against DuckDB's var_pop
+      // fails: its Welford accumulation differs from a two-pass mean by
+      // ~1e-9 relative, which crosses 1e-6 rounding boundaries at
+      // mse ≈ 1e3.)
       val wins = Windows.slidingWindows(clickSeries(s, d), Seq("ts_min"), Seq("v"), L)
-      val x = transform(col("window"), r => array(r.getField("v")))
-      val mean = aggregate(col("window"), lit(0.0),
-        (acc, r) => acc + r.getField("v")) / L
-      val xhat = transform(col("window"), _ => array(mean))
-      wins.select(col("window_id").cast("long").as("window_id"),
-          round(Score.windowMse(x, xhat), 6).as("mse"))
+      val vi = (r: Column) => round(r.getField("v") * 1e6).cast("long")
+      val s1 = aggregate(col("window"), lit(0L), (acc, r) => acc + vi(r))
+      val s2 = aggregate(col("window"), lit(0L), (acc, r) => acc + vi(r) * vi(r))
+      val mse = (s2.cast("double") -
+        s1.cast("double") * s1.cast("double") / lit(L.toDouble)) /
+        lit(L.toDouble) / lit(1e12)
+      // NO final round: the value is already bit-identical cross-engine
+      // (identical integer inputs, identical float ops) — and rounding
+      // would REINTRODUCE mismatches, because these fixed-point values land
+      // on exact decimal halves where Spark's BigDecimal HALF_UP and
+      // DuckDB's multiply-then-std::round disagree.
+      wins.select(col("window_id").cast("long").as("window_id"), mse.as("mse"))
         .orderBy("window_id")
     }),
 
@@ -583,13 +596,20 @@ object Queries {
          |FROM ($EvSql) GROUP BY 1 ORDER BY step_us""".stripMargin,
 
     "q_window_mse_a6" ->
-      s"""WITH s AS (SELECT row_number() OVER (ORDER BY ts_min) - 1 AS rn, v
+      s"""WITH s AS (SELECT row_number() OVER (ORDER BY ts_min) - 1 AS rn,
+         |  CAST(round(v * 1000000) AS BIGINT) AS vi
          |  FROM ($ClickSeriesSql)),
-         |n AS (SELECT count(*) AS n FROM s)
-         |SELECT s.rn - p.pos AS window_id, round(var_pop(s.v), 6) AS mse
-         |FROM s CROSS JOIN generate_series(0, ${L - 1}) p(pos) CROSS JOIN n
-         |WHERE s.rn - p.pos >= 0 AND s.rn - p.pos <= n.n - $L
-         |GROUP BY 1 ORDER BY window_id""".stripMargin,
+         |n AS (SELECT count(*) AS n FROM s),
+         |sums AS (
+         |  SELECT s.rn - p.pos AS window_id,
+         |    CAST(sum(vi) AS BIGINT) AS s1, CAST(sum(vi * vi) AS BIGINT) AS s2
+         |  FROM s CROSS JOIN generate_series(0, ${L - 1}) p(pos) CROSS JOIN n
+         |  WHERE s.rn - p.pos >= 0 AND s.rn - p.pos <= n.n - $L
+         |  GROUP BY 1)
+         |SELECT window_id, (CAST(s2 AS DOUBLE)
+         |  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / ${L.toDouble})
+         |  / ${L.toDouble} / 1e12 AS mse
+         |FROM sums ORDER BY window_id""".stripMargin,
 
     "q_per_feature_mse_a8" ->
       s"""SELECT event_type, round(avg(pow(v - m, 2)), 6) AS feature_mse
