@@ -376,6 +376,29 @@ object Queries {
       graft.dedup.Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "q_dedup_survivors" -> ((s, d) =>
+      graft.dedup.Dedup.exactDedupSurvivors(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    "q_neardup_clusters" -> ((s, d) => {
+      // Connected-component near-dup clustering over a DETERMINISTIC pair
+      // set (consecutive ids with unigram Jaccard >= 0.75) so the oracle
+      // can mirror it with gaps-and-islands SQL. Exercises the distributed
+      // pointer-jumping label propagation end-to-end.
+      val docs = Tables.documents(s, d)
+      val consecutive = docs.select(col("doc_id").as("id1"),
+        (col("doc_id") + 1).as("id2"))
+      val pairs = graft.dedup.Dedup.jaccardVerify(consecutive, docs,
+        "doc_id", "text", k = 1, threshold = 0.75).select("id1", "id2")
+      val clusters = graft.dedup.Dedup.nearDupClusters(pairs)
+      docs.select("doc_id")
+        .join(clusters, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_stats" -> ((s, d) =>
       graft.text.TextStats.withQualitySignals(Tables.documents(s, d), "text")
         .select("doc_id", "n_chars_calc", "n_tokens", "mean_token_len",
@@ -689,6 +712,27 @@ object Queries {
       s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
          |  min(doc_id) AS doc_id, count(*) AS dup_count
          |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_survivors" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id IN (
+         |  SELECT min(doc_id) FROM documents
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_neardup_clusters" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct(string_split(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS s
+         |  FROM documents),
+         |linked AS (SELECT a.doc_id AS id,
+         |    (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(a.s, b.s))) >= 0.75) AS l
+         |  FROM sh a JOIN sh b ON a.doc_id = b.doc_id + 1)
+         |SELECT d.doc_id,
+         |  max(CASE WHEN NOT coalesce(l.l, FALSE) THEN d.doc_id END)
+         |    OVER (ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster
+         |FROM documents d LEFT JOIN linked l ON l.id = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT doc_id,

@@ -103,6 +103,14 @@ object Stages {
           lr = cfg.training.learningRate,
           patience = cfg.training.earlyStoppingPatience)
     Lstm.save(result.params, artifact(cfg, cfg.training.modelOutputFilename))
+    // S11 (loss-curve data): persist the history as a table instead of the
+    // reference's PNG (train_autoencoder.py:254-270).
+    import spark.implicits._
+    result.history.zipWithIndex
+      .map { case ((tr, va), e) => (e, tr, va) }
+      .toDF("epoch", "train_loss", "val_loss")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(artifact(cfg, "loss_history.parquet"))
     result
   }
 
@@ -133,6 +141,10 @@ object Stages {
       .parquet(artifact(cfg, "anomalous_sequences.parquet"))
     Score.histogram(scored, "mse", 50).write.mode("overwrite")
       .parquet(artifact(cfg, "error_histogram.parquet"))
+    // the reference's optional all_sequence_errors output
+    // (filter_anomalous_data.py config) — every window's error, always on
+    scored.select("window_id", "mse", "is_anomaly").write.mode("overwrite")
+      .parquet(artifact(cfg, "all_sequence_errors.parquet"))
     wins.unpersist()
     scored
   }

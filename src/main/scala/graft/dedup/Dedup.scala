@@ -198,4 +198,68 @@ object Dedup {
     df.withColumn("fp", fp)
       .groupBy("fp").agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
   }
+
+  /** Exact-dedup SURVIVORS: the full original rows of the kept document per
+    * fingerprint group (what a training pipeline actually feeds downstream).
+    * A semi-join against the per-group min id — no row data moves through
+    * the aggregate. */
+  def exactDedupSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactDedup(df, idCol, textCol).select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Near-dup CLUSTERS from candidate/verified pairs: connected components,
+    * labeled by the smallest member id. Returns (id, cluster) for every id
+    * appearing in `pairs` (singletons are implicitly their own cluster).
+    *
+    * Distributed label propagation: iterate "my label = min(my label, my
+    * neighbors' labels)" to fixpoint. Each round is one groupBy over the
+    * edge list — no driver materialization, so the edge set can be
+    * arbitrarily large; rounds needed = graph diameter (near-dup clusters
+    * are small and dense, so a handful). */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // undirected edge list, both directions + self-loops (keeps every id)
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .union(pairs.select(col("id1").as("src"), col("id1").as("dst")))
+      .union(pairs.select(col("id2").as("src"), col("id2").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      // 1) min label over neighborhood (incl. own current label)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("nc"))
+      // 2) pointer jump — label(x) := label(label(x)) — so chains collapse
+      //    in O(log diameter) rounds, not O(diameter)
+      val next = viaNeighbors.alias("a")
+        .join(labels.select(col("id").as("pid"), col("cluster").as("pc")),
+          col("a.nc") === col("pid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.nc"), coalesce(col("pc"), col("a.nc"))).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster-dedup survivors: keep the smallest id of each near-dup cluster
+    * plus every document not in any candidate pair. */
+  def nearDupSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+    val losers = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -54,6 +54,28 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("exactDedupSurvivors keeps full rows of the min-id doc per group") {
+    val s = Dedup.exactDedupSurvivors(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(s.map(_.getLong(0)).toSeq == Seq(1L, 4L, 5L))
+    assert(s.head.getString(1).contains("quick brown fox")) // full row kept
+  }
+
+  test("nearDupClusters: connected components labeled by min member") {
+    // chain 1-2, 2-3 plus isolated pair 7-8: components {1,2,3} and {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id1", "id2")
+    val c = Dedup.nearDupClusters(pairs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(c == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L)))
+  }
+
+  test("nearDupSurvivors: one doc per cluster survives, untouched docs stay") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val s = Dedup.nearDupSurvivors(docs, "doc_id", pairs)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(s == Seq(1L, 4L, 5L)) // 2,3 collapse into 1; 4,5 untouched
+  }
+
   test("simhash: identical texts equal, near texts close in Hamming distance") {
     val s = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
