@@ -217,7 +217,43 @@ object Dedup {
     * edge list — no driver materialization, so the edge set can be
     * arbitrarily large; rounds needed = graph diameter (near-dup clusters
     * are small and dense, so a handful). */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25,
+                      driverThreshold: Long = 1000000L): DataFrame = {
+    // The candidate-pair graph is tiny relative to the corpus (bounded by
+    // LSH collision rates), so below `driverThreshold` edges a driver
+    // union-find (2 Spark jobs total) beats ~log(diameter) iterative
+    // shuffle rounds. The distributed propagation below remains the path
+    // for genuinely huge edge sets.
+    val nPairs = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .count()
+    if (nPairs <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      pairs.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster")
+    }
+    pairs.unpersist()
+    nearDupClustersDistributed(pairs, maxIters)
+  }
+
+  /** The scale path: distributed min-label propagation with pointer
+    * jumping — O(log diameter) rounds, edge set never driver-materialized. */
+  def nearDupClustersDistributed(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     // undirected edge list, both directions + self-loops (keeps every id)
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))

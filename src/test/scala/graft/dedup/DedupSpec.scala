@@ -69,6 +69,17 @@ class DedupSpec extends SparkSpec {
     assert(c == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L)))
   }
 
+  test("distributed label propagation matches the driver union-find on a long chain") {
+    // a 40-link chain exercises the pointer-jumping convergence
+    val pairs = (1L to 40L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val driver = Dedup.nearDupClusters(pairs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dist = Dedup.nearDupClustersDistributed(pairs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(driver == dist)
+    assert(dist.forall(_._2 == 1L)) // one component rooted at 1
+  }
+
   test("nearDupSurvivors: one doc per cluster survives, untouched docs stay") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
     val s = Dedup.nearDupSurvivors(docs, "doc_id", pairs)
