@@ -430,6 +430,30 @@ object Queries {
         .orderBy("id1")
     }),
 
+    "q_vocab_topk" -> ((s, d) =>
+      // Vocabulary building: token frequency top-k (explode → count → top
+      // 100 with deterministic tiebreak) — the classic first pass of any
+      // tokenizer-training pipeline.
+      Tables.documents(s, d)
+        .select(explode(graft.text.TextStats.tokens(lower(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100)),
+
+    "q_doc_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg("n_chars"), 6).as("avg_chars"),
+          median(col("n_chars")).as("median_chars"))
+        .orderBy("lang")),
+
+    "q_embed_norm" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          round(graft.sim.Ann.norm(col("embedding")), 6).as("l2_norm"))
+        .orderBy("vec_id")),
+
     "q_minhash_lsh" -> ((s, d) =>
       // Banded MinHash near-dup candidates — no oracle (xxhash64 is not
       // reproducible in DuckDB); plan contract: equi-join on band buckets,
@@ -750,6 +774,24 @@ object Queries {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" -> langIdSql,
+
+    "q_vocab_topk" ->
+      s"""SELECT t AS token, count(*) AS cnt
+         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |      FROM documents)
+         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+
+    "q_doc_stats" ->
+      s"""SELECT lang, count(*) AS cnt, round(avg(n_chars), 6) AS avg_chars,
+         |  median(n_chars) AS median_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_embed_norm" ->
+      s"""SELECT vec_id, round(sqrt((
+         |  SELECT sum(CAST(embedding[CAST(p.pos AS INTEGER)] AS DOUBLE)
+         |           * CAST(embedding[CAST(p.pos AS INTEGER)] AS DOUBLE))
+         |  FROM generate_series(1, 64) p(pos))), 6) AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_simhash_md5" -> {
       val bitTerms = (0 until 32).map { j =>
