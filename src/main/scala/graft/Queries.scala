@@ -245,13 +245,16 @@ object Queries {
       // fails: its Welford accumulation differs from a two-pass mean by
       // ~1e-9 relative, which crosses 1e-6 rounding boundaries at
       // mse ≈ 1e3.)
+      // Quantization scale 1e4 (not 1e6): Σvi² over L=20 must stay inside
+      // Long — at 1e4 the overflow threshold is |v| ≈ 6.8e7 (vs ≈679 at
+      // 1e6, only 1.3× above this data's observed max).
       val wins = Windows.slidingWindows(clickSeries(s, d), Seq("ts_min"), Seq("v"), L)
-      val vi = (r: Column) => round(r.getField("v") * 1e6).cast("long")
+      val vi = (r: Column) => round(r.getField("v") * 1e4).cast("long")
       val s1 = aggregate(col("window"), lit(0L), (acc, r) => acc + vi(r))
       val s2 = aggregate(col("window"), lit(0L), (acc, r) => acc + vi(r) * vi(r))
       val mse = (s2.cast("double") -
         s1.cast("double") * s1.cast("double") / lit(L.toDouble)) /
-        lit(L.toDouble) / lit(1e12)
+        lit(L.toDouble) / lit(1e8)
       // NO final round: the value is already bit-identical cross-engine
       // (identical integer inputs, identical float ops) — and rounding
       // would REINTRODUCE mismatches, because these fixed-point values land
@@ -644,7 +647,7 @@ object Queries {
 
     "q_window_mse_a6" ->
       s"""WITH s AS (SELECT row_number() OVER (ORDER BY ts_min) - 1 AS rn,
-         |  CAST(round(v * 1000000) AS BIGINT) AS vi
+         |  CAST(round(v * 10000) AS BIGINT) AS vi
          |  FROM ($ClickSeriesSql)),
          |n AS (SELECT count(*) AS n FROM s),
          |sums AS (
@@ -655,7 +658,7 @@ object Queries {
          |  GROUP BY 1)
          |SELECT window_id, (CAST(s2 AS DOUBLE)
          |  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / ${L.toDouble})
-         |  / ${L.toDouble} / 1e12 AS mse
+         |  / ${L.toDouble} / 1e8 AS mse
          |FROM sums ORDER BY window_id""".stripMargin,
 
     "q_per_feature_mse_a8" ->
@@ -776,9 +779,12 @@ object Queries {
     "q_lang_id" -> langIdSql,
 
     "q_vocab_topk" ->
+      // t <> '' mirrors Spark's empty-array semantics for whitespace-only
+      // docs (DuckDB's split of '' yields [''], Spark's tokens() yields [])
       s"""SELECT t AS token, count(*) AS cnt
          |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
          |      FROM documents)
+         |WHERE t <> ''
          |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
 
     "q_doc_stats" ->

@@ -224,14 +224,21 @@ object Dedup {
     // union-find (2 Spark jobs total) beats ~log(diameter) iterative
     // shuffle rounds. The distributed propagation below remains the path
     // for genuinely huge edge sets.
-    val nPairs = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .count()
-    if (nPairs <= driverThreshold) {
-      val spark = pairs.sparkSession
+    val persisted = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = persisted.count()
+    // fast path needs integral ids (string/hash ids go distributed, where
+    // min-label works on any orderable type)
+    val integralIds = Seq("id1", "id2").forall(c => persisted.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    if (nPairs <= driverThreshold && integralIds) {
+      val spark = persisted.sparkSession
       import spark.implicits._
-      val edges = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
+      val edges = persisted.select(col("id1").cast("long"), col("id2").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      pairs.unpersist()
+      persisted.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -247,8 +254,12 @@ object Dedup {
       }
       return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster")
     }
-    pairs.unpersist()
-    nearDupClustersDistributed(pairs, maxIters)
+    // the distributed path consumes `pairs` four times building the edge
+    // list and runs eagerly (per-round counts), so keep the persist alive
+    // through the call and release it after
+    val result = nearDupClustersDistributed(persisted, maxIters)
+    persisted.unpersist()
+    result
   }
 
   /** The scale path: distributed min-label propagation with pointer
@@ -287,7 +298,13 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels
+    // hand back a localCheckpoint and release the SQL-cache entry: cached
+    // DataFrames live in the CacheManager until explicitly unpersisted, but
+    // localCheckpoint blocks are reference-tracked and reclaimed by the
+    // ContextCleaner once the returned frame is garbage — no leak per call.
+    val result = labels.localCheckpoint(eager = true)
+    labels.unpersist()
+    result
   }
 
   /** Cluster-dedup survivors: keep the smallest id of each near-dup cluster

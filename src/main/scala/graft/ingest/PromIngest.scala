@@ -130,6 +130,9 @@ object PromIngest {
       decodeResponses(raw, "body", "alias", Seq("chunk_start"))
     }
 
+    def emptyDecoded: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], decodedSchema)
+
     cacheDir match {
       case Some(d) =>
         // Write-then-read-back: the cache write is the ONE action that runs
@@ -140,26 +143,34 @@ object PromIngest {
         if (missing.nonEmpty)
           decodeMissing().write.mode("append")
             .partitionBy("alias", "chunk_start").parquet(d)
-        val all = spark.read.parquet(d)
-          .withColumn("chunk_start", col("chunk_start").cast("long"))
-        // return only the REQUESTED chunks (the dir may hold other ranges)
-        val wanted = spark.createDataset(chunks.map(c => (c.alias, c.startSec)))
-          .toDF("alias", "chunk_start")
-        all.join(broadcast(wanted), Seq("alias", "chunk_start"), "left_semi")
+        // Try: the dir may be unreadable — nonexistent (zero chunks ever
+        // fetched) or _SUCCESS-only (every fetch decoded to zero rows, e.g.
+        // empty result arrays) — which fails parquet schema inference.
+        scala.util.Try(spark.read.parquet(d)
+            .withColumn("chunk_start", col("chunk_start").cast("long")))
+          .map { all =>
+            // only the REQUESTED chunks (the dir may hold other ranges)
+            val wanted = spark
+              .createDataset(chunks.map(c => (c.alias, c.startSec)))
+              .toDF("alias", "chunk_start")
+            all.join(broadcast(wanted), Seq("alias", "chunk_start"), "left_semi")
+          }
+          .getOrElse(emptyDecoded)
       case None =>
         // No cache: single-lineage result; callers that consume it more
         // than once persist it themselves (Detector.runCycle does).
-        if (missing.nonEmpty) decodeMissing()
-        else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(
-            StructField("alias", StringType),
-            StructField("labels", MapType(StringType, StringType)),
-            StructField("ts", TimestampType),
-            StructField("value", DoubleType),
-            StructField("chunk_start", LongType))))
+        if (missing.nonEmpty) decodeMissing() else emptyDecoded
     }
   }
+
+  /** Output schema of [[decodeResponses]] with the `chunk_start`
+    * passthrough — the single source of truth for empty frames. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("alias", StringType),
+    StructField("labels", MapType(StringType, StringType)),
+    StructField("ts", TimestampType),
+    StructField("value", DoubleType),
+    StructField("chunk_start", LongType)))
 
   /** Full assembly: long rows → dedup-keep-first per (alias, ts) → pivot to
     * wide → totalize missing aliases → sort → calendar cols.

@@ -54,11 +54,17 @@ object Windows {
     * sorted frame (the counts pass + the main pass). */
   def globalRowNumber(df: DataFrame, orderCols: Seq[String],
                       out: String = "_rn"): DataFrame = {
+    // localCheckpoint (not persist): the sorted frame must be materialized
+    // ONCE — repartitionByRange samples with an execution-dependent seed,
+    // so recomputation could assign different _pid boundaries and corrupt
+    // the offsets. A persist would pin a CacheManager entry no caller can
+    // release; localCheckpoint blocks are reference-tracked and reclaimed
+    // by the ContextCleaner when the result is garbage.
     val sorted = df
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val counts = sorted.groupBy("_pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val maxPid = if (counts.isEmpty) -1 else counts.keys.max
