@@ -478,6 +478,30 @@ object Queries {
           graft.dedup.Dedup.simhash32Md5(col("_m")).as("simhash32"))
         .orderBy("doc_id")),
 
+    "q_bpe_vocab" -> ((s, d) =>
+      // Subword pre-tokenization vocabulary (BPE-ish split) — rows-only:
+      // the split regex uses lookarounds DuckDB's RE2 doesn't support.
+      Tables.documents(s, d)
+        .select(explode(graft.text.TextStats.bpeTokens(col("text"))).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(100)),
+
+    "q_simhash_hamming" -> ((s, d) => {
+      // Hamming distance between consecutive docs' SimHash-32 fingerprints
+      // (md5-parity basis → oracle-checkable bit arithmetic end-to-end).
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
+        .select(col("doc_id"),
+          graft.dedup.Dedup.simhash32Md5(col("_m")).as("sh"))
+      val a = fp.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+      val b = fp.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+      a.join(b, col("id2") === col("id1") + 1)
+        .select(col("id1"), col("id2"),
+          bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("int").as("hamming"))
+        .orderBy("id1")
+    }),
+
     "q_simhash" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), graft.dedup.Dedup.tokenHashes(col("text")).as("_h"))
@@ -567,8 +591,10 @@ object Queries {
          |ORDER BY user_id, event_type""".stripMargin,
 
     "q_calendar_p4" ->
-      s"""SELECT event_id, epoch_us(ts) AS ts_us, isodow(ts) - 1 AS day_of_week,
-         |hour(ts) AS hour_of_day FROM events ORDER BY event_id""".stripMargin,
+      s"""SELECT event_id, epoch_us(ts) AS ts_us,
+         |CAST(isodow(ts) - 1 AS INTEGER) AS day_of_week,
+         |CAST(hour(ts) AS INTEGER) AS hour_of_day
+         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_json_s2" ->
       s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k_int
@@ -799,18 +825,17 @@ object Queries {
          |  FROM generate_series(1, 64) p(pos))), 6) AS l2_norm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
-    "q_simhash_md5" -> {
-      val bitTerms = (0 until 32).map { j =>
-        s"""CASE WHEN 2 * len(list_filter(m, x -> (ascii(substr(x, ${j + 1}, 1)) % 2) = 1))
-           |  > len(m) THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END""".stripMargin
-      }.mkString(" + ")
-      s"""SELECT doc_id, $bitTerms AS simhash32
-         |FROM (SELECT doc_id,
-         |  list_transform(string_split_regex(trim(lower(text)), '\\s+'),
-         |    t -> md5(t)) AS m
-         |  FROM documents)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q_simhash_md5" ->
+      s"""SELECT doc_id, ${Simhash32Terms} AS simhash32
+         |FROM ($TokenMd5Sql)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_hamming" ->
+      s"""WITH fp AS (SELECT doc_id, ${Simhash32Terms} AS sh FROM ($TokenMd5Sql))
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1
+         |ORDER BY id1""".stripMargin,
 
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
@@ -826,7 +851,8 @@ object Queries {
          |    row_number() OVER (PARTITION BY q.qid
          |      ORDER BY list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
          |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
-         |SELECT qid, vec_id, cosine, rank FROM scored WHERE rank <= 5
+         |SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+         |FROM scored WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
 
     "q_centroids" ->
@@ -863,6 +889,19 @@ object Queries {
        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) = 1
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Per-token md5 array CTE + the 32 SimHash bit terms (shared by the
+    * fingerprint and Hamming oracle queries). */
+  private lazy val TokenMd5Sql: String =
+    s"""SELECT doc_id,
+       |  list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+       |    t -> md5(t)) AS m
+       |  FROM documents""".stripMargin
+
+  private lazy val Simhash32Terms: String = (0 until 32).map { j =>
+    s"""CASE WHEN 2 * len(list_filter(m, x -> (ascii(substr(x, ${j + 1}, 1)) % 2) = 1))
+       |  > len(m) THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END""".stripMargin
+  }.mkString(" + ")
 
   private lazy val jaccardSql: String =
     s"""WITH sh AS (

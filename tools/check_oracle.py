@@ -63,7 +63,8 @@ for name, r in sorted(results.items()):
         fail += 1
         print(f"{name}: FAIL {r['error']}")
         continue
-    good = r.get("rows_match") and r.get("cols_match") and not r.get("value_mismatches") 
+    good = (r.get("rows_match") and r.get("cols_match")
+            and not r.get("value_mismatches") and not r.get("dtypes"))
     status = "OK" if good else "FAIL"
     if good: ok += 1
     else: fail += 1
