@@ -264,6 +264,23 @@ object Queries {
         .orderBy("window_id")
     }),
 
+    "q_window_mse_a6_partitioned" -> ((s, d) => {
+      // The A6 MSE over the 100TB-safe bucketed window plan (boundary-
+      // replicated buckets, no single-partition WindowExec) — proves the
+      // bit-exact fixed-point scheme survives the partitioned execution.
+      // bucketSize 64 forces many buckets even at sf0.01.
+      val wins = Windows.slidingWindowsPartitioned(clickSeries(s, d),
+        Seq("ts_min"), Seq("v"), L, bucketSize = 64)
+      val vi = (r: Column) => round(r.getField("v") * 1e4).cast("long")
+      val s1 = aggregate(col("window"), lit(0L), (acc, r) => acc + vi(r))
+      val s2 = aggregate(col("window"), lit(0L), (acc, r) => acc + vi(r) * vi(r))
+      val mse = (s2.cast("double") -
+        s1.cast("double") * s1.cast("double") / lit(L.toDouble)) /
+        lit(L.toDouble) / lit(1e8)
+      wins.select(col("window_id").cast("long").as("window_id"), mse.as("mse"))
+        .orderBy("window_id")
+    }),
+
     "q_per_feature_mse_a8" -> ((s, d) => {
       // Per-feature MSE vs the feature's own mean (deterministic X̂).
       val long = minuteLong(s, d)
@@ -291,6 +308,15 @@ object Queries {
 
     "q_running_anomaly_a10" -> ((s, d) =>
       Score.runningAnomalyCount(Tables.events(s, d),
+          Seq("ts_us", "event_id"), "value", 150.0)
+        .select("event_id", "anomaly_total")
+        .orderBy("event_id")),
+
+    "q_running_anomaly_a10_partitioned" -> ((s, d) =>
+      // Same prefix sum, produced by the 100TB-safe plan: range-partition +
+      // per-partition prefix sums + broadcast cumulative offsets — no
+      // single-partition WindowExec anywhere.
+      Score.runningAnomalyCountPartitioned(Tables.events(s, d),
           Seq("ts_us", "event_id"), "value", 150.0)
         .select("event_id", "anomaly_total")
         .orderBy("event_id")),
@@ -466,6 +492,37 @@ object Queries {
       // degenerates to ~all-pairs on word-soup data).
       graft.dedup.Dedup.minhashCandidates(Tables.documents(s, d), "doc_id",
           "text", k = 2, numHashes = 32, bands = 16)
+        .orderBy("id1", "id2")),
+
+    "q_minhash_lsh_md5" -> ((s, d) =>
+      // The md5-parity twin of q_minhash_lsh: md5 minwise signatures + md5
+      // band buckets make the ENTIRE banded candidate set DuckDB-checkable
+      // (same plan shape: equi-join on (band_id, band_hash), no cartesian).
+      graft.dedup.Dedup.minhashCandidatesMd5(Tables.documents(s, d), "doc_id",
+          "text", k = 2, numHashes = 32, bands = 16)
+        .orderBy("id1", "id2")),
+
+    "q_ann_lsh_md5" -> ((s, d) => {
+      // md5-parity twin of q_ann_lsh: hyperplane components from md5 hex,
+      // inputs quantized to exact integers — bucket assignment is bit-stable
+      // cross-engine, so the full ANN result is oracle-checked.
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.sim.Ann.lshTopK(q, "qid", "qv", emb, "vec_id", "embedding", 5,
+          bits = 4, bucketFn = graft.sim.Ann.lshBucketMd5)
+        .select(col("qid"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    "q_cosine_neardup_md5" -> ((s, d) =>
+      // md5-parity twin of q_cosine_neardup — LSH-bucketed pairs with the
+      // exact-integer bucket basis, fully oracle-checked.
+      graft.sim.Ann.cosineNearDup(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.15, bits = 4,
+          bucketFn = graft.sim.Ann.lshBucketMd5)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2")),
 
     "q_simhash_md5" -> ((s, d) =>
@@ -671,21 +728,8 @@ object Queries {
       s"""SELECT ts_us - (ts_us % 120000000) AS step_us, count(*) AS cnt
          |FROM ($EvSql) GROUP BY 1 ORDER BY step_us""".stripMargin,
 
-    "q_window_mse_a6" ->
-      s"""WITH s AS (SELECT row_number() OVER (ORDER BY ts_min) - 1 AS rn,
-         |  CAST(round(v * 10000) AS BIGINT) AS vi
-         |  FROM ($ClickSeriesSql)),
-         |n AS (SELECT count(*) AS n FROM s),
-         |sums AS (
-         |  SELECT s.rn - p.pos AS window_id,
-         |    CAST(sum(vi) AS BIGINT) AS s1, CAST(sum(vi * vi) AS BIGINT) AS s2
-         |  FROM s CROSS JOIN generate_series(0, ${L - 1}) p(pos) CROSS JOIN n
-         |  WHERE s.rn - p.pos >= 0 AND s.rn - p.pos <= n.n - $L
-         |  GROUP BY 1)
-         |SELECT window_id, (CAST(s2 AS DOUBLE)
-         |  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / ${L.toDouble})
-         |  / ${L.toDouble} / 1e8 AS mse
-         |FROM sums ORDER BY window_id""".stripMargin,
+    "q_window_mse_a6" -> windowMseSql,
+    "q_window_mse_a6_partitioned" -> windowMseSql,
 
     "q_per_feature_mse_a8" ->
       s"""SELECT event_type, round(avg(pow(v - m, 2)), 6) AS feature_mse
@@ -709,10 +753,8 @@ object Queries {
          |      FROM events GROUP BY 1)
          |ORDER BY is_anomaly""".stripMargin,
 
-    "q_running_anomaly_a10" ->
-      s"""SELECT event_id, CAST(sum(CASE WHEN value > 150.0 THEN 1 ELSE 0 END)
-         |  OVER (ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS anomaly_total
-         |FROM ($EvSql) ORDER BY event_id""".stripMargin,
+    "q_running_anomaly_a10" -> runningAnomalySql,
+    "q_running_anomaly_a10_partitioned" -> runningAnomalySql,
 
     "q_union_u1" ->
       s"""SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v
@@ -825,6 +867,33 @@ object Queries {
          |  FROM generate_series(1, 64) p(pos))), 6) AS l2_norm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    "q_minhash_lsh_md5" -> minhashMd5Sql,
+
+    "q_ann_lsh_md5" ->
+      s"""WITH ${annBucketMd5Cte(4)},
+         |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, b.bucket
+         |  FROM embeddings e JOIN bkt b USING (vec_id) WHERE e.vec_id < 10),
+         |c AS (SELECT e.vec_id, e.embedding, b.bucket
+         |  FROM embeddings e JOIN bkt b USING (vec_id)),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id,
+         |    round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+         |  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.qid)
+         |SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+         |FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_cosine_neardup_md5" ->
+      s"""WITH ${annBucketMd5Cte(4)},
+         |e AS (SELECT emb.vec_id, emb.embedding, b.bucket
+         |  FROM embeddings emb JOIN bkt b USING (vec_id))
+         |SELECT a.vec_id AS id1, b2.vec_id AS id2,
+         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 6) AS cosine
+         |FROM e a JOIN e b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |  AND list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]) >= 0.15
+         |ORDER BY id1, id2""".stripMargin,
+
     "q_simhash_md5" ->
       s"""SELECT doc_id, ${Simhash32Terms} AS simhash32
          |FROM ($TokenMd5Sql)
@@ -868,6 +937,27 @@ object Queries {
     s"""SELECT ts_min, ${Types.map(f).mkString(",\n  ")}
        |FROM ($inner) ORDER BY ts_min""".stripMargin
 
+  private lazy val windowMseSql: String =
+    s"""WITH s AS (SELECT row_number() OVER (ORDER BY ts_min) - 1 AS rn,
+       |  CAST(round(v * 10000) AS BIGINT) AS vi
+       |  FROM ($ClickSeriesSql)),
+       |n AS (SELECT count(*) AS n FROM s),
+       |sums AS (
+       |  SELECT s.rn - p.pos AS window_id,
+       |    CAST(sum(vi) AS BIGINT) AS s1, CAST(sum(vi * vi) AS BIGINT) AS s2
+       |  FROM s CROSS JOIN generate_series(0, ${L - 1}) p(pos) CROSS JOIN n
+       |  WHERE s.rn - p.pos >= 0 AND s.rn - p.pos <= n.n - $L
+       |  GROUP BY 1)
+       |SELECT window_id, (CAST(s2 AS DOUBLE)
+       |  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / ${L.toDouble})
+       |  / ${L.toDouble} / 1e8 AS mse
+       |FROM sums ORDER BY window_id""".stripMargin
+
+  private lazy val runningAnomalySql: String =
+    s"""SELECT event_id, CAST(sum(CASE WHEN value > 150.0 THEN 1 ELSE 0 END)
+       |  OVER (ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS anomaly_total
+       |FROM ($EvSql) ORDER BY event_id""".stripMargin
+
   private lazy val windowSql: String =
     s"""WITH s AS (SELECT row_number() OVER (ORDER BY ts_min) - 1 AS rn, v
        |  FROM ($ClickSeriesSql)),
@@ -902,6 +992,49 @@ object Queries {
     s"""CASE WHEN 2 * len(list_filter(m, x -> (ascii(substr(x, ${j + 1}, 1)) % 2) = 1))
        |  > len(m) THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END""".stripMargin
   }.mkString(" + ")
+
+  /** md5-parity MinHash+LSH candidate oracle — mirrors minhashCandidatesMd5
+    * (k=2, 32 hashes, 16 bands of 2): per-shingle md5 minwise signatures,
+    * md5 band-bucket keys, distinct (id1 < id2) band-join pairs. */
+  private lazy val minhashMd5Sql: String = {
+    val nh = 32; val bands = 16; val r = nh / bands
+    val sigTerms = (0 until nh).map(j =>
+      s"list_min(list_transform(s, x -> md5('${j}_' || x))) AS e$j")
+      .mkString(",\n  ")
+    val bandStructs = (0 until bands).map { b =>
+      val es = (0 until r).map(i => s"e${b * r + i}").mkString(" || '_' || ")
+      s"{'band_id': $b, 'band_hash': md5($es)}"
+    }.mkString(",\n  ")
+    s"""WITH tk AS (SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+       |    ELSE list_distinct(list_transform(range(0, len(t) - 1), i -> concat(t[i+1], ' ', t[i+2]))) END AS s
+       |  FROM tk),
+       |sig AS (SELECT doc_id, $sigTerms FROM sh),
+       |bnd AS (SELECT doc_id, unnest([
+       |  $bandStructs], recursive := true) FROM sig)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |FROM bnd a JOIN bnd b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |  AND a.doc_id < b.doc_id
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Shared CTE chain computing the md5-parity hyperplane bucket per vector
+    * (mirrors Ann.lshBucketMd5's exact integer math). */
+  private def annBucketMd5Cte(bits: Int): String =
+    s"""fx AS (
+       |  SELECT vec_id, CAST(g.i AS INTEGER) AS i,
+       |    CAST(floor(CAST(embedding[CAST(g.i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+       |  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)),
+       |proj AS (
+       |  SELECT vec_id, p.p AS p,
+       |    CAST(sum(vi * (CAST('0x' || substr(md5(concat(p.p, '_', i - 1)), 1, 6) AS BIGINT) - 8388608)) AS BIGINT) AS pr
+       |  FROM fx CROSS JOIN generate_series(0, ${bits - 1}) p(p)
+       |  GROUP BY vec_id, p.p),
+       |bkt AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id)""".stripMargin
 
   private lazy val jaccardSql: String =
     s"""WITH sh AS (

@@ -53,14 +53,29 @@ object Dedup {
       array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))
     }: _*)
 
+  /** MinHash signature on an md5 basis: entry j = lexicographic MIN of
+    * md5("j_" || shingle) hex strings over the shingle set. Functionally a
+    * valid minwise hash family (md5 hex order is uniform-ish), but built
+    * ONLY from cross-engine-stable primitives so a DuckDB oracle can verify
+    * the whole candidate pipeline byte-for-byte. ~2× the cost of the
+    * xxhash64 kernel — the verification twin, not the production default. */
+  def minhashSignatureMd5(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleCol,
+        s => md5(concat(lit(seed + "_"), s).cast("binary"))))
+    }: _*)
+
   /** LSH banding: (doc, band_id, band_hash) rows — `bands` bands of
     * `rowsPerBand` signature entries each, hashed to one bucket key. Docs
-    * sharing any (band_id, band_hash) are near-dup candidates. */
+    * sharing any (band_id, band_hash) are near-dup candidates.
+    * `bandHash` maps the "_"-joined band entries to the bucket key
+    * (xxhash64 for production speed; md5 for the oracle-checkable twin). */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
-               bands: Int, rowsPerBand: Int): DataFrame = {
+               bands: Int, rowsPerBand: Int,
+               bandHash: Column => Column = xxhash64(_)): DataFrame = {
     val bandRows = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
-        xxhash64(concat_ws("_",
+        bandHash(concat_ws("_",
           (0 until rowsPerBand).map(r =>
             element_at(col(sigCol), b * rowsPerBand + r + 1)): _*))
           .as("band_hash"))
@@ -117,6 +132,23 @@ object Dedup {
           minhashSignature(col("_sh"), numHashes).as("sig"))
       }
     candidatePairs(lshBands(sigs, idCol, "sig", bands, numHashes / bands), idCol)
+  }
+
+  /** [[minhashCandidates]] on the md5-parity basis end-to-end (md5 minwise
+    * signatures + md5 band buckets): identical plan shape — banded equi-join,
+    * never all-pairs — with every hash cross-engine reproducible, so the
+    * ENTIRE candidate set is DuckDB-oracle-checkable. */
+  def minhashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, numHashes: Int = 32,
+                           bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val withTk = df.select(col(idCol), normTokens(col(textCol)).as("_tk"))
+    val withSh = withTk.select(col(idCol),
+      shinglesFromTokens(col("_tk"), k).as("_sh"))
+    val sigs = withSh.select(col(idCol),
+      minhashSignatureMd5(col("_sh"), numHashes).as("sig"))
+    candidatePairs(lshBands(sigs, idCol, "sig", bands, numHashes / bands,
+      c => md5(c.cast("binary"))), idCol)
   }
 
   /** Exact n-gram Jaccard for (id1, id2) candidate pairs — joins the shingle

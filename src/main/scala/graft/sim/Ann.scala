@@ -58,13 +58,38 @@ object Ann {
   private def planeComponent(p: Int, i: Column): Column =
     (pmod(xxhash64(lit(p), i), lit(1000003L)).cast("double") / 1000003.0) - 0.5
 
-  /** Sign-bit LSH bucket key over `bits` random hyperplanes. */
-  def lshBucket(vec: Column, bits: Int): Column = {
+  /** Sign-bit LSH bucket key over `bits` random hyperplanes, using planes
+    * `planeOffset .. planeOffset+bits-1` (the offset gives multi-table
+    * variants independent plane sets from the same deterministic family). */
+  def lshBucketPlanes(vec: Column, bits: Int, planeOffset: Int): Column = {
     val dims = sequence(lit(0), size(vec) - 1)
     val bitCols = (0 until bits).map { p =>
       val proj = aggregate(zip_with(vec, dims,
-        (v, i) => v.cast("double") * planeComponent(p, i)),
+        (v, i) => v.cast("double") * planeComponent(planeOffset + p, i)),
         lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Sign-bit LSH bucket key over `bits` random hyperplanes. */
+  def lshBucket(vec: Column, bits: Int): Column = lshBucketPlanes(vec, bits, 0)
+
+  /** md5-parity twin of [[lshBucket]]: plane component c(p,i) is a 24-bit
+    * integer from the md5 hex of "p_i" (centered on 0), and the input vector
+    * is quantized to floor(v·1e6) — the projection is an EXACT integer sum
+    * (order-independent, no float rounding anywhere), so the bucket
+    * assignment is bit-stable across engines and a DuckDB oracle can mirror
+    * it. Products stay ≤ ~2^45 per term and ≤ ~2^51 per 64-dim sum — far
+    * inside Long. */
+  def lshBucketMd5(vec: Column, bits: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bitCols = (0 until bits).map { p =>
+      val proj = aggregate(zip_with(vec, dims,
+        (v, i) => floor(v.cast("double") * 1e6).cast("long") *
+          (conv(substring(md5(concat(lit(p + "_"), i.cast("string"))
+            .cast("binary")), 1, 6), 16, 10).cast("long") - lit(8388608L))),
+        lit(0L), (acc, x) => acc + x)
       when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }
     bitCols.reduce(_ + _)
@@ -72,19 +97,58 @@ object Ann {
 
   /** Approximate top-k: only corpus vectors in the SAME LSH bucket as the
     * query are scored — equi-join on the bucket key, no cartesian product.
-    * Recall grows with fewer bits / multiple tables; this single-table
-    * variant is the minimal scale shape. */
+    * Recall grows with fewer bits / multiple tables (see [[lshTopKMulti]]);
+    * this single-table variant is the minimal scale shape. `bucketFn` picks
+    * the hash basis (xxhash64-family default; [[lshBucketMd5]] for the
+    * oracle twin). */
   def lshTopK(queries: DataFrame, qidCol: String, qvecCol: String,
               corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, bits: Int = 8): DataFrame = {
-    val qb = queries.withColumn("bucket", lshBucket(col(qvecCol), bits))
-    val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), bits))
+              k: Int, bits: Int = 8,
+              bucketFn: (Column, Int) => Column = lshBucket): DataFrame = {
+    val qb = queries.withColumn("bucket", bucketFn(col(qvecCol), bits))
+    val cb = corpus.withColumn("bucket", bucketFn(col(vecCol), bits))
     val joined = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col(qidCol) =!= col(idCol))
       .withColumn("cosine", cosine(col(qvecCol), col(vecCol)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
     joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** Multi-table LSH top-k — the recall fix for the single-table variant: T
+    * independent hyperplane tables, candidates unioned across tables, then
+    * exact-scored and ranked. A query misses a true neighbor only if they
+    * disagree in EVERY table (miss prob ≈ (1 − cos_angle-collision^bits)^T,
+    * driven to ~0 by T), instead of in one.
+    *
+    * Scale shape: ONE corpus scan computes all T buckets (explode over the
+    * per-table bucket array — not T passes), the candidate join is an
+    * equi-join on (table, bucket) against broadcast query buckets, and only
+    * the distinct (query, candidate) id pairs are re-joined for scoring —
+    * vectors never ride through the union/distinct shuffle. */
+  def lshTopKMulti(queries: DataFrame, qidCol: String, qvecCol: String,
+                   corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
+    def buckets(df: DataFrame, id: String, vc: String): DataFrame =
+      df.select(col(id), explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            lshBucketPlanes(col(vc), bits, t * bits).as("bucket"))): _*))
+          .as("_tb"))
+        .select(col(id), col("_tb.t").as("t"), col("_tb.bucket").as("bucket"))
+    val qb = buckets(queries, qidCol, qvecCol)
+    val cb = buckets(corpus, idCol, vecCol)
+    val cand = cb.join(broadcast(qb), Seq("t", "bucket"))
+      .filter(col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol)).distinct()
+    val scored = cand
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("cosine", cosine(col(qvecCol), col(vecCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
   }
@@ -103,8 +167,9 @@ object Ann {
   /** Embedding-cosine near-dup pairs: all pairs within the same LSH bucket
     * with cosine ≥ threshold (id1 < id2). Bucketed — never all-pairs. */
   def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, bits: Int = 8): DataFrame = {
-    val b = corpus.withColumn("bucket", lshBucket(col(vecCol), bits))
+                    threshold: Double, bits: Int = 8,
+                    bucketFn: (Column, Int) => Column = lshBucket): DataFrame = {
+    val b = corpus.withColumn("bucket", bucketFn(col(vecCol), bits))
     val l = b.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("bucket"))
     val r = b.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("bucket"))
     l.join(r, Seq("bucket"))
