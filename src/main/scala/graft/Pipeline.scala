@@ -48,23 +48,40 @@ object Pipeline {
           if (v == null) 0.0 else v.asInstanceOf[Double]
         }
         val mse = Lstm.mse(x, Lstm.forward(p, x))
-        Row(r.getInt(widIdx).toLong, mse)
+        // window_id is Int from the global window path, Long from the
+        // bucketed one — normalize to Long
+        Row(r.get(widIdx).asInstanceOf[Number].longValue, mse)
       }
     }(RowEncoder.encoderFor(outSchema))
   }
 
   /** Flagship: full slice on the events table; returns anomaly stats
-    * (is_anomaly, cnt, ratio) plus the window count — rows > 0 always. */
+    * (is_anomaly, cnt, ratio) plus the window count — rows > 0 always.
+    *
+    * Runs the 100×-shaped plan end to end: the fill is one analytic window
+    * PER SERIES (partitionBy event_type on the long form, then pivot — no
+    * global single-task window), and the sliding windows use the
+    * boundary-replicated bucketed plan. Both are proven result-equal to the
+    * global-order forms by their oracle twins
+    * (q_ffill_partitioned_w1, q_window_w2_partitioned). */
   def flagship(spark: SparkSession, dir: String): DataFrame = {
     val types = Tables.EventTypes
     val minute = Tables.events(spark, dir)
       .groupBy(expr("ts_us div 60000000").as("ts_min"), col("event_type"))
       .agg(avg("value").as("v"))
-    val wide = Align.pivotAlignOuter(minute, "ts_min", "event_type", "v",
-      types, agg = Some(avg))
-    val filled = Fill.ffillBfill(wide, "ts_min", types)
+    // complete the minute×type grid so absent series-minutes become nulls
+    // for the per-series fill (the wide-pivot equivalent of outer-align)
+    val grid = minute.select("ts_min").distinct()
+      .crossJoin(broadcast(spark.createDataset(types)(
+        org.apache.spark.sql.Encoders.STRING).toDF("event_type")))
+    val sparse = grid.join(minute, Seq("ts_min", "event_type"), "left")
+    val filledLong = Fill.ffillBfill(sparse, "ts_min", Seq("v"),
+      partitionCols = Seq("event_type"))
+    val filled = Align.pivotAlignOuter(filledLong, "ts_min", "event_type",
+      "v", types, agg = Some(avg))
     val scaled = Scalers.fitMinMax(filled, types).transform(filled)
-    val windows = Windows.slidingWindows(scaled, Seq("ts_min"), types, SeqLen)
+    val windows = Windows.slidingWindowsPartitioned(scaled, Seq("ts_min"),
+      types, SeqLen)
     val params = Lstm.glorotInit(types.size, seed = 42L)
     val scored = scoreWindows(spark, windows.select("window_id", "window"),
       types, params)

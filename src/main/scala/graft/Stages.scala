@@ -62,8 +62,9 @@ object Stages {
     scaled
   }
 
-  /** Collect the window tensors to the driver (reference scale: ~25 MB). */
-  private def windowMatrices(spark: SparkSession, cfg: GraftConfig,
+  /** Collect the window tensors to the driver (reference scale: ~25 MB) —
+    * the minibatch driver-training path only. */
+  private[graft] def windowMatrices(spark: SparkSession, cfg: GraftConfig,
                              scaled: DataFrame): IndexedSeq[DenseMatrix[Double]] = {
     val features = cfg.featureColumns
     val l = cfg.training.sequenceLength
@@ -78,30 +79,64 @@ object Stages {
     }
   }
 
+  /** The 100 TB train path: windows as a DISTRIBUTED RDD of (L,F) matrices.
+    * Built on the bucketed sliding-window plan (no single-task stage) and
+    * converted row→matrix PER PARTITION — no window row ever reaches the
+    * driver; during training the driver only holds the O(model) gradient
+    * that `treeAggregate` ships back. */
+  private[graft] def windowMatricesRdd(cfg: GraftConfig, scaled: DataFrame)
+      : org.apache.spark.rdd.RDD[DenseMatrix[Double]] = {
+    val features = cfg.featureColumns
+    val l = cfg.training.sequenceLength
+    val nf = features.size
+    Windows.slidingWindowsPartitioned(scaled, Seq("ts"), features, l)
+      .select("window")
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val rows = r.getSeq[org.apache.spark.sql.Row](0)
+          DenseMatrix.tabulate(rows.size, nf) { (i, j) =>
+            val v = rows(i).get(j)
+            if (v == null) 0.0 else v.asInstanceOf[Double]
+          }
+        }
+      }
+  }
+
   /** Stage 3 (train, `train_autoencoder.py`): windows → 80/20 split →
     * Adam/MSE with early stopping → model JSON (S9) + loss history. */
   def train(spark: SparkSession, cfg: GraftConfig,
             distributed: Boolean = false): Training.TrainResult = {
     val scaled = spark.read
       .parquet(artifact(cfg, cfg.preprocessing.processedOutputFilename))
-    val all = windowMatrices(spark, cfg, scaled)
-    val rng = new scala.util.Random(42L)
-    val shuffled = rng.shuffle(all.indices.toVector)
-    val nTrain = (all.size * cfg.training.trainSplitRatio).toInt
-    val (trIdx, vaIdx) = shuffled.splitAt(nTrain)
     val init = Lstm.glorotInit(cfg.featureColumns.size,
       cfg.training.lstmUnits, seed = 42L)
     val result =
-      if (distributed)
-        Training.trainDistributed(spark,
-          spark.sparkContext.parallelize(trIdx.map(all), 8), init,
+      if (distributed) {
+        // End-to-end distributed: windows never touch the driver. The
+        // 80/20 split is a seeded randomSplit on the RDD (same intent as
+        // the driver path's shuffled index split; exact row assignment is
+        // RNG-specific either way — see Windows.trainValSplit). Persisted:
+        // trainDistributed runs count + one treeAggregate per epoch over it.
+        val Array(tr, _) = windowMatricesRdd(cfg, scaled).randomSplit(
+          Array(cfg.training.trainSplitRatio,
+            1.0 - cfg.training.trainSplitRatio), seed = 42L)
+        tr.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val r = Training.trainDistributed(spark, tr, init,
           epochs = cfg.training.epochs, lr = cfg.training.learningRate,
           patience = cfg.training.earlyStoppingPatience)
-      else
+        tr.unpersist(false)
+        r
+      } else {
+        val all = windowMatrices(spark, cfg, scaled)
+        val rng = new scala.util.Random(42L)
+        val shuffled = rng.shuffle(all.indices.toVector)
+        val nTrain = (all.size * cfg.training.trainSplitRatio).toInt
+        val (trIdx, vaIdx) = shuffled.splitAt(nTrain)
         Training.trainDriver(trIdx.map(all), vaIdx.map(all), init,
           epochs = cfg.training.epochs, batchSize = cfg.training.batchSize,
           lr = cfg.training.learningRate,
           patience = cfg.training.earlyStoppingPatience)
+      }
     Lstm.save(result.params, artifact(cfg, cfg.training.modelOutputFilename))
     // S11 (loss-curve data): persist the history as a table instead of the
     // reference's PNG (train_autoencoder.py:254-270).

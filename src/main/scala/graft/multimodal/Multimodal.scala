@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * typed metadata, plus decode / feature-extract / resize / frame-sample
   * plumbing as batched `mapPartitions` transforms.
   *
-  * The actual codec work is STUBBED (no image/audio libraries in this
-  * environment — see `fakeDecode`, which is a deterministic hash-based
-  * feature extractor standing in for a real decoder). Everything around it —
-  * schema, batching, partitioning, encoders — is real: swap `fakeDecode`
-  * for a JNI/javacv call and the pipeline is production-shaped.
+  * Image decode is REAL (JDK-native `javax.imageio`: PNG/JPEG/GIF/BMP →
+  * downsampled luminance grid, see [[decodeImageLuma]]). Audio/video codec
+  * work is STUBBED (no such libraries in this environment — see
+  * `fakeDecode`, a deterministic hash-based stand-in). Everything around
+  * the seam — schema, batching, partitioning, encoders — is real: swap
+  * `fakeDecode` for a JNI/javacv call and the pipeline is production-shaped.
   *
   * Scale notes: payloads stay in executor memory only one batch at a time;
   * transforms are per-partition with zero shuffle; downstream joins carry
@@ -32,9 +33,51 @@ object Multimodal {
       StructField("sample_rate", IntegerType),
       StructField("duration_ms", LongType))))))
 
-  /** Deterministic stand-in for a real decoder: folds the payload bytes into
-    * `dim` float features with a rolling 64-bit hash. Replace with a real
-    * codec at the `???`-equivalent seam. */
+  /** REAL image decode — JDK-native `javax.imageio`, no external dependency:
+    * PNG/JPEG/GIF/BMP payload → g×g downsampled mean-luminance grid
+    * (g = ⌊√dim⌋), padded to exactly `dim` features with the global mean
+    * luminance when g² < dim. Luma = (0.299 R + 0.587 G + 0.114 B)/255,
+    * each grid cell the average over its pixel block — the classic thumbnail
+    * feature for near-dup screening.
+    *
+    * Returns None when the payload is not a decodable image (ImageIO yields
+    * null) — callers fall back to the hash stub so non-image corpora (like
+    * the synthetic text-byte assets) stay deterministic. */
+  def decodeImageLuma(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = new Array[Double](g * g)
+        val counts = new Array[Long](g * g)
+        var total = 0.0
+        var y = 0
+        while (y < h) {
+          val cy = math.min(g - 1, y * g / h)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+            val cell = cy * g + math.min(g - 1, x * g / w)
+            sums(cell) += luma; counts(cell) += 1; total += luma
+            x += 1
+          }
+          y += 1
+        }
+        val mean = (total / (w.toLong * h)).toFloat
+        Some(Array.tabulate(dim) { i =>
+          if (i < g * g && counts(i) > 0) (sums(i) / counts(i)).toFloat else mean
+        })
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Deterministic stand-in for the audio/video decoders (no codec
+    * libraries in this environment): folds the payload bytes into `dim`
+    * float features with a rolling 64-bit hash. Also the fallback for
+    * image payloads that fail to parse. */
   def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val acc = new Array[Long](dim)
     var h = 1125899906842597L
@@ -48,18 +91,25 @@ object Multimodal {
   }
 
   /** Feature extraction: (asset_id, features array<float>) via batched
-    * mapPartitions — the decode seam. */
+    * mapPartitions — the decode seam. Image payloads go through the REAL
+    * `javax.imageio` luminance-grid decoder ([[decodeImageLuma]]); audio /
+    * video (and undecodable image bytes) use the documented hash stub. */
   def extractFeatures(assets: DataFrame, dim: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType))))
     val idIdx = assets.schema.fieldIndex("asset_id")
     val cIdx = assets.schema.fieldIndex("content")
+    val mIdx = assets.schema.fieldIndex("modality")
     assets.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](cIdx)
-        Row(r.getLong(idIdx),
-          if (bytes == null) null else fakeDecode(bytes, dim).toSeq)
+        val feats =
+          if (bytes == null) null
+          else if (r.getAs[String](mIdx) == "image")
+            decodeImageLuma(bytes, dim).getOrElse(fakeDecode(bytes, dim)).toSeq
+          else fakeDecode(bytes, dim).toSeq
+        Row(r.getLong(idIdx), feats)
       }
     }(RowEncoder.encoderFor(outSchema))
   }

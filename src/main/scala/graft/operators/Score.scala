@@ -64,14 +64,21 @@ object Score {
   /** P8: anomaly flag. */
   def classify(mse: Column, threshold: Double): Column = mse > lit(threshold)
 
-  /** A9: (is_anomaly, cnt, ratio) — one tiny two-row result; the ratio is a
-    * window-over-() on the already-aggregated two rows, not on the data. */
+  /** A9: (is_anomaly, cnt, ratio) — one tiny two-row result. The ≤2-row
+    * aggregate is localCheckpointed once (reference-tracked, reclaimed when
+    * the frame is garbage) and the ratio derives from a broadcast cross join
+    * against its own 1-row total: a no-partition window here — even over 2
+    * rows — would re-log the planner's single-partition warning on every
+    * pass, and a non-checkpointed self-reference would run the upstream
+    * scoring lineage twice. */
   def anomalyStats(df: DataFrame, mseCol: String, threshold: Double): DataFrame = {
     val counts = df.groupBy(classify(col(mseCol), threshold).as("is_anomaly"))
       .agg(count(lit(1)).as("cnt"))
-    counts.withColumn("ratio",
-      col("cnt") / sum(col("cnt")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .localCheckpoint(true)
+    val total = counts.agg(sum(col("cnt")).as("_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("ratio", col("cnt") / col("_total"))
+      .drop("_total")
   }
 
   /** A10: running anomaly count in time order (streaming counterpart is the

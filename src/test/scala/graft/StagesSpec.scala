@@ -99,6 +99,29 @@ class StagesSpec extends SparkSpec {
     assert(new java.io.File(s"$tmp/lstm_autoencoder.json").exists())
   }
 
+  test("windowMatricesRdd: distributed windows equal the driver-collected set, no driver collect in the lineage") {
+    val scaled = spark.read.parquet(s"$tmp/processed_metrics_data.parquet")
+    val fromDriver = Stages.windowMatrices(spark, cfg, scaled)
+      .map(_.toArray.toVector).toSet
+    val rdd = Stages.windowMatricesRdd(cfg, scaled)
+    // the matrices are distributed across executor partitions (this collect
+    // is the TEST comparing content, not part of the train path)
+    assert(rdd.getNumPartitions >= 1)
+    val fromRdd = rdd.collect().map(_.toArray.toVector).toSet
+    assert(fromRdd == fromDriver,
+      s"rdd ${fromRdd.size} windows vs driver ${fromDriver.size}")
+  }
+
+  test("distributed train reaches a loss comparable to the driver path on the same data") {
+    val rDriver = Stages.train(spark, cfg, distributed = false)
+    val rDist = Stages.train(spark, cfg, distributed = true)
+    // different optimization schedules (minibatch vs full-batch Adam), same
+    // objective: both must cut the initial loss deeply, same ballpark final.
+    assert(rDist.history.last._1 < rDist.history.head._1 * 0.5,
+      s"distributed history ${rDist.history.head._1} -> ${rDist.history.last._1}")
+    assert(rDist.history.last._1 < rDriver.history.head._1 * 0.5)
+  }
+
   test("distributed training path (treeAggregate) reduces loss like the driver path") {
     import breeze.linalg.DenseMatrix
     val wins = (0 until 24).map(s =>

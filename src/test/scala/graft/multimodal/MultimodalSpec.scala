@@ -45,6 +45,44 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.schema("frame").dataType.typeName == "binary")
   }
 
+  test("decodeImageLuma: real PNG decodes to the expected luminance grid") {
+    // 8×8 PNG, left half black, right half white → 4×4 grid whose left two
+    // columns are ~0 and right two are ~1.
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val feats = Multimodal.decodeImageLuma(bos.toByteArray, 16).get
+    assert(feats.length == 16)
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      val v = feats(cy * 4 + cx)
+      if (cx < 2) assert(v < 0.01, s"cell ($cy,$cx)=$v should be black")
+      else assert(v > 0.99, s"cell ($cy,$cx)=$v should be white")
+    }
+  }
+
+  test("extractFeatures routes real image bytes through the ImageIO decoder") {
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, "image", bos.toByteArray), (2L, "audio", bos.toByteArray))
+      .toDF("asset_id", "modality", "content")
+    val f = Multimodal.extractFeatures(df, dim = 4).orderBy("asset_id").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("features")))
+    // all-white image: every luminance cell is 1.0
+    assert(f(0).forall(v => math.abs(v - 1.0f) < 1e-3))
+    // audio arm still the deterministic hash stub — NOT all-ones
+    assert(!f(1).forall(v => math.abs(v - 1.0f) < 1e-3))
+  }
+
+  test("decodeImageLuma returns None on non-image bytes (stub fallback path)") {
+    assert(Multimodal.decodeImageLuma("not an image".getBytes, 16).isEmpty)
+  }
+
   test("binary column is pruned when only features are selected") {
     val feats = Multimodal.extractFeatures(assets, dim = 8)
     val scan = feats.queryExecution.executedPlan.toString

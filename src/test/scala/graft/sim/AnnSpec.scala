@@ -88,6 +88,55 @@ class AnnSpec extends SparkSpec {
     assert(lsh.forall { case (q, n) => cluster(q) == cluster(n) })
   }
 
+  test("lshTopKMulti: multi-table union lifts recall@5 to >= 0.9 (vs brute ground truth)") {
+    // Same clustered fixture family as the single-table test. One table of
+    // 4 bits loses neighbors whose bucket differs from the query's; 6
+    // independent tables must recover near-full recall (a neighbor is missed
+    // only if it disagrees with the query in EVERY table).
+    val rng = new scala.util.Random(11)
+    val centers = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, -1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f),
+      Array(-1f, 0f, 0f, 1f, 0f, 0f, 0f, -1f))
+    val vecs = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + (rng.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val brute = Ann.bruteForceTopK(queries, "qid", "qv", corpus, "vec_id",
+      "embedding", 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Ann.lshTopKMulti(queries, "qid", "qv", corpus, "vec_id",
+      "embedding", 5, bits = 4, tables = 6)
+    val hits = multi.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect hits).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall=$recall brute=${brute.size} multi=${hits.size}")
+    assert(!multi.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("lshBucketMd5 equals the exact integer projection computed on the driver") {
+    // Re-derive the md5-basis bucket for one vector in plain Scala (same
+    // integer math the oracle SQL mirrors) and compare with the expression.
+    import java.security.MessageDigest
+    def hex24(s: String): Long = {
+      val h = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 6), 16)
+    }
+    val vec = Seq(0.25f, -0.5f, 0.125f, 0.75f)
+    val expected = (0 until 4).map { p =>
+      val proj = vec.zipWithIndex.map { case (v, i) =>
+        math.floor(v.toDouble * 1e6).toLong * (hex24(s"${p}_$i") - 8388608L)
+      }.sum
+      if (proj >= 0) 1L << p else 0L
+    }.sum
+    val got = Seq(Tuple1(vec)).toDF("embedding")
+      .select(Ann.lshBucketMd5(col("embedding"), 4)).head().getLong(0)
+    assert(got == expected)
+  }
+
   test("centroids: per-label mean vectors with ordered components") {
     val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(0.0f, 2.0f)))
       .toDF("label", "embedding")
