@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -69,7 +70,7 @@ private[sources] class PromTable(props: Map[String, String])
   override def name(): String = s"prometheus(${props.getOrElse("url", "?")})"
   override def schema(): StructType = PrometheusDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PromScanBuilder(props ++ options.asScala)
 }
@@ -125,10 +126,25 @@ private[sources] class PromScan(props: Map[String, String],
 
   override def readSchema(): StructType = PrometheusDataSource.schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PromMicroBatchStream(props, startSec, endSec)
   override def description(): String =
     s"PrometheusScan(range=[$startSec,$endSec), pushed ts bounds applied)"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    PromScan.planRange(props, startSec, endSec)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fetcherClass = props.getOrElse("fetcher", classOf[HttpFetcher].getName)
+    new PromReaderFactory(fetcherClass)
+  }
+}
+
+private[sources] object PromScan {
+  /** The (alias × chunk) fetch grid for [startSec, endSec) — shared by the
+    * batch scan and each streaming micro-batch. */
+  def planRange(props: Map[String, String], startSec: Long,
+                endSec: Long): Array[InputPartition] = {
     val base = props.getOrElse("url", "http://localhost:9090")
     val step = props.getOrElse("step", "120").toLong
     val chunkHours = props.getOrElse("chunkHours", "1").toInt
@@ -149,11 +165,46 @@ private[sources] class PromScan(props: Map[String, String],
         : InputPartition)
       .toArray
   }
+}
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val fetcherClass = props.getOrElse("fetcher", classOf[HttpFetcher].getName)
-    new PromReaderFactory(fetcherClass)
+/** Epoch-second stream position (half-open: rows < sec are consumed). */
+private[sources] case class PromOffset(sec: Long) extends Offset {
+  override def json(): String = sec.toString
+}
+
+/** S1's streaming face — the incremental path reads the SAME table
+  * abstraction as the batch scan. Offsets are epoch seconds; each
+  * micro-batch covers [lastOffset, latestOffset) where `latest` is wall
+  * clock floored to a step boundary (the reference's step-aligned fetch
+  * discipline, `realtime_detector.py:148-153`) and clamped into the
+  * configured [start, end) window — so a bounded historical range replays
+  * chunk-parallel and terminates, while an open range keeps tailing one
+  * step per trigger. Partition planning and the executor-side HTTP/decode
+  * readers are exactly the batch ones. */
+private[sources] class PromMicroBatchStream(props: Map[String, String],
+                                            startSec: Long, endSec: Long)
+    extends MicroBatchStream {
+  private val step = math.max(1L, props.getOrElse("step", "120").toLong)
+
+  override def initialOffset(): Offset = PromOffset(startSec)
+
+  override def latestOffset(): Offset = {
+    val now = System.currentTimeMillis() / 1000
+    val aligned = now - Math.floorMod(now, step)
+    PromOffset(math.max(startSec, math.min(endSec, aligned)))
   }
+
+  override def deserializeOffset(json: String): Offset = PromOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    PromScan.planRange(props, start.asInstanceOf[PromOffset].sec,
+      end.asInstanceOf[PromOffset].sec)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PromReaderFactory(props.getOrElse("fetcher", classOf[HttpFetcher].getName))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] class PromReaderFactory(fetcherClass: String)

@@ -65,6 +65,38 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("A6 fixed-point oracle envelope: 1e4 quantization keeps Long sums safe with ≥1000× headroom") {
+    // q_window_mse_a6 quantizes v → round(v·1e4) and sums vi and vi² over
+    // L=20 rows in Long (Queries.scala). The driver generator's events.value
+    // stays ≤ ~561 at every sf (observed max 560.21 at sf0.1; the minute-avg
+    // click series is a mean of those values, so it shares the bound). This
+    // property pins the envelope so a future data change can't silently
+    // overflow: at maxAbs=1000 (≈2× cover over the data) the worst-case Σvi²
+    // must clear Long.MaxValue by 3 orders of magnitude, every quantized sum
+    // must convert to double EXACTLY (< 2^53 — the oracle's float formula
+    // depends on bit-identical integer inputs), and sampled windows must
+    // agree with BigInt arithmetic term-for-term.
+    val L = 20
+    val maxAbsV = 1000.0
+    val worst = BigInt(L) * BigInt(math.round(maxAbsV * 1e4)).pow(2)
+    assert(worst * 1000 < BigInt(Long.MaxValue),
+      s"1e4 quantization headroom lost: worst=$worst")
+    assert(worst < BigInt(2).pow(53), s"Σvi² exceeds exact-double range: $worst")
+    assert(BigInt(L) * BigInt(math.round(maxAbsV * 1e4)) < BigInt(2).pow(53))
+    val vGen = Gen.chooseNum(-maxAbsV, maxAbsV)
+    for (seed <- 1L to 40L) {
+      val vs = sample(Gen.listOfN(L, vGen), seed * 23)
+      val vi = vs.map(v => math.round(v * 1e4))
+      val s1 = vi.sum
+      val s2 = vi.map(x => x * x).sum
+      assert(BigInt(s1) == vi.map(BigInt(_)).sum, s"seed=$seed s1 overflow")
+      assert(BigInt(s2) == vi.map(x => BigInt(x) * BigInt(x)).sum,
+        s"seed=$seed s2 overflow")
+      assert(s1.toDouble.toLong == s1 && s2.toDouble.toLong == s2,
+        s"seed=$seed double conversion not exact")
+    }
+  }
+
   test("windowMse ≥ 0, = 0 on identical windows, symmetric in arguments") {
     for (seed <- 1L to 4L) {
       val xs = sample(Gen.listOfN(6, Gen.chooseNum(-5.0, 5.0)), seed * 17)

@@ -109,6 +109,35 @@ class StreamingDetectorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DSv2 source micro-batch: readStream over the Prometheus table (S1 streaming face)") {
+    // Bounded historical range [0, 2h) with the canned fixture fetcher: one
+    // AvailableNow replay must pull every (alias × chunk) cell through the
+    // SAME chunk-grid partitions the batch scan plans, then terminate.
+    graft.sources.CannedFetcher.reset()
+    val df = spark.readStream
+      .format("graft.sources.PrometheusDataSource")
+      .option("url", "http://prom.test")
+      .option("queries", "cpu=rate(cpu[1m]);mem=mem_free")
+      .option("start", "0").option("end", (2 * 3600).toString)
+      .option("step", "120").option("chunkHours", "1")
+      .option("fetcher", classOf[graft.sources.CannedFetcher].getName)
+      .load()
+    assert(df.isStreaming)
+    val q = df.writeStream
+      .format("memory").queryName("prom_stream")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("prom_stream").collect()
+    // 2 queries × 2 one-hour chunks × 30 points
+    assert(rows.length == 2 * 2 * 30, s"got ${rows.length}")
+    assert(graft.sources.CannedFetcher.count == 4)
+    assert(rows.map(_.getAs[String]("alias")).toSet == Set("cpu", "mem"))
+    // coerce-to-null decode carried over from the shared reader
+    assert(rows.count(_.isNullAt(2)) == 2 * 2 * 6)
+  }
+
   test("polling shape: rate-source stream drives detection cycles (ST1)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
