@@ -510,7 +510,7 @@ object Queries {
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       graft.sim.Ann.lshTopK(q, "qid", "qv", emb, "vec_id", "embedding", 5,
-          bits = 4, bucketFn = graft.sim.Ann.lshBucketMd5)
+          bits = 4, bucketFn = graft.sim.Ann.lshBucketMd5(_, _))
         .select(col("qid"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("qid", "rank")
@@ -521,7 +521,7 @@ object Queries {
       // exact-integer bucket basis, fully oracle-checked.
       graft.sim.Ann.cosineNearDup(Tables.embeddings(s, d), "vec_id",
           "embedding", threshold = 0.15, bits = 4,
-          bucketFn = graft.sim.Ann.lshBucketMd5)
+          bucketFn = graft.sim.Ann.lshBucketMd5(_, _))
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2")),
 
@@ -994,15 +994,18 @@ object Queries {
   }.mkString(" + ")
 
   /** md5-parity MinHash+LSH candidate oracle — mirrors minhashCandidatesMd5
-    * (k=2, 32 hashes, 16 bands of 2): per-shingle md5 minwise signatures,
-    * md5 band-bucket keys, distinct (id1 < id2) band-join pairs. */
+    * (k=2, 32 hashes, 16 bands of 2): ONE md5 per shingle split into a
+    * 48-bit (a, b) pair, Carter–Wegman signature h_j = min(a + j·b), md5
+    * band-bucket keys over the "_"-joined integer entries, distinct
+    * (id1 < id2) band-join pairs. */
   private lazy val minhashMd5Sql: String = {
     val nh = 32; val bands = 16; val r = nh / bands
     val sigTerms = (0 until nh).map(j =>
-      s"list_min(list_transform(s, x -> md5('${j}_' || x))) AS e$j")
+      s"list_min(list_transform(hp, p -> p.a + $j * p.b)) AS e$j")
       .mkString(",\n  ")
     val bandStructs = (0 until bands).map { b =>
-      val es = (0 until r).map(i => s"e${b * r + i}").mkString(" || '_' || ")
+      val es = (0 until r).map(i => s"CAST(e${b * r + i} AS VARCHAR)")
+        .mkString(" || '_' || ")
       s"{'band_id': $b, 'band_hash': md5($es)}"
     }.mkString(",\n  ")
     s"""WITH tk AS (SELECT doc_id,
@@ -1011,7 +1014,11 @@ object Queries {
        |sh AS (SELECT doc_id, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
        |    ELSE list_distinct(list_transform(range(0, len(t) - 1), i -> concat(t[i+1], ' ', t[i+2]))) END AS s
        |  FROM tk),
-       |sig AS (SELECT doc_id, $sigTerms FROM sh),
+       |hp AS (SELECT doc_id, list_transform(s, x ->
+       |    {'a': CAST('0x' || substr(md5(x), 1, 12) AS BIGINT),
+       |     'b': CAST('0x' || substr(md5(x), 13, 12) AS BIGINT)}) AS hp
+       |  FROM sh),
+       |sig AS (SELECT doc_id, $sigTerms FROM hp),
        |bnd AS (SELECT doc_id, unnest([
        |  $bandStructs], recursive := true) FROM sig)
        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2

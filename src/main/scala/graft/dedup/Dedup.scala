@@ -53,16 +53,29 @@ object Dedup {
       array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))
     }: _*)
 
-  /** MinHash signature on an md5 basis: entry j = lexicographic MIN of
-    * md5("j_" || shingle) hex strings over the shingle set. Functionally a
-    * valid minwise hash family (md5 hex order is uniform-ish), but built
-    * ONLY from cross-engine-stable primitives so a DuckDB oracle can verify
-    * the whole candidate pipeline byte-for-byte. ~2× the cost of the
-    * xxhash64 kernel — the verification twin, not the production default. */
-  def minhashSignatureMd5(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleCol,
-        s => md5(concat(lit(seed + "_"), s).cast("binary"))))
+  /** Per-shingle (a, b) hash pairs from ONE md5 each: a = first 12 hex
+    * chars, b = next 12 (48-bit ints). MATERIALIZE the result under its own
+    * alias before [[minhashSignatureMd5]] — the signature references it
+    * `numHashes` times and an inlined expression would recompute the digests
+    * per hash function. */
+  def md5HashPairs(shingleCol: Column): Column =
+    transform(shingleCol, s => {
+      val m = md5(s.cast("binary"))
+      struct(conv(substring(m, 1, 12), 16, 10).cast("long").as("a"),
+             conv(substring(m, 13, 12), 16, 10).cast("long").as("b"))
+    })
+
+  /** MinHash signature on an md5 basis: the classic Carter–Wegman family
+    * h_j(x) = a(x) + j·b(x) over the per-shingle md5-derived 48-bit pair —
+    * ONE digest per shingle for all `numHashes` functions, and every value
+    * an exact integer (a + j·b < 2^54, inside Long and BIGINT), so a DuckDB
+    * oracle reproduces the signature bit-for-bit. The verification twin of
+    * the xxhash64 kernel, not the production default.
+    * `pairCol` must be a materialized [[md5HashPairs]] column. */
+  def minhashSignatureMd5(pairCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(pairCol,
+        p => p.getField("a") + lit(j.toLong) * p.getField("b")))
     }: _*)
 
   /** LSH banding: (doc, band_id, band_hash) rows — `bands` bands of
@@ -143,10 +156,24 @@ object Dedup {
                            bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val withTk = df.select(col(idCol), normTokens(col(textCol)).as("_tk"))
-    val withSh = withTk.select(col(idCol),
-      shinglesFromTokens(col("_tk"), k).as("_sh"))
-    val sigs = withSh.select(col(idCol),
-      minhashSignatureMd5(col("_sh"), numHashes).as("sig"))
+    // Unlike the xxhash64 pair of paths (different hash families), the md5
+    // kernel is BIT-IDENTICAL to the HOF composition — both derive
+    // min(a + j·b) from the same per-shingle digest — so the fast path does
+    // not weaken the DuckDB oracle check.
+    val sigs =
+      if (df.sparkSession.catalog.functionExists("graft_minhash_md5"))
+        withTk.select(col(idCol),
+          call_function("graft_minhash_md5", col("_tk"), lit(k), lit(numHashes))
+            .as("sig"))
+      else {
+        val withSh = withTk.select(col(idCol),
+          shinglesFromTokens(col("_tk"), k).as("_sh"))
+        // one md5 per shingle, materialized; the 32 signature mins are pure
+        // integer arithmetic over the pair array
+        val withHp = withSh.select(col(idCol), md5HashPairs(col("_sh")).as("_hp"))
+        withHp.select(col(idCol),
+          minhashSignatureMd5(col("_hp"), numHashes).as("sig"))
+      }
     candidatePairs(lshBands(sigs, idCol, "sig", bands, numHashes / bands,
       c => md5(c.cast("binary"))), idCol)
   }

@@ -47,6 +47,49 @@ object MinHashUtil {
     }
     new GenericArrayData(sig)
   }
+
+  /** md5-basis signature — IDENTICAL values to the HOF composition
+    * (`Dedup.md5HashPairs` + `minhashSignatureMd5`) and the DuckDB oracle:
+    * per shingle one md5, a = big-endian of digest bytes 0–5 (= hex chars
+    * 1–12), b = bytes 6–11, signature j = min(a + j·b). One loop instead of
+    * a digest pass plus numHashes interpreted min-folds. */
+  def signatureMd5(tokens: ArrayData, k: Int, numHashes: Int): ArrayData = {
+    val n = tokens.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      toks(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val numSh = if (n < k) 1 else n - k + 1
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var s = 0
+    while (s < numSh) {
+      val shingle =
+        if (n < k) UTF8String.concatWs(sep, toks: _*)
+        else UTF8String.concatWs(sep, java.util.Arrays.copyOfRange(toks, s, s + k): _*)
+      val d = md.digest(shingle.getBytes)
+      var a = 0L; var b = 0L
+      var j = 0
+      while (j < 6) {
+        a = (a << 8) | (d(j) & 0xffL)
+        b = (b << 8) | (d(j + 6) & 0xffL)
+        j += 1
+      }
+      var h = 0
+      while (h < numHashes) {
+        val v = a + h * b
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
 }
 
 /** `graft_minhash64(tokens, k, numHashes)` — native Catalyst expression
@@ -91,6 +134,48 @@ case class MinHashSignature(tokens: Expression, kExpr: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (t, k, n) =>
       s"graft.expressions.MinHashUtil.signature($t, $k, $n)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(tokens = newFirst, kExpr = newSecond, numHashesExpr = newThird)
+}
+
+/** `graft_minhash_md5(tokens, k, numHashes)` — the md5-basis twin of
+  * [[MinHashSignature]]. Same single-loop kernel shape; values are
+  * bit-identical to the cross-engine-stable HOF composition (and therefore
+  * to the DuckDB oracle), so the oracle-checked query can run the fast
+  * path without weakening the check. */
+case class MinHashSignatureMd5(tokens: Expression, kExpr: Expression,
+                               numHashesExpr: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = tokens
+  override def second: Expression = kExpr
+  override def third: Expression = numHashesExpr
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (tokens.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }) &&
+      kExpr.dataType == IntegerType && numHashesExpr.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_md5 expects (array<string>, int, int), got " +
+        s"(${tokens.dataType.simpleString}, ${kExpr.dataType.simpleString}, " +
+        s"${numHashesExpr.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_md5"
+
+  override protected def nullSafeEval(t: Any, k: Any, n: Any): Any =
+    MinHashUtil.signatureMd5(t.asInstanceOf[ArrayData],
+      k.asInstanceOf[Int], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, n) =>
+      s"graft.expressions.MinHashUtil.signatureMd5($t, $k, $n)")
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
@@ -173,6 +258,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash64"),
       (children: Seq[Expression]) =>
         MinHashSignature(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_md5"),
+      new ExpressionInfo(classOf[MinHashSignatureMd5].getName, "graft_minhash_md5"),
+      (children: Seq[Expression]) =>
+        MinHashSignatureMd5(children(0), children(1), children(2))))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

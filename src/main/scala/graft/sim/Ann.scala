@@ -81,18 +81,31 @@ object Ann {
     * (order-independent, no float rounding anywhere), so the bucket
     * assignment is bit-stable across engines and a DuckDB oracle can mirror
     * it. Products stay ≤ ~2^45 per term and ≤ ~2^51 per 64-dim sum — far
-    * inside Long. */
-  def lshBucketMd5(vec: Column, bits: Int): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
+    * inside Long.
+    *
+    * The components are data-INDEPENDENT, so they are computed once on the
+    * driver (JDK MessageDigest, same hex derivation the oracle SQL uses)
+    * and shipped as literal arrays — zero digests at runtime, the plan is
+    * pure integer zip_with/aggregate arithmetic. `dims` must equal the
+    * vector length (zip_with would null-pad a mismatch). */
+  def lshBucketMd5(vec: Column, bits: Int, dims: Int = 64): Column = {
     val bitCols = (0 until bits).map { p =>
-      val proj = aggregate(zip_with(vec, dims,
-        (v, i) => floor(v.cast("double") * 1e6).cast("long") *
-          (conv(substring(md5(concat(lit(p + "_"), i.cast("string"))
-            .cast("binary")), 1, 6), 16, 10).cast("long") - lit(8388608L))),
+      val planes = array((0 until dims).map(i =>
+        lit(md5Hex24(s"${p}_$i") - 8388608L)): _*)
+      val proj = aggregate(zip_with(vec, planes,
+        (v, c) => floor(v.cast("double") * 1e6).cast("long") * c),
         lit(0L), (acc, x) => acc + x)
       when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }
     bitCols.reduce(_ + _)
+  }
+
+  /** First 6 hex chars of md5(s) as an integer — the driver-side mirror of
+    * the oracle's `CAST('0x' || substr(md5(s), 1, 6) AS BIGINT)`. */
+  private def md5Hex24(s: String): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(h.substring(0, 6), 16)
   }
 
   /** Approximate top-k: only corpus vectors in the SAME LSH bucket as the

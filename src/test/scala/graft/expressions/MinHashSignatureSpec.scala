@@ -53,6 +53,27 @@ class MinHashSignatureSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) || !pairs.contains((2L, 3L)))
   }
 
+  test("graft_minhash_md5 kernel is bit-identical to the HOF md5 composition") {
+    // The oracle-checked query may take either path — they MUST agree.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "pack my box with five dozen liquor jugs"),
+      (4L, "one"),
+      (5L, " "),
+      (6L, "a b")).toDF("id", "text")
+    val tk = docs.select($"id", graft.dedup.Dedup.normTokens($"text").as("_tk"))
+    val kernel = tk.select($"id",
+        call_function("graft_minhash_md5", $"_tk", lit(2), lit(8)).as("sig"))
+      .orderBy("id").collect().map(_.getSeq[Long](1).toList)
+    val hof = tk
+      .select($"id", graft.dedup.Dedup.shinglesFromTokens($"_tk", 2).as("_sh"))
+      .select($"id", graft.dedup.Dedup.md5HashPairs($"_sh").as("_hp"))
+      .select($"id", graft.dedup.Dedup.minhashSignatureMd5($"_hp", 8).as("sig"))
+      .orderBy("id").collect().map(_.getSeq[Long](1).toList)
+    assert(kernel.toList == hof.toList)
+  }
+
   test("expression participates in whole-stage codegen (no fallback)") {
     // needs a non-foldable source (a local Seq constant-folds to a
     // LocalTableScan before any codegen happens)

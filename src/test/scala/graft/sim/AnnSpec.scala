@@ -133,7 +133,7 @@ class AnnSpec extends SparkSpec {
       if (proj >= 0) 1L << p else 0L
     }.sum
     val got = Seq(Tuple1(vec)).toDF("embedding")
-      .select(Ann.lshBucketMd5(col("embedding"), 4)).head().getLong(0)
+      .select(Ann.lshBucketMd5(col("embedding"), 4, dims = 4)).head().getLong(0)
     assert(got == expected)
   }
 
