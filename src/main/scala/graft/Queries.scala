@@ -399,6 +399,63 @@ object Queries {
           .as("revenue"), count(lit(1)).as("cnt"))
         .orderBy("c_mktsegment")),
 
+    "q5_local_supplier" -> ((s, d) =>
+      // TPC-H Q5 shape: customer-orders-lineitem-supplier joined where the
+      // customer and supplier share a nation, rolled up to nation revenue.
+      // The two fact tables shuffle-join on l_orderkey / keys; every dim
+      // (customer, supplier, nation, region) broadcasts — the fact side
+      // never shuffles for a dimension.
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1998-01-01") &&
+              col("o_orderdate") < lit("1999-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        // Exact-cent revenue: prices are integer cents and discounts integer
+        // percents (verified ≤1e-9 off), so Σ cents·(100−disc%) is an
+        // order-independent integer — bit-identical cross-engine with NO
+        // final round (a rounded float sum here landed a group on a 2-dp
+        // half boundary where the engines' round modes disagree).
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("n_name")),
+
+    "q6_forecast_revenue" -> ((s, d) =>
+      // TPC-H Q6 shape: tight scan-side conjunctive filter + single global
+      // aggregate. All three predicates reach the parquet scan as
+      // PushedFilters; the post-scan plan is one partial+final agg pair.
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01") &&
+          col("l_shipdate") < lit("1999-01-01") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("cnt"))),
+
+    "q_rank_in_group" -> ((s, d) =>
+      // Grouped top-k via ranked window — partitioned by the group key, so
+      // the plan is a hash-partitioned WindowExec (never single-task).
+      // ORDER BY covers all outputs: o_totalprice ties are real.
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_orderpriority")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rk")),
+
     // --- LLM-data-pipeline: dedup / text / similarity ---
 
     "q_dedup_exact" -> ((s, d) =>
@@ -593,6 +650,20 @@ object Queries {
           "embedding", threshold = 0.15, bits = 4)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2")),
+
+    "q_ann_ivf" -> ((s, d) => {
+      // IVF two-stage ANN: label-centroid coarse quantizer (6-dp rounded →
+      // cross-engine stable cells), map-only corpus assignment, nprobe=2
+      // probed cells per query, exact cosine top-k inside probed cells.
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.sim.Ann.ivfTopK(q, "qid", "qv", emb, "vec_id", "embedding",
+          "label", k = 5, nprobe = 2)
+        .select(col("qid"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
 
     "q_centroids" -> ((s, d) =>
       Tables.embeddings(s, d)
@@ -803,6 +874,36 @@ object Queries {
          |JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+         |    / 10000.0 AS revenue,
+         |  count(*) AS cnt
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |  AND o_orderdate >= '1998-01-01' AND o_orderdate < '1999-01-01'
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      s"""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+         |  count(*) AS cnt
+         |FROM lineitem
+         |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_rank_in_group" ->
+      s"""SELECT o_orderpriority, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice
+         |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |        row_number() OVER (PARTITION BY o_orderpriority
+         |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         |      FROM orders)
+         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
     "q_dedup_exact" ->
       s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
          |  min(doc_id) AS doc_id, count(*) AS dup_count
@@ -923,6 +1024,36 @@ object Queries {
          |SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank
          |FROM scored WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT label, CAST(p.pos - 1 AS INTEGER) AS pos,
+         |    round(avg(CAST(embedding[CAST(p.pos AS INTEGER)] AS DOUBLE)), 6) AS mean_v
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) p(pos)
+         |  GROUP BY label, p.pos),
+         |cvec AS (SELECT CAST(label AS VARCHAR) AS cell,
+         |    list(mean_v ORDER BY pos) AS cvec
+         |  FROM cent GROUP BY label),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cell) AS rk
+         |  FROM embeddings e CROSS JOIN cvec c),
+         |cells AS (SELECT vec_id, embedding, cell FROM assign WHERE rk = 1),
+         |probes AS (
+         |  SELECT q.vec_id AS qid, q.embedding AS qv, c.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec) DESC, c.cell) AS rk
+         |  FROM embeddings q CROSS JOIN cvec c WHERE q.vec_id < 10),
+         |pr AS (SELECT qid, qv, cell FROM probes WHERE rk <= 2),
+         |scored AS (
+         |  SELECT pr.qid, ce.vec_id,
+         |    round(list_cosine_similarity(pr.qv::DOUBLE[], ce.embedding::DOUBLE[]), 6) AS cosine,
+         |    row_number() OVER (PARTITION BY pr.qid
+         |      ORDER BY list_cosine_similarity(pr.qv::DOUBLE[], ce.embedding::DOUBLE[]) DESC, ce.vec_id) AS rank
+         |  FROM cells ce JOIN pr ON ce.cell = pr.cell AND ce.vec_id <> pr.qid)
+         |SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+         |FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_centroids" ->
       s"""SELECT label, CAST(p.pos - 1 AS INTEGER) AS pos,

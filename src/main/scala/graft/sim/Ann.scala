@@ -177,8 +177,72 @@ object Ann {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean_v")))),
         s => s.getField("mean_v")).as("centroid"))
 
-  /** Embedding-cosine near-dup pairs: all pairs within the same LSH bucket
-    * with cosine ≥ threshold (id1 < id2). Bucketed — never all-pairs. */
+  /** The nearest cell for a vector given a (small, materialized) array of
+    * (cell, cvec) structs: a single aggregate fold — argmax by cosine with
+    * ascending-cell tiebreak. Map-only: no shuffle, no window; the fold is
+    * order-independent, so the collect_list order feeding the array doesn't
+    * matter. */
+  private def nearestCell(vec: Column, cents: Column): Column =
+    aggregate(cents,
+      struct(lit(-2.0).as("sim"), lit(null).cast("string").as("cell")),
+      (acc, c) => {
+        // both sides cast to the same DDL type: graft_cosine requires
+        // exactly equal array types (element type AND containsNull)
+        val sim = cosine(vec.cast("array<double>"),
+          c.getField("cvec").cast("array<double>"))
+        when(sim > acc.getField("sim") ||
+            (sim === acc.getField("sim") &&
+              c.getField("cell") < acc.getField("cell")),
+          struct(sim.as("sim"), c.getField("cell").as("cell")))
+          .otherwise(acc)
+      }).getField("cell")
+
+  /** IVF top-k: the inverted-file two-stage ANN — the third search shape
+    * next to brute force and LSH.
+    *
+    * Stage 0 (index): the coarse quantizer is the per-`labelCol` centroid
+    * table ([[centroids]], 6-dp-rounded so the cells are cross-engine
+    * stable; a k-means quantizer slots in identically). Every corpus row is
+    * assigned to its nearest centroid — its inverted list.
+    * Stage 1 (search): each query probes its `nprobe` nearest centroids and
+    * exact-scores ONLY rows in those cells — the classic recall/cost knob.
+    *
+    * Scale shape: the centroid table is tiny and rides a broadcast into
+    * BOTH assignment scans; corpus assignment is a map-only aggregate fold
+    * (zero shuffle — not a window over corpus×cells); the search join is an
+    * equi-join on the cell id against broadcast query probes. The corpus is
+    * never all-paired and shuffles only on the final per-query ranking. */
+  def ivfTopK(queries: DataFrame, qidCol: String, qvecCol: String,
+              corpus: DataFrame, idCol: String, vecCol: String,
+              labelCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = centroids(corpus, labelCol, vecCol)
+      .select(col(labelCol).cast("string").as("cell"),
+        transform(col("centroid"), c => round(c, 6)).as("cvec"))
+      .agg(collect_list(struct(col("cell"), col("cvec"))).as("cents"))
+    val cells = corpus.crossJoin(broadcast(cents))
+      .withColumn("_cell",
+        nearestCell(col(vecCol).cast("array<double>"), col("cents")))
+      .select(col(idCol), col(vecCol), col("_cell"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("_sim").desc, col("_cell"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col(qidCol), col(qvecCol), explode(col("cents")).as("_c"))
+      .withColumn("_sim",
+        cosine(col(qvecCol).cast("array<double>"),
+          col("_c.cvec").cast("array<double>")))
+      .withColumn("_cell", col("_c.cell"))
+      .withColumn("_rk", row_number().over(wq))
+      .filter(col("_rk") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("_cell"))
+    val joined = cells.join(broadcast(probes), Seq("_cell"))
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("cosine", cosine(col(qvecCol), col(vecCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
+  }
   def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, bits: Int = 8,
                     bucketFn: (Column, Int) => Column = lshBucket): DataFrame = {

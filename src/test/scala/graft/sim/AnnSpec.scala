@@ -116,6 +116,30 @@ class AnnSpec extends SparkSpec {
     assert(!multi.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("ivfTopK: nprobe=2 probed-cell search recovers near-full recall vs brute") {
+    val rng = new scala.util.Random(13)
+    val centers = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, -1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f),
+      Array(-1f, 0f, 0f, 1f, 0f, 0f, 0f, -1f))
+    val vecs = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + (rng.nextFloat() - 0.5f) * 0.2f).toSeq, i % 4)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val brute = Ann.bruteForceTopK(queries, "qid", "qv", corpus, "vec_id",
+      "embedding", 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(queries, "qid", "qv", corpus, "vec_id", "embedding",
+      "label", 5, nprobe = 2)
+    val hits = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect hits).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall=$recall brute=${brute.size} ivf=${hits.size}")
+    assert(!ivf.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("lshBucketMd5 equals the exact integer projection computed on the driver") {
     // Re-derive the md5-basis bucket for one vector in plain Scala (same
     // integer math the oracle SQL mirrors) and compare with the expression.
