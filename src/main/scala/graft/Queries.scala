@@ -1137,7 +1137,7 @@ object Queries {
     val bandStructs = (0 until bands).map { b =>
       val es = (0 until r).map(i => s"CAST(e${b * r + i} AS VARCHAR)")
         .mkString(" || '_' || ")
-      s"{'band_id': $b, 'band_hash': md5($es)}"
+      s"{'band_id': $b, 'band_hash': CAST('0x' || substr(md5($es), 1, 15) AS BIGINT)}"
     }.mkString(",\n  ")
     s"""WITH tk AS (SELECT doc_id,
        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t

@@ -174,8 +174,12 @@ object Dedup {
         withHp.select(col(idCol),
           minhashSignatureMd5(col("_hp"), numHashes).as("sig"))
       }
+    // band key = first 15 md5 hex chars as a LONG (60 bits): 8-byte join
+    // key instead of a 32-char string — cheaper shuffle/compare, same
+    // cross-engine reproducibility
     candidatePairs(lshBands(sigs, idCol, "sig", bands, numHashes / bands,
-      c => md5(c.cast("binary"))), idCol)
+      c => conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")),
+      idCol)
   }
 
   /** Exact n-gram Jaccard for (id1, id2) candidate pairs — joins the shingle
