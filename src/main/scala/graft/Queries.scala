@@ -458,6 +458,32 @@ object Queries {
 
     // --- LLM-data-pipeline: dedup / text / similarity ---
 
+    "q_sample_hash" -> ((s, d) =>
+      // Reproducible 30% corpus sample: keep iff md5-hash-bucket(id) < 300.
+      // Pure scan-side filter — zero shuffle; same id ⇒ same fate across
+      // runs, partitionings and engines.
+      graft.text.Sampling.sampleByHash(Tables.documents(s, d), "doc_id", 0.30)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    "q_sample_stratified" -> ((s, d) =>
+      // Language-rebalancing sample: downsample dominant 'en' to 10%, keep
+      // 50% of every other language — deterministic per-stratum rates.
+      graft.text.Sampling.sampleStratified(Tables.documents(s, d), "doc_id",
+          "lang", Map("en" -> 0.10), defaultRate = 0.50)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    "q_split_leakage" -> ((s, d) => {
+      // Train/eval contamination check: normalized-text fingerprints that
+      // appear on BOTH sides of a (deterministic) even/odd doc split.
+      val f = Tables.documents(s, d).select(col("doc_id"),
+        graft.text.TextStats.fingerprintMd5(col("text")).as("fp"))
+      graft.text.Sampling.overlap(
+          f.filter(col("doc_id") % 2 === 0), f.filter(col("doc_id") % 2 === 1), "fp")
+        .orderBy("fp")
+    }),
+
     "q_dedup_exact" -> ((s, d) =>
       graft.dedup.Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
@@ -873,6 +899,25 @@ object Queries {
          |JOIN orders ON l_orderkey = o_orderkey AND o_orderdate >= '1999-01-01'
          |JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000 < 300
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000
+         |  < CASE WHEN lang = 'en' THEN 100 ELSE 500 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_split_leakage" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents)
+         |SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0
+         |  AND fp IN (SELECT fp FROM f WHERE doc_id % 2 = 1)
+         |ORDER BY fp""".stripMargin,
 
     "q5_local_supplier" ->
       s"""SELECT n_name,

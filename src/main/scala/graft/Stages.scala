@@ -116,15 +116,18 @@ object Stages {
         // 80/20 split is a seeded randomSplit on the RDD (same intent as
         // the driver path's shuffled index split; exact row assignment is
         // RNG-specific either way — see Windows.trainValSplit). Persisted:
-        // trainDistributed runs count + one treeAggregate per epoch over it.
-        val Array(tr, _) = windowMatricesRdd(cfg, scaled).randomSplit(
+        // trainDistributed runs count + one gradient treeAggregate + one
+        // forward-only val treeAggregate per epoch over them.
+        val Array(tr, va) = windowMatricesRdd(cfg, scaled).randomSplit(
           Array(cfg.training.trainSplitRatio,
             1.0 - cfg.training.trainSplitRatio), seed = 42L)
         tr.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        va.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val r = Training.trainDistributed(spark, tr, init,
           epochs = cfg.training.epochs, lr = cfg.training.learningRate,
-          patience = cfg.training.earlyStoppingPatience)
+          patience = cfg.training.earlyStoppingPatience, valWindows = Some(va))
         tr.unpersist(false)
+        va.unpersist(false)
         r
       } else {
         val all = windowMatrices(spark, cfg, scaled)

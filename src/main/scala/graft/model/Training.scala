@@ -294,15 +294,24 @@ object Training {
     * scale path: executors compute per-partition gradient partial sums over
     * broadcast weights; the driver takes the Adam step. Gradient size is
     * O(model), not O(data), so the shuffle is a few MB regardless of
-    * window count. */
+    * window count.
+    *
+    * When `valWindows` is given, early stopping and best-weight restore key
+    * on the held-out loss (a forward-only treeAggregate per epoch — shuffle
+    * volume one Double per partition), matching the driver path's
+    * EarlyStopping(val_loss) semantics; otherwise they fall back to the
+    * training loss. */
   def trainDistributed(spark: org.apache.spark.sql.SparkSession,
                        windows: org.apache.spark.rdd.RDD[DenseMatrix[Double]],
                        init: AeParams, epochs: Int = 50, lr: Double = 1e-3,
-                       patience: Int = 10): TrainResult = {
+                       patience: Int = 10,
+                       valWindows: Option[org.apache.spark.rdd.RDD[DenseMatrix[Double]]] = None)
+      : TrainResult = {
     val sc = spark.sparkContext
     var flat = flatten(init)
     val adam = new Adam(lr = lr)
     val n = windows.count().toDouble
+    val nVal = valWindows.map(_.count().toDouble).getOrElse(0.0)
     var best = flat.clone(); var bestVal = Double.MaxValue; var bestEpoch = -1
     var wait = 0
     val history = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
@@ -324,12 +333,24 @@ object Training {
           else if (g2.isEmpty) (g1, l1 + l2)
           else { var k = 0; while (k < g1.length) { g1(k) += g2(k); k += 1 }; (g1, l1 + l2) }
         }, depth = 2)
-      bc.destroy()
       val loss = lossSum / n
       var k = 0; while (k < gradSum.length) { gradSum(k) /= n; k += 1 }
       adam.step(flat, gradSum)
-      history += ((loss, loss))
-      if (loss < bestVal) { bestVal = loss; best = flat.clone(); bestEpoch = epoch; wait = 0 }
+      // held-out loss on the PRE-step weights' update — evaluate with the
+      // freshly stepped params, as Keras reports val_loss after the epoch
+      val valLoss = valWindows match {
+        case Some(va) if nVal > 0 =>
+          val bcNew = sc.broadcast(unflatten(init, flat))
+          val s = va.treeAggregate(0.0)(
+            (l, x) => l + Lstm.mse(x, Lstm.forward(bcNew.value, x)),
+            _ + _, depth = 2)
+          bcNew.destroy()
+          s / nVal
+        case _ => loss
+      }
+      bc.destroy()
+      history += ((loss, valLoss))
+      if (valLoss < bestVal) { bestVal = valLoss; best = flat.clone(); bestEpoch = epoch; wait = 0 }
       else wait += 1
       epoch += 1
     }

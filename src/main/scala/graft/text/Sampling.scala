@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset-curation sampling — the reproducible alternative
+  * to RNG sampling for training-data pipelines: the keep/drop decision is a
+  * pure function of the row id, so it is stable across runs, partitionings,
+  * retries and engines (md5 basis → DuckDB-oracle-checkable), and a row's
+  * fate never changes when the corpus around it grows.
+  *
+  * Scale shape: every operator here is a scan-side filter (predicate on a
+  * hash of the id) — zero shuffle, combines with any downstream plan; the
+  * split-leakage audit is a distinct + left-semi join on the fingerprint,
+  * never a cartesian.
+  */
+object Sampling {
+
+  /** Deterministic id-hash bucket in [0, buckets): first 12 md5 hex chars
+    * of the id rendered as a string, mod buckets. Cross-engine stable. */
+  def hashBucket(id: Column, buckets: Int = 1000): Column =
+    pmod(conv(substring(md5(id.cast("string").cast("binary")), 1, 12), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+
+  /** Uniform deterministic sample: keep rows whose id-hash bucket falls
+    * below rate·buckets. */
+  def sampleByHash(df: DataFrame, idCol: String, rate: Double,
+                   buckets: Int = 1000): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets) < lit(math.round(rate * buckets)))
+
+  /** Stratified deterministic sample: per-stratum keep-rates (e.g.
+    * downsample a dominant language); strata absent from `rates` use
+    * `defaultRate`. Same id ⇒ same decision under any stratum layout. */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       buckets: Int = 1000): DataFrame = {
+    val rateCol = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(math.round(defaultRate * buckets)): Column) {
+        case (acc, (k, v)) =>
+          when(col(stratumCol) === k, lit(math.round(v * buckets))).otherwise(acc)
+      }
+    df.filter(hashBucket(col(idCol), buckets) < rateCol)
+  }
+
+  /** Split-leakage audit: values of `keyCol` present in BOTH frames (e.g.
+    * text fingerprints shared by a train and an eval split — the
+    * contamination check every training pipeline needs). Distinct +
+    * left-semi join: only distinct keys shuffle, never row payloads. */
+  def overlap(a: DataFrame, b: DataFrame, keyCol: String): DataFrame =
+    a.select(keyCol).distinct()
+      .join(b.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+}

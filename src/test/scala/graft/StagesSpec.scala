@@ -122,6 +122,21 @@ class StagesSpec extends SparkSpec {
     assert(rDist.history.last._1 < rDriver.history.head._1 * 0.5)
   }
 
+  test("distributed early stopping keys on a genuinely held-out val loss") {
+    import breeze.linalg.DenseMatrix
+    val wins = (0 until 24).map(s =>
+      DenseMatrix.tabulate(6, 2)((i, j) => 0.5 + 0.3 * math.sin(s + i * 0.7 + j)))
+    val (tr, va) = wins.splitAt(18)
+    val init = Lstm.glorotInit(2, Seq(4, 2, 2, 4), seed = 5L)
+    val r = Training.trainDistributed(spark,
+      spark.sparkContext.parallelize(tr, 4), init, epochs = 8, lr = 1e-2,
+      patience = 8, valWindows = Some(spark.sparkContext.parallelize(va, 2)))
+    assert(r.history.size == 8)
+    // val loss is computed on the held-out set — not a copy of train loss
+    assert(r.history.exists { case (t, v) => t != v })
+    assert(r.bestEpoch >= 0)
+  }
+
   test("distributed training path (treeAggregate) reduces loss like the driver path") {
     import breeze.linalg.DenseMatrix
     val wins = (0 until 24).map(s =>
