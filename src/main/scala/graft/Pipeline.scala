@@ -69,14 +69,8 @@ object Pipeline {
     val minute = Tables.events(spark, dir)
       .groupBy(expr("ts_us div 60000000").as("ts_min"), col("event_type"))
       .agg(avg("value").as("v"))
-    // complete the minute×type grid so absent series-minutes become nulls
-    // for the per-series fill (the wide-pivot equivalent of outer-align)
-    val grid = minute.select("ts_min").distinct()
-      .crossJoin(broadcast(spark.createDataset(types)(
-        org.apache.spark.sql.Encoders.STRING).toDF("event_type")))
-    val sparse = grid.join(minute, Seq("ts_min", "event_type"), "left")
-    val filledLong = Fill.ffillBfill(sparse, "ts_min", Seq("v"),
-      partitionCols = Seq("event_type"))
+    val filledLong = Fill.ffillBfillPerSeries(minute, "ts_min", "event_type",
+      "v", types)
     val filled = Align.pivotAlignOuter(filledLong, "ts_min", "event_type",
       "v", types, agg = Some(avg))
     val scaled = Scalers.fitMinMax(filled, types).transform(filled)

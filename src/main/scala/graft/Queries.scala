@@ -150,19 +150,14 @@ object Queries {
         .orderBy("ts_min")
     }),
 
-    "q_ffill_partitioned_w1" -> ((s, d) => {
+    "q_ffill_partitioned_w1" -> ((s, d) =>
       // The 100TB-shape fill: one analytic window PER SERIES (partitionBy
       // event_type) instead of a global single-task window. Nulls come from
-      // the full minute×type grid (absent series-minutes).
-      val long = minuteLong(s, d)
-      val grid = long.select("ts_min").distinct()
-        .crossJoin(s.createDataset(Types)(
-          org.apache.spark.sql.Encoders.STRING).toDF("event_type"))
-      val sparse = grid.join(long, Seq("ts_min", "event_type"), "left")
-      Fill.ffillBfill(sparse, "ts_min", Seq("v"), partitionCols = Seq("event_type"))
+      // the full minute×type grid (absent series-minutes). Same helper the
+      // flagship runs — this query is its oracle.
+      Fill.ffillBfillPerSeries(minuteLong(s, d), "ts_min", "event_type", "v", Types)
         .select(col("ts_min"), col("event_type"), round(col("v"), 6).as("v"))
-        .orderBy("ts_min", "event_type")
-    }),
+        .orderBy("ts_min", "event_type")),
 
     "q_nan_report_a5" -> ((s, d) => {
       val w = minuteWide(s, d)
@@ -440,8 +435,12 @@ object Queries {
           col("l_shipdate") < lit("1999-01-01") &&
           col("l_discount").between(0.03, 0.07) &&
           col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
-          .as("revenue"), count(lit(1)).as("cnt"))),
+        // exact-cent integer sum, as q5: order-independent and boundary-free
+        // (a rounded float sum can land on a 2-dp half where engines differ)
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 100).cast("long"))
+            .cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("cnt"))),
 
     "q_rank_in_group" -> ((s, d) =>
       // Grouped top-k via ranked window — partitioned by the group key, so
@@ -935,7 +934,8 @@ object Queries {
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q6_forecast_revenue" ->
-      s"""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      s"""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |  * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
          |  count(*) AS cnt
          |FROM lineitem
          |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'

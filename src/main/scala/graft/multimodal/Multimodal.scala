@@ -72,7 +72,13 @@ object Multimodal {
           if (i < g * g && counts(i) > 0) (sums(i) / counts(i)).toFloat else mean
         })
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just IOException: the JDK image readers throw
+      // RuntimeExceptions (AIOOBE, NegativeArraySizeException, CMMException)
+      // on payloads with a valid magic but a corrupt body — those must hit
+      // the stub fallback too, not kill the task.
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Deterministic stand-in for the audio/video decoders (no codec
     * libraries in this environment): folds the payload bytes into `dim`

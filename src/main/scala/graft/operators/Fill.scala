@@ -40,6 +40,21 @@ object Fill {
     }
   }
 
+  /** The 100×-shape fill over a LONG table: complete the (order × series)
+    * grid — absent series-points become nulls — then [[ffillBfill]] with
+    * one analytic window PER SERIES. The scale twin of the global
+    * wide-table fill, proven result-equal by its oracle query
+    * (`q_ffill_partitioned_w1`); `Pipeline.flagship` runs the same helper. */
+  def ffillBfillPerSeries(long: DataFrame, orderCol: String, keyCol: String,
+                          valCol: String, keys: Seq[String]): DataFrame = {
+    val spark = long.sparkSession
+    val grid = long.select(orderCol).distinct()
+      .crossJoin(broadcast(spark.createDataset(keys)(
+        org.apache.spark.sql.Encoders.STRING).toDF(keyCol)))
+    val sparse = grid.join(long, Seq(orderCol, keyCol), "left")
+    ffillBfill(sparse, orderCol, Seq(valCol), partitionCols = Seq(keyCol))
+  }
+
   /** Fill each column's nulls with that column's mean (`preprocess_data.py:48-55`). */
   def fillMean(df: DataFrame, cols: Seq[String]): DataFrame =
     fillWithAgg(df, cols, c => avg(col(c)))

@@ -92,37 +92,14 @@ object Score {
         org.apache.spark.sql.expressions.Window.orderBy(orderCols.map(col): _*)
           .rowsBetween(Long.MinValue, 0)))
 
-  /** A10 at scale: a global prefix sum with NO single-partition window.
-    * Range-partition by the order key, prefix-sum within partitions, then
-    * add each partition's cumulative flag-count offset (a tiny driver-side
-    * array — O(partitions), not O(rows)) — the same offset trick as
-    * `Windows.globalRowNumber`, applied to sums. Result equals
-    * [[runningAnomalyCount]] row-for-row. */
+  /** A10 at scale: a global prefix sum with NO single-partition window —
+    * `Windows.prefixSumPartitioned` over the anomaly flag (range-partition,
+    * per-partition prefix sums, broadcast cumulative offsets). Result
+    * equals [[runningAnomalyCount]] row-for-row on non-null inputs; null
+    * `mseCol` rows count as 0 (SQL `CASE … ELSE 0` semantics — the window
+    * twin renders a leading all-null prefix as null instead). */
   def runningAnomalyCountPartitioned(df: DataFrame, orderCols: Seq[String],
-                                     mseCol: String, threshold: Double): DataFrame = {
-    // localCheckpoint: repartitionByRange samples with an execution-dependent
-    // seed, so the frame must be materialized once or the per-partition
-    // offsets could disagree with the main pass (see globalRowNumber).
-    val sorted = df
-      .repartitionByRange(orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
-      .withColumn("_flag", classify(col(mseCol), threshold).cast("long"))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
-    val sums = sorted.groupBy("_pid").agg(sum("_flag").as("s")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxPid = if (sums.isEmpty) -1 else sums.keys.max
-    val offsets = (0 to maxPid).scanLeft(0L)((acc, pid) =>
-      acc + sums.getOrElse(pid, 0L)).toArray
-    val offsetCol =
-      if (maxPid < 0) lit(0L)
-      else element_at(
-        array(offsets.take(maxPid + 1).map(lit(_)): _*), col("_pid") + 1)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_pid").orderBy(orderCols.map(col): _*)
-      .rowsBetween(Long.MinValue, 0)
-    sorted
-      .withColumn("anomaly_total", offsetCol + sum(col("_flag")).over(w))
-      .drop("_pid", "_flag")
-  }
+                                     mseCol: String, threshold: Double): DataFrame =
+    Windows.prefixSumPartitioned(df, orderCols,
+      classify(col(mseCol), threshold).cast("long"), "anomaly_total")
 }

@@ -47,13 +47,15 @@ object Windows {
       .filter(size(col("window")) === length)
   }
 
-  /** Scale-safe 0-based global row number by `orderCols`: range-partition,
-    * sort within partitions, count per partition (tiny job), then add the
-    * cumulative offset to a PER-PARTITION row_number. No single-partition
-    * window anywhere — every stage parallelizes. Two jobs over a persisted
-    * sorted frame (the counts pass + the main pass). */
-  def globalRowNumber(df: DataFrame, orderCols: Seq[String],
-                      out: String = "_rn"): DataFrame = {
+  /** The shared scale-safe global-prefix machinery: range-partition by
+    * `orderCols`, sort within partitions, total `perRow` per partition
+    * (tiny driver-side collect — O(partitions)), then add the cumulative
+    * offset to a PER-PARTITION running sum. No single-partition window
+    * anywhere — every stage parallelizes. Null `perRow` values count as 0
+    * (SQL `CASE … ELSE 0` semantics). [[globalRowNumber]] and
+    * `Score.runningAnomalyCountPartitioned` are both instances. */
+  private[graft] def prefixSumPartitioned(df: DataFrame, orderCols: Seq[String],
+                                          perRow: Column, out: String): DataFrame = {
     // localCheckpoint (not persist): the sorted frame must be materialized
     // ONCE — repartitionByRange samples with an execution-dependent seed,
     // so recomputation could assign different _pid boundaries and corrupt
@@ -63,22 +65,31 @@ object Windows {
     val sorted = df
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("_val", coalesce(perRow.cast("long"), lit(0L)))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
-    val counts = sorted.groupBy("_pid").count().collect()
+    val sums = sorted.groupBy("_pid").agg(sum("_val").as("s")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+    val maxPid = if (sums.isEmpty) -1 else sums.keys.max
     val offsets = (0 to maxPid).scanLeft(0L)((acc, pid) =>
-      acc + counts.getOrElse(pid, 0L)).toArray
+      acc + sums.getOrElse(pid, 0L)).toArray
     val offsetCol =
       if (maxPid < 0) lit(0L) // empty input: no rows evaluate this anyway
       else element_at(
         array(offsets.take(maxPid + 1).map(lit(_)): _*), col("_pid") + 1)
     val w = Window.partitionBy("_pid").orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sorted
-      .withColumn(out, offsetCol + row_number().over(w) - 1)
-      .drop("_pid")
+      .withColumn(out, offsetCol + sum(col("_val")).over(w))
+      .drop("_pid", "_val")
   }
+
+  /** Scale-safe 0-based global row number by `orderCols` — the prefix sum
+    * of 1 per row, minus 1. */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[String],
+                      out: String = "_rn"): DataFrame =
+    prefixSumPartitioned(df, orderCols, lit(1L), out)
+      .withColumn(out, col(out) - 1)
 
   /** W2 at scale: partition rows into contiguous buckets of `bucketSize` by
     * global row number, replicate each bucket's first (L−1) rows into the

@@ -185,13 +185,17 @@ private[sources] class PromMicroBatchStream(props: Map[String, String],
                                             startSec: Long, endSec: Long)
     extends MicroBatchStream {
   private val step = math.max(1L, props.getOrElse("step", "120").toLong)
+  // No (or non-positive) `end` option means an OPEN range: tail the clock
+  // indefinitely. (The batch scan treats the same case as an empty range —
+  // correct for a bounded read, wrong for a stream.)
+  private val boundSec = if (endSec > startSec) endSec else Long.MaxValue
 
   override def initialOffset(): Offset = PromOffset(startSec)
 
   override def latestOffset(): Offset = {
     val now = System.currentTimeMillis() / 1000
     val aligned = now - Math.floorMod(now, step)
-    PromOffset(math.max(startSec, math.min(endSec, aligned)))
+    PromOffset(math.max(startSec, math.min(boundSec, aligned)))
   }
 
   override def deserializeOffset(json: String): Offset = PromOffset(json.toLong)

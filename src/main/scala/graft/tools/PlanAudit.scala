@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan audit: print the formatted physical plan of selected registry
   * queries so pushdown/broadcast/partitioning claims can be verified (and
-  * regressions spotted) without running the data. */
+  * regressions spotted). NOTE: construction is not free — queries built on
+  * eager localCheckpoints (anomaly stats, the partitioned prefix-sum and
+  * window families) execute real jobs against the data dir while being
+  * built, so point this at the small sf0.001 set. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
