@@ -457,6 +457,19 @@ object Queries {
 
     // --- LLM-data-pipeline: dedup / text / similarity ---
 
+    "q_len_percentiles" -> ((s, d) =>
+      // Length-distribution profile per language — the curation dashboard
+      // staple. EXACT linear-interpolation percentiles (Spark `percentile`
+      // ≡ DuckDB `quantile_cont`), not approx sketches, so the result is
+      // oracle-checkable; one map-side-combinable aggregate.
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 6).as("q50"),
+          round(expr("percentile(n_chars, 0.9)"), 6).as("q90"),
+          round(expr("percentile(n_chars, 0.99)"), 6).as("q99"))
+        .orderBy("lang")),
+
     "q_sample_hash" -> ((s, d) =>
       // Reproducible 30% corpus sample: keep iff md5-hash-bucket(id) < 300.
       // Pure scan-side filter — zero shuffle; same id ⇒ same fate across
@@ -898,6 +911,12 @@ object Queries {
          |JOIN orders ON l_orderkey = o_orderkey AND o_orderdate >= '1999-01-01'
          |JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_len_percentiles" ->
+      s"""SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS q50,
+         |  round(quantile_cont(n_chars, 0.9), 6) AS q90,
+         |  round(quantile_cont(n_chars, 0.99), 6) AS q99
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_sample_hash" ->
       s"""SELECT doc_id, lang FROM documents

@@ -138,6 +138,40 @@ class StreamingDetectorSpec extends SparkSpec {
     assert(rows.count(_.isNullAt(2)) == 2 * 2 * 6)
   }
 
+  test("end-to-end incremental: DSv2 source micro-batch feeds stateful window scoring") {
+    // The full streaming slice on one table abstraction: Prometheus DSv2
+    // source → FeatureRow stream → flatMapGroupsWithState sliding windows →
+    // scored rows. 1 h at 120 s step = 30 samples → 30−L+1 scored windows.
+    graft.sources.CannedFetcher.reset()
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = spark.readStream
+      .format("graft.sources.PrometheusDataSource")
+      .option("url", "http://prom.test")
+      .option("queries", "cpu=rate(cpu[1m])")
+      .option("start", "0").option("end", "3600")
+      .option("step", "120").option("chunkHours", "1")
+      .option("fetcher", classOf[graft.sources.CannedFetcher].getName)
+      .load()
+    val feats = src
+      .select($"alias", unix_timestamp($"ts").as("tsSec"),
+        coalesce($"value", lit(0.0)).as("v"))
+      .as[(String, Long, Double)]
+      .map { case (k, t, v) => FeatureRow(k, t, Seq(v / 100.0, 0.5)) }
+    val scored = StreamingDetector.scoredWindows(feats, params, L,
+      threshold = Double.MaxValue)
+    val q = scored.writeStream
+      .format("memory").queryName("e2e_stream")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("e2e_stream").collect()
+    assert(out.length == 30 - L + 1, s"got ${out.length}")
+    assert(out.forall(_.getAs[String]("seriesKey") == "cpu"))
+    assert(out.forall(!_.getAs[Boolean]("isAnomaly")))
+  }
+
   test("polling shape: rate-source stream drives detection cycles (ST1)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
