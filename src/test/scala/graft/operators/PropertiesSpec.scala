@@ -97,6 +97,27 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("prefixSumPartitioned equals the global running sum (nulls as 0) on random inputs") {
+    // The shared scale-safe machinery under globalRowNumber and the
+    // partitioned A10 must match the single-window semantics row-for-row —
+    // including null handling (CASE … ELSE 0) and tiny/empty inputs.
+    val optGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.option(Gen.chooseNum(0L, 5L))))
+    for (seed <- 1L to 6L) {
+      val xs = sample(optGen, seed * 29)
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "flag")
+      val got = Windows.prefixSumPartitioned(df, Seq("id"),
+          org.apache.spark.sql.functions.col("flag"), "ps")
+        .orderBy("id").select("id", "ps").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      var acc = 0L
+      val want = xs.zipWithIndex.map { case (v, i) =>
+        acc += v.getOrElse(0L); (i.toLong, acc)
+      }
+      assert(got.toSeq == want.toSeq, s"seed=$seed n=${xs.size}")
+    }
+  }
+
   test("windowMse ≥ 0, = 0 on identical windows, symmetric in arguments") {
     for (seed <- 1L to 4L) {
       val xs = sample(Gen.listOfN(6, Gen.chooseNum(-5.0, 5.0)), seed * 17)
