@@ -178,24 +178,29 @@ object Ann {
         s => s.getField("mean_v")).as("centroid"))
 
   /** The nearest cell for a vector given a (small, materialized) array of
-    * (cell, cvec) structs: a single aggregate fold — argmax by cosine with
-    * ascending-cell tiebreak. Map-only: no shuffle, no window; the fold is
+    * (cell, cvec) structs: argmax by cosine with ascending-cell tiebreak.
+    * Two passes, both map-only (no shuffle, no window): a `transform`
+    * scoring each cell ONCE — inside an interpreted HOF fold a
+    * multi-referenced expression is re-evaluated per reference, so scoring
+    * inside the fold would cost 3 cosines per cell — then a fold comparing
+    * the precomputed (sim, cell) structs with cheap field reads. Both are
     * order-independent, so the collect_list order feeding the array doesn't
     * matter. */
-  private def nearestCell(vec: Column, cents: Column): Column =
-    aggregate(cents,
+  private def nearestCell(vec: Column, cents: Column): Column = {
+    val scored = transform(cents, c =>
+      // both sides cast to the same DDL type: graft_cosine requires
+      // exactly equal array types (element type AND containsNull)
+      struct(cosine(vec.cast("array<double>"),
+          c.getField("cvec").cast("array<double>")).as("sim"),
+        c.getField("cell").as("cell")))
+    aggregate(scored,
       struct(lit(-2.0).as("sim"), lit(null).cast("string").as("cell")),
-      (acc, c) => {
-        // both sides cast to the same DDL type: graft_cosine requires
-        // exactly equal array types (element type AND containsNull)
-        val sim = cosine(vec.cast("array<double>"),
-          c.getField("cvec").cast("array<double>"))
-        when(sim > acc.getField("sim") ||
-            (sim === acc.getField("sim") &&
-              c.getField("cell") < acc.getField("cell")),
-          struct(sim.as("sim"), c.getField("cell").as("cell")))
-          .otherwise(acc)
-      }).getField("cell")
+      (acc, s) =>
+        when(s.getField("sim") > acc.getField("sim") ||
+            (s.getField("sim") === acc.getField("sim") &&
+              s.getField("cell") < acc.getField("cell")),
+          s).otherwise(acc)).getField("cell")
+  }
 
   /** IVF top-k: the inverted-file two-stage ANN — the third search shape
     * next to brute force and LSH.

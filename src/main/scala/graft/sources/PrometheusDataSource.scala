@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -180,23 +180,42 @@ private[sources] case class PromOffset(sec: Long) extends Offset {
   * configured [start, end) window — so a bounded historical range replays
   * chunk-parallel and terminates, while an open range keeps tailing one
   * step per trigger. Partition planning and the executor-side HTTP/decode
-  * readers are exactly the batch ones. */
+  * readers are exactly the batch ones.
+  *
+  * Admission control: an open range whose start is far in the past would
+  * otherwise plan ONE enormous catch-up batch (weeks of chunk fetches in a
+  * single micro-batch — a straggler/retry-amplification hazard). The
+  * `maxSecondsPerBatch` option caps each micro-batch's time span, so the
+  * stream catches up over several bounded batches instead. */
 private[sources] class PromMicroBatchStream(props: Map[String, String],
                                             startSec: Long, endSec: Long)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
   private val step = math.max(1L, props.getOrElse("step", "120").toLong)
   // No (or non-positive) `end` option means an OPEN range: tail the clock
   // indefinitely. (The batch scan treats the same case as an empty range —
   // correct for a bounded read, wrong for a stream.)
   private val boundSec = if (endSec > startSec) endSec else Long.MaxValue
+  private val maxSpanSec = props.get("maxSecondsPerBatch").map(_.toLong)
 
   override def initialOffset(): Offset = PromOffset(startSec)
 
-  override def latestOffset(): Offset = {
+  private def clockEnd(): Long = {
     val now = System.currentTimeMillis() / 1000
     val aligned = now - Math.floorMod(now, step)
-    PromOffset(math.max(startSec, math.min(boundSec, aligned)))
+    math.max(startSec, math.min(boundSec, aligned))
   }
+
+  override def latestOffset(): Offset = PromOffset(clockEnd())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[PromOffset].sec
+    PromOffset(maxSpanSec match {
+      case Some(span) => math.min(clockEnd(), from + span)
+      case None       => clockEnd()
+    })
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset = PromOffset(json.toLong)
 

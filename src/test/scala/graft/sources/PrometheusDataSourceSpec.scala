@@ -65,6 +65,24 @@ class PrometheusDataSourceSpec extends SparkSpec {
     assert(scan.contains("PrometheusScan"), scan)
   }
 
+  test("micro-batch admission control: maxSecondsPerBatch caps catch-up; open range tails the clock") {
+    val props = Map("url" -> "http://prom.test", "queries" -> "cpu=q",
+      "step" -> "120", "maxSecondsPerBatch" -> "3600")
+    val s = new PromMicroBatchStream(props, 0L, 7200L)
+    def adv(st: PromMicroBatchStream, from: Long): Long =
+      st.latestOffset(PromOffset(from), st.getDefaultReadLimit)
+        .asInstanceOf[PromOffset].sec
+    // 2 h backlog with a 1 h cap: two bounded batches, not one
+    assert(adv(s, 0L) == 3600L)
+    assert(adv(s, 3600L) == 7200L)
+    // no cap: the whole bounded range in one batch
+    val uncapped = new PromMicroBatchStream(props - "maxSecondsPerBatch", 0L, 7200L)
+    assert(adv(uncapped, 0L) == 7200L)
+    // open range (no end): latest clamps to the step-aligned clock, not 0
+    val open = new PromMicroBatchStream(props - "maxSecondsPerBatch", 0L, 0L)
+    assert(adv(open, 0L) > 1700000000L)
+  }
+
   test("empty effective range plans zero partitions") {
     CannedFetcher.reset()
     val df = reader.load()
