@@ -1,0 +1,63 @@
+package graft
+
+/** Plan-level regression guard over the ENTIRE query registry: the scale
+  * properties the design depends on, asserted so a future edit cannot
+  * silently regress them.
+  *
+  *  - No `CartesianProduct` anywhere (broadcast nested-loop joins of tiny
+  *    sides are fine and appear as BroadcastNestedLoopJoin).
+  *  - No no-partition `WindowExec` ("moves all data to a single
+  *    partition") outside the documented faithful-semantics queries, each
+  *    of which has an oracle-verified partitioned twin in the registry.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries that intentionally plan a global-order window: they mirror
+    * the reference's pandas whole-frame semantics and each has a
+    * scale-shaped twin proven result-equal (q_ffill_partitioned_w1,
+    * q_window_w2_partitioned, q_window_mse_a6_partitioned,
+    * q_running_anomaly_a10_partitioned). */
+  private val globalWindowAllowed = Set(
+    "q_ffill_bfill_w1", "q_fill_mean_a1", "q_fill_median_a2",
+    "q_window_w2", "q_window_mse_a6", "q_running_anomaly_a10")
+
+  /** Every node in the physical tree, descending through the AQE wrapper
+    * (whose input plan is not reachable via `children`). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.inputPlan)
+      case _ => p.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  test("registry-wide: no CartesianProduct; single-partition windows only where documented") {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    val flaggedGlobal = scala.collection.mutable.Set[String]()
+    Queries.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val nodes = allNodes(fn(spark, dir).queryExecution.executedPlan)
+      if (nodes.exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.joins.CartesianProductExec]))
+        offenders += s"$name: CartesianProduct"
+      val noPartWindow = nodes.exists {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.isEmpty
+        case _ => false
+      }
+      if (noPartWindow) {
+        if (globalWindowAllowed.contains(name)) flaggedGlobal += name
+        else offenders += s"$name: no-partition window"
+      }
+    }
+    assert(offenders.isEmpty, s"plan regressions:\n${offenders.mkString("\n")}")
+    // detector sanity: the documented global-window queries ARE detected
+    // (if this stops firing, the detector went vacuous, not the plans clean)
+    assert(flaggedGlobal.contains("q_window_w2") &&
+      flaggedGlobal.contains("q_running_anomaly_a10"),
+      s"detector only flagged: $flaggedGlobal")
+  }
+}
