@@ -457,6 +457,19 @@ object Queries {
 
     // --- LLM-data-pipeline: dedup / text / similarity ---
 
+    "q_tfidf_topk" -> ((s, d) =>
+      // Top-5 salient terms per document by smoothed raw-IDF TF-IDF.
+      graft.text.TextStats.tfIdfTopK(Tables.documents(s, d), "doc_id",
+          "text", k = 5)
+        .orderBy("doc_id", "rk")),
+
+    "q_doc_chunks" -> ((s, d) =>
+      // Context-window packing: 32-token chunks every 16 tokens, tail kept.
+      // Pure tokenize+explode — zero shuffle; fully deterministic.
+      graft.text.TextStats.chunkTokens(Tables.documents(s, d), "doc_id",
+          "text", chunkSize = 32, stride = 16)
+        .orderBy("doc_id", "chunk_no")),
+
     "q_len_percentiles" -> ((s, d) =>
       // Length-distribution profile per language — the curation dashboard
       // staple. EXACT linear-interpolation percentiles (Spark `percentile`
@@ -911,6 +924,35 @@ object Queries {
          |JOIN orders ON l_orderkey = o_orderkey AND o_orderdate >= '1999-01-01'
          |JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_tfidf_topk" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+         |  WHERE term <> '' GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+         |    tf.tf * (n.n + 1.0) / (dfreq.df + 1.0) AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf * (n.n + 1.0) / (dfreq.df + 1.0) DESC, tf.term) AS rk
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, CAST(rk AS INTEGER) AS rk, round(score, 6) AS score
+         |FROM scored WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
+    "q_doc_chunks" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |st AS (SELECT doc_id, t,
+         |    CAST(greatest(floor((len(t) - 32 + 15) / 16.0), 0) AS BIGINT) AS last
+         |  FROM tk),
+         |ex AS (SELECT doc_id, t, unnest(range(0, last + 1)) AS i FROM st)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+         |  array_to_string(list_slice(t, i*16 + 1, i*16 + 32), ' ') AS chunk,
+         |  CAST(len(list_slice(t, i*16 + 1, i*16 + 32)) AS INTEGER) AS n_tokens
+         |FROM ex ORDER BY doc_id, chunk_no""".stripMargin,
 
     "q_len_percentiles" ->
       s"""SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS q50,

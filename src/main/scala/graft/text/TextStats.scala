@@ -94,4 +94,57 @@ object TextStats {
     * wrapping long arithmetic as overflow). HOF fold, codegen-friendly. */
   def fingerprintRolling(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** TF-IDF top-k terms per document — the classic salient-term extractor.
+    * Scoring uses the RAW inverse document frequency `tf · (N+1)/(df+1)`
+    * (a standard smoothed variant) instead of its logarithm: one division
+    * on identical operands is bit-identical cross-engine, where `ln` is
+    * libm-dependent and can flip near-tie rankings by an ulp.
+    *
+    * Scale shape: explode → (doc, term) count [shuffle 1] → term df
+    * [shuffle 2, vocabulary-sized] → df broadcast back onto tf → ranked
+    * window partitioned by doc [shuffle 3]. The corpus size N is a
+    * driver-side scalar (metadata-scale fetch). */
+  def tfIdfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val n = df.count()
+    val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("score", col("tf") * lit(n + 1.0) / (col("df") + lit(1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("rk"), round(col("score"), 6).as("score"))
+  }
+
+  /** Document chunking — the context-window packing pre-step of every LLM
+    * training pipeline: each document's token stream becomes overlapping
+    * windows of `chunkSize` tokens starting every `stride` tokens. The last
+    * chunk keeps the tail (may be shorter); start positions run
+    * 0, stride, …, ⌈(n − chunkSize)/stride⌉·stride so the tail is always
+    * covered. Emits (id, chunk_no, chunk, n_tokens).
+    *
+    * Scale shape: pure per-row tokenize + explode — zero shuffle; output
+    * fans ~n/stride× and flows into whatever partitioning downstream needs.
+    * Deterministic (no RNG), so cross-engine oracle-checkable. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, chunkSize: Int, stride: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    val tk = df.select(col(idCol),
+      graft.dedup.Dedup.normTokens(col(textCol)).as("_tk"))
+    val last = greatest(
+      floor((size(col("_tk")) - chunkSize + (stride - 1)).cast("double") / stride)
+        .cast("long"), lit(0L))
+    val piece = (i: Column) =>
+      slice(col("_tk"), (i * stride + 1).cast("int"), lit(chunkSize))
+    tk.withColumn("_i", explode(sequence(lit(0L), last)))
+      .select(col(idCol), col("_i").as("chunk_no"),
+        concat_ws(" ", piece(col("_i"))).as("chunk"),
+        size(piece(col("_i"))).as("n_tokens"))
+  }
 }

@@ -51,4 +51,23 @@ class TextStatsSpec extends SparkSpec {
     assert(r.contains("don") && r.contains("'") && r.contains("t"))
     assert(r.contains("!") && r.contains("2"))
   }
+
+  test("chunkTokens: overlapping windows cover every token, tail kept") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, doc), (2L, "only three tokens"), (3L, "")).toDF("id", "text")
+    val out = TextStats.chunkTokens(df, "id", "text", chunkSize = 4, stride = 2)
+      .orderBy("id", "chunk_no").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // starts 0,2,4,6 -> 4 chunks; last covers tokens 7..10
+    assert(d1.map(_.getString(2)).toSeq == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(d1.forall(_.getInt(3) == 4))
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(2) == "only three tokens" &&
+      d2.head.getInt(3) == 3)
+    // empty text -> the single empty-token chunk (normTokens of "" is [""])
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.length == 1 && d3.head.getString(2) == "")
+  }
 }
