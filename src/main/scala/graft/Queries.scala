@@ -943,7 +943,8 @@ object Queries {
 
     "q_doc_chunks" ->
       s"""WITH tk AS (SELECT doc_id,
-         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
          |  FROM documents),
          |st AS (SELECT doc_id, t,
          |    CAST(greatest(floor((len(t) - 32 + 15) / 16.0), 0) AS BIGINT) AS last
@@ -952,7 +953,8 @@ object Queries {
          |SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
          |  array_to_string(list_slice(t, i*16 + 1, i*16 + 32), ' ') AS chunk,
          |  CAST(len(list_slice(t, i*16 + 1, i*16 + 32)) AS INTEGER) AS n_tokens
-         |FROM ex ORDER BY doc_id, chunk_no""".stripMargin,
+         |FROM ex WHERE len(list_slice(t, i*16 + 1, i*16 + 32)) > 0
+         |ORDER BY doc_id, chunk_no""".stripMargin,
 
     "q_len_percentiles" ->
       s"""SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS q50,

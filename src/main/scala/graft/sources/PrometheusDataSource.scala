@@ -195,7 +195,12 @@ private[sources] class PromMicroBatchStream(props: Map[String, String],
   // indefinitely. (The batch scan treats the same case as an empty range —
   // correct for a bounded read, wrong for a stream.)
   private val boundSec = if (endSec > startSec) endSec else Long.MaxValue
-  private val maxSpanSec = props.get("maxSecondsPerBatch").map(_.toLong)
+  private val maxSpanSec = props.get("maxSecondsPerBatch").map { v =>
+    try v.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"maxSecondsPerBatch must be an integer number of seconds, got '$v'")
+    }
+  }
 
   override def initialOffset(): Offset = PromOffset(startSec)
 
@@ -207,15 +212,33 @@ private[sources] class PromMicroBatchStream(props: Map[String, String],
 
   override def latestOffset(): Offset = PromOffset(clockEnd())
 
+  /** Capped batch ends stay on the startSec-anchored step grid: Prometheus
+    * anchors query_range samples at each request's own `start`, so a batch
+    * boundary off the grid would phase-shift every subsequent sample
+    * relative to the uncapped replay. Saturating span arithmetic (compare,
+    * don't add) keeps a huge cap from overflowing; a cap smaller than one
+    * step still advances by a full step so the stream always progresses. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[PromOffset].sec
+    val end = clockEnd()
     PromOffset(maxSpanSec match {
-      case Some(span) => math.min(clockEnd(), from + span)
-      case None       => clockEnd()
+      case Some(span) =>
+        if (span >= end - from) end
+        else {
+          val rawCap = from + span
+          val floored = rawCap - Math.floorMod(rawCap - startSec, step)
+          if (floored <= from) math.min(end, from + step) else floored
+        }
+      case None => end
     })
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** The TRUE latest available offset (ignores the per-batch cap) — lets
+    * Trigger.AvailableNow snapshot the real catch-up target and drain it
+    * over several capped batches instead of stopping after one. */
+  override def reportLatestOffset(): Offset = PromOffset(clockEnd())
 
   override def deserializeOffset(json: String): Offset = PromOffset(json.toLong)
 

@@ -102,17 +102,21 @@ object TextStats {
     * libm-dependent and can flip near-tie rankings by an ulp.
     *
     * Scale shape: explode → (doc, term) count [shuffle 1] → term df
-    * [shuffle 2, vocabulary-sized] → df broadcast back onto tf → ranked
-    * window partitioned by doc [shuffle 3]. The corpus size N is a
-    * driver-side scalar (metadata-scale fetch). */
+    * [shuffle 2, vocabulary-sized] → equi-join df back onto tf (left to the
+    * optimizer: web-text whitespace vocabulary is open-ended, so a forced
+    * broadcast would hit the driver at scale; AQE broadcasts when it fits)
+    * → ranked window partitioned by doc [shuffle 3]. The corpus size N
+    * rides in-plan as a broadcast 1-row aggregate — no eager action at
+    * construction time. */
   def tfIdfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
-    val n = df.count()
+    val nRow = df.agg(count(lit(1)).cast("double").as("_n"))
     val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
-      .withColumn("score", col("tf") * lit(n + 1.0) / (col("df") + lit(1.0)))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("score", col("tf") * (col("_n") + lit(1.0)) / (col("df") + lit(1.0)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
     scored.withColumn("rk", row_number().over(w))
@@ -129,14 +133,16 @@ object TextStats {
     *
     * Scale shape: pure per-row tokenize + explode — zero shuffle; output
     * fans ~n/stride× and flows into whatever partitioning downstream needs.
-    * Deterministic (no RNG), so cross-engine oracle-checkable. */
+    * Deterministic (no RNG), so cross-engine oracle-checkable. Empty /
+    * whitespace-only documents emit NO chunks (the [[tokens]] helper plus
+    * the n_tokens > 0 filter — a bare split would fabricate a phantom
+    * 1-token "" chunk per empty doc). */
   def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, chunkSize: Int, stride: Int)
       : org.apache.spark.sql.DataFrame = {
     require(stride > 0 && chunkSize >= stride,
       s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
-    val tk = df.select(col(idCol),
-      graft.dedup.Dedup.normTokens(col(textCol)).as("_tk"))
+    val tk = df.select(col(idCol), tokens(lower(col(textCol))).as("_tk"))
     val last = greatest(
       floor((size(col("_tk")) - chunkSize + (stride - 1)).cast("double") / stride)
         .cast("long"), lit(0L))
@@ -146,5 +152,6 @@ object TextStats {
       .select(col(idCol), col("_i").as("chunk_no"),
         concat_ws(" ", piece(col("_i"))).as("chunk"),
         size(piece(col("_i"))).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
   }
 }

@@ -24,7 +24,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_window_w2", "q_window_mse_a6", "q_running_anomaly_a10")
 
   /** Every node in the physical tree, descending through the AQE wrapper
-    * (whose input plan is not reachable via `children`). */
+    * (whose input plan is not reachable via `children`) AND into subquery
+    * plans (a cartesian hidden inside a scalar subquery must not evade the
+    * guard). */
   private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     val kids = p match {
@@ -32,7 +34,7 @@ class PlanGuardSpec extends SparkSpec {
         Seq(a.inputPlan)
       case _ => p.children
     }
-    p +: kids.flatMap(allNodes)
+    p +: (kids ++ p.subqueries).flatMap(allNodes)
   }
 
   test("registry-wide: no CartesianProduct; single-partition windows only where documented") {

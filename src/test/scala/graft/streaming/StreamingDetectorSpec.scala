@@ -165,7 +165,11 @@ class StreamingDetectorSpec extends SparkSpec {
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    // awaitTermination returns false on timeout without throwing — surface
+    // that as the failure (not a misleading partial-count mismatch), and
+    // never leak a running query into later suites
+    try assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    finally q.stop()
     val out = spark.table("e2e_stream").collect()
     assert(out.length == 30 - L + 1, s"got ${out.length}")
     assert(out.forall(_.getAs[String]("seriesKey") == "cpu"))

@@ -66,8 +66,7 @@ class TextStatsSpec extends SparkSpec {
     val d2 = out.filter(_.getLong(0) == 2L)
     assert(d2.length == 1 && d2.head.getString(2) == "only three tokens" &&
       d2.head.getInt(3) == 3)
-    // empty text -> the single empty-token chunk (normTokens of "" is [""])
-    val d3 = out.filter(_.getLong(0) == 3L)
-    assert(d3.length == 1 && d3.head.getString(2) == "")
+    // empty text -> NO chunks (no phantom 1-token "" chunk)
+    assert(!out.exists(_.getLong(0) == 3L))
   }
 }
