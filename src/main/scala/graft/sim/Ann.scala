@@ -220,10 +220,15 @@ object Ann {
   def ivfTopK(queries: DataFrame, qidCol: String, qvecCol: String,
               corpus: DataFrame, idCol: String, vecCol: String,
               labelCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    // localCheckpoint: the 1-row centroid table feeds BOTH the corpus
+    // assignment and the query probes — without it each branch re-runs the
+    // full centroid aggregation over the corpus (blocks are
+    // reference-tracked and reclaimed when the frame is garbage)
     val cents = centroids(corpus, labelCol, vecCol)
       .select(col(labelCol).cast("string").as("cell"),
         transform(col("centroid"), c => round(c, 6)).as("cvec"))
       .agg(collect_list(struct(col("cell"), col("cvec"))).as("cents"))
+      .localCheckpoint(true)
     val cells = corpus.crossJoin(broadcast(cents))
       .withColumn("_cell",
         nearestCell(col(vecCol).cast("array<double>"), col("cents")))
