@@ -62,4 +62,38 @@ class PlanGuardSpec extends SparkSpec {
       flaggedGlobal.contains("q_running_anomaly_a10"),
       s"detector only flagged: $flaggedGlobal")
   }
+
+  private def formatted(name: String): String =
+    Queries.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("column pruning reaches the parquet scans (ReadSchema lists only referenced columns)") {
+    // representative narrow projections over wide tables: a scan reading
+    // all columns for a 2-column query is a pruning regression
+    val cases = Seq(
+      // query -> a column that MUST appear / one that must NOT
+      ("q_embed_norm", "embedding", "label"),
+      ("q_fingerprint", "text", "lang"),
+      ("q_json_s2", "props", "user_id"),
+      ("q1_agg", "l_quantity", "l_partkey"))
+    cases.foreach { case (q, mustRead, mustNotRead) =>
+      val reads = formatted(q).linesIterator
+        .filter(_.contains("ReadSchema:")).mkString("\n")
+      assert(reads.contains(mustRead), s"$q scan lost $mustRead: $reads")
+      assert(!reads.contains(mustNotRead),
+        s"$q scan reads unreferenced column $mustNotRead: $reads")
+    }
+  }
+
+  test("hot scan-shaped queries run inside WholeStageCodegen") {
+    // codegen stages (`*(n)` markers) only appear once AQE finalizes the
+    // plan, so run the query (cheap at sf0.001) and inspect the final plan
+    Seq("q1_agg", "q_threshold_p8", "q_text_stats", "q6_forecast_revenue")
+      .foreach { q =>
+        val df = Queries.queries(q)(spark, dir)
+        df.collect() // count() would execute a DERIVED plan, not df's own
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("*("), s"$q fell out of whole-stage codegen:\n$plan")
+      }
+  }
 }
