@@ -716,6 +716,15 @@ object Queries {
         .orderBy("qid", "rank")
     }),
 
+    "q_random_proj" -> ((s, d) =>
+      // JL random projection 64 → 8 dims on the md5 integer plane family —
+      // exact integer dot products, bit-stable cross-engine (no rounding).
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(graft.sim.Ann.randomProjectionMd5(col("embedding"), 8))
+            .as(Seq("pos", "comp")))
+        .orderBy("vec_id", "pos")),
+
     "q_centroids" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
@@ -1162,6 +1171,20 @@ object Queries {
          |  FROM cells ce JOIN pr ON ce.cell = pr.cell AND ce.vec_id <> pr.qid)
          |SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank
          |FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_random_proj" ->
+      s"""WITH fx AS (
+         |  SELECT vec_id, CAST(g.i AS INTEGER) AS i,
+         |    CAST(floor(CAST(embedding[CAST(g.i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)),
+         |proj AS (
+         |  SELECT vec_id, p.p AS p,
+         |    CAST(sum(vi * (CAST('0x' || substr(md5(concat('rp', p.p, '_', i - 1)), 1, 6) AS BIGINT) - 8388608)) AS BIGINT) AS s
+         |  FROM fx CROSS JOIN generate_series(0, 7) p(p)
+         |  GROUP BY vec_id, p.p)
+         |SELECT vec_id, CAST(p AS INTEGER) AS pos,
+         |  CAST(s AS DOUBLE) / (1000000.0 * 8388608.0) AS comp
+         |FROM proj ORDER BY vec_id, pos""".stripMargin,
 
     "q_centroids" ->
       s"""SELECT label, CAST(p.pos - 1 AS INTEGER) AS pos,

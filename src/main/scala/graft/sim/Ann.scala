@@ -108,6 +108,23 @@ object Ann {
     java.lang.Long.parseLong(h.substring(0, 6), 16)
   }
 
+  /** Johnson–Lindenstrauss-style random projection to `outDims` components
+    * on the deterministic md5 plane family ("rp"-prefixed, independent of
+    * the LSH planes): out[p] = Σᵢ ⌊vᵢ·10⁶⌋ · c(p,i) / (10⁶ · 2²³). The dot
+    * products are exact integer sums over driver-precomputed literal
+    * planes (zero digests at runtime) and the final division runs on
+    * identical operands — bit-stable cross-engine with NO rounding, like
+    * [[lshBucketMd5]]. The cheap dimensionality-reduction front of a
+    * clustering / coarse-similarity pipeline. */
+  def randomProjectionMd5(vec: Column, outDims: Int, dims: Int = 64): Column =
+    array((0 until outDims).map { p =>
+      val planes = array((0 until dims).map(i =>
+        lit(md5Hex24(s"rp${p}_$i") - 8388608L)): _*)
+      aggregate(zip_with(vec, planes,
+        (v, c) => floor(v.cast("double") * 1e6).cast("long") * c),
+        lit(0L), (acc, x) => acc + x).cast("double") / lit(1e6 * 8388608.0)
+    }: _*)
+
   /** Approximate top-k: only corpus vectors in the SAME LSH bucket as the
     * query are scored — equi-join on the bucket key, no cartesian product.
     * Recall grows with fewer bits / multiple tables (see [[lshTopKMulti]]);
