@@ -75,29 +75,36 @@ object Ann {
   /** Sign-bit LSH bucket key over `bits` random hyperplanes. */
   def lshBucket(vec: Column, bits: Int): Column = lshBucketPlanes(vec, bits, 0)
 
-  /** md5-parity twin of [[lshBucket]]: plane component c(p,i) is a 24-bit
-    * integer from the md5 hex of "p_i" (centered on 0), and the input vector
-    * is quantized to floor(v·1e6) — the projection is an EXACT integer sum
-    * (order-independent, no float rounding anywhere), so the bucket
-    * assignment is bit-stable across engines and a DuckDB oracle can mirror
-    * it. Products stay ≤ ~2^45 per term and ≤ ~2^51 per 64-dim sum — far
-    * inside Long.
-    *
-    * The components are data-INDEPENDENT, so they are computed once on the
-    * driver (JDK MessageDigest, same hex derivation the oracle SQL uses)
-    * and shipped as literal arrays — zero digests at runtime, the plan is
-    * pure integer zip_with/aggregate arithmetic. `dims` must equal the
-    * vector length (zip_with would null-pad a mismatch). */
-  def lshBucketMd5(vec: Column, bits: Int, dims: Int = 64): Column = {
-    val bitCols = (0 until bits).map { p =>
+  /** THE shared fixed-point md5-plane recipe — the bit-stability contract
+    * with the DuckDB oracles lives here and only here: plane component
+    * c(p,i) = hex24(md5("<prefix><p>_<i>")) − 2^23 (a 24-bit integer,
+    * data-independent → computed once on the driver with JDK MessageDigest,
+    * shipped as literal arrays, zero digests at runtime), input quantized
+    * to floor(v·10⁶). Each output entry is the EXACT integer dot product —
+    * order-independent, no float rounding anywhere. Products stay ≤ ~2^45
+    * per term and ≤ ~2^51 per 64-dim sum — far inside Long. `dims` must
+    * equal the vector length (zip_with would null-pad a mismatch). */
+  private def md5PlaneDots(vec: Column, prefix: String, nPlanes: Int,
+                           dims: Int): Column =
+    array((0 until nPlanes).map { p =>
       val planes = array((0 until dims).map(i =>
-        lit(md5Hex24(s"${p}_$i") - 8388608L)): _*)
-      val proj = aggregate(zip_with(vec, planes,
+        lit(md5Hex24(s"$prefix${p}_$i") - 8388608L)): _*)
+      aggregate(zip_with(vec, planes,
         (v, c) => floor(v.cast("double") * 1e6).cast("long") * c),
         lit(0L), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
-    }
-    bitCols.reduce(_ + _)
+    }: _*)
+
+  /** md5-parity twin of [[lshBucket]]: sign bits of the [[md5PlaneDots]]
+    * integer projections — bucket assignment is bit-stable across engines
+    * and a DuckDB oracle mirrors it. */
+  def lshBucketMd5(vec: Column, bits: Int, dims: Int = 64): Column = {
+    // the dots array is referenced ONCE (zip_with) — per-bit element_at
+    // references would re-evaluate the whole projection array per bit
+    val dots = md5PlaneDots(vec, "", bits, dims)
+    val bitVals = zip_with(dots, sequence(lit(0), lit(bits - 1)),
+      (d, p) => when(d >= 0, call_function("shiftleft", lit(1L), p))
+        .otherwise(lit(0L)))
+    aggregate(bitVals, lit(0L), (acc, v) => acc + v)
   }
 
   /** First 6 hex chars of md5(s) as an integer — the driver-side mirror of
@@ -110,20 +117,14 @@ object Ann {
 
   /** Johnson–Lindenstrauss-style random projection to `outDims` components
     * on the deterministic md5 plane family ("rp"-prefixed, independent of
-    * the LSH planes): out[p] = Σᵢ ⌊vᵢ·10⁶⌋ · c(p,i) / (10⁶ · 2²³). The dot
-    * products are exact integer sums over driver-precomputed literal
-    * planes (zero digests at runtime) and the final division runs on
-    * identical operands — bit-stable cross-engine with NO rounding, like
-    * [[lshBucketMd5]]. The cheap dimensionality-reduction front of a
-    * clustering / coarse-similarity pipeline. */
+    * the LSH planes): out[p] = Σᵢ ⌊vᵢ·10⁶⌋ · c(p,i) / (10⁶ · 2²³) over
+    * [[md5PlaneDots]] — the final division runs on identical operands, so
+    * the result is bit-stable cross-engine with NO rounding. The cheap
+    * dimensionality-reduction front of a clustering / coarse-similarity
+    * pipeline. */
   def randomProjectionMd5(vec: Column, outDims: Int, dims: Int = 64): Column =
-    array((0 until outDims).map { p =>
-      val planes = array((0 until dims).map(i =>
-        lit(md5Hex24(s"rp${p}_$i") - 8388608L)): _*)
-      aggregate(zip_with(vec, planes,
-        (v, c) => floor(v.cast("double") * 1e6).cast("long") * c),
-        lit(0L), (acc, x) => acc + x).cast("double") / lit(1e6 * 8388608.0)
-    }: _*)
+    transform(md5PlaneDots(vec, "rp", outDims, dims),
+      s => s.cast("double") / lit(1e6 * 8388608.0))
 
   /** Approximate top-k: only corpus vectors in the SAME LSH bucket as the
     * query are scored — equi-join on the bucket key, no cartesian product.
@@ -240,7 +241,12 @@ object Ann {
     // localCheckpoint: the 1-row centroid table feeds BOTH the corpus
     // assignment and the query probes — without it each branch re-runs the
     // full centroid aggregation over the corpus (blocks are
-    // reference-tracked and reclaimed when the frame is garbage)
+    // reference-tracked and reclaimed when the frame is garbage).
+    // Known trade-off: construction becomes eager and the checkpointed
+    // centroid sub-plan is opaque to plan-only inspection (PlanGuardSpec /
+    // PlanAudit see an ExistingRDD scan here) — accepted, as in
+    // Score.anomalyStats; the cents pipeline itself is covered by
+    // q_centroids' own plan and oracle.
     val cents = centroids(corpus, labelCol, vecCol)
       .select(col(labelCol).cast("string").as("cell"),
         transform(col("centroid"), c => round(c, 6)).as("cvec"))

@@ -63,25 +63,28 @@ class PlanGuardSpec extends SparkSpec {
       s"detector only flagged: $flaggedGlobal")
   }
 
-  private def formatted(name: String): String =
-    Queries.queries(name)(spark, dir).queryExecution
-      .explainString(org.apache.spark.sql.execution.FormattedMode)
-
-  test("column pruning reaches the parquet scans (ReadSchema lists only referenced columns)") {
+  test("column pruning reaches the parquet scans (requiredSchema lists only referenced columns)") {
     // representative narrow projections over wide tables: a scan reading
-    // all columns for a 2-column query is a pruning regression
+    // all columns for a 2-column query is a pruning regression. Asserted
+    // on the scan node's actual requiredSchema, not the explain text —
+    // ReadSchema strings truncate at spark.sql.maxMetadataStringLength,
+    // which would let a late-schema column slip past a substring check.
     val cases = Seq(
-      // query -> a column that MUST appear / one that must NOT
+      // query -> a column that MUST be read / one that must NOT
       ("q_embed_norm", "embedding", "label"),
       ("q_fingerprint", "text", "lang"),
       ("q_json_s2", "props", "user_id"),
       ("q1_agg", "l_quantity", "l_partkey"))
     cases.foreach { case (q, mustRead, mustNotRead) =>
-      val reads = formatted(q).linesIterator
-        .filter(_.contains("ReadSchema:")).mkString("\n")
-      assert(reads.contains(mustRead), s"$q scan lost $mustRead: $reads")
-      assert(!reads.contains(mustNotRead),
-        s"$q scan reads unreferenced column $mustNotRead: $reads")
+      val readCols = allNodes(
+        Queries.queries(q)(spark, dir).queryExecution.executedPlan)
+        .collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.requiredSchema.fieldNames.toSeq
+        }.flatten.toSet
+      assert(readCols.contains(mustRead), s"$q scan lost $mustRead: $readCols")
+      assert(!readCols.contains(mustNotRead),
+        s"$q scan reads unreferenced column $mustNotRead: $readCols")
     }
   }
 
