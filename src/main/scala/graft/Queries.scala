@@ -43,6 +43,12 @@ object Queries {
       .pivot("event_type", Types)
       .agg(round(avg("value"), 6))
 
+  /** Long-form 10-minute series, the J2 grain (see q_pivot_inner_j2). */
+  private def tenMinLong(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(expr("ts_us div 600000000").as("ts_bkt"), col("event_type"))
+      .agg(round(avg("value"), 6).as("v"))
+
   /** Single-series (click) minute values with 0-based row number `rn`. */
   private def clickSeries(s: SparkSession, dir: String): DataFrame =
     minuteLong(s, dir).filter(col("event_type") === "click")
@@ -86,9 +92,13 @@ object Queries {
     "q_pivot_outer_j1" -> ((s, d) =>
       minuteWide(s, d).orderBy("ts_min")),
 
+    // 10-minute grain (not per-minute): at per-minute grain no bucket has all
+    // 5 event types at sf<=0.1, so the inner-align intersection — and hence
+    // the oracle — would verify the empty set. 10 minutes keeps the operator
+    // (pivotAlignInner) and makes the intersection non-empty at sf0.01+.
     "q_pivot_inner_j2" -> ((s, d) =>
-      Align.pivotAlignInner(minuteLong(s, d), "ts_min", "event_type", "v",
-        Types, agg = Some(avg)).orderBy("ts_min")),
+      Align.pivotAlignInner(tenMinLong(s, d), "ts_bkt", "event_type", "v",
+        Types, agg = Some(avg)).orderBy("ts_bkt")),
 
     "q_pivot_keepfirst_j1" -> ((s, d) =>
       Align.pivotAlignOuter(Tables.events(s, d), "ts_us", "event_type",
@@ -644,8 +654,8 @@ object Queries {
         .orderBy("doc_id")),
 
     "q_bpe_vocab" -> ((s, d) =>
-      // Subword pre-tokenization vocabulary (BPE-ish split) — rows-only:
-      // the split regex uses lookarounds DuckDB's RE2 doesn't support.
+      // Subword pre-tokenization vocabulary (BPE-ish) — formulated as regex
+      // EXTRACTION (no lookarounds) so the identical pattern runs in DuckDB.
       Tables.documents(s, d)
         .select(explode(graft.text.TextStats.bpeTokens(col("text"))).as("piece"))
         .groupBy("piece").agg(count(lit(1)).as("cnt"))
@@ -758,10 +768,15 @@ object Queries {
     "q_pivot_outer_j1" ->
       s"SELECT * FROM ($MinuteWideSql) ORDER BY ts_min",
 
+    // One row per (ts_bkt, type) feeds the pivot, so its avg(v) is identity
+    // and the oracle is a single filtered-avg aggregation at the same grain.
     "q_pivot_inner_j2" ->
-      s"""SELECT * FROM ($MinuteWideSql)
+      s"""SELECT * FROM (
+         |  SELECT ts_us // 600000000 AS ts_bkt,
+         |    ${Types.map(filterAvg).mkString(",\n    ")}
+         |  FROM ($EvSql) GROUP BY 1)
          |WHERE ${Types.map(t => s""""$t" IS NOT NULL""").mkString(" AND ")}
-         |ORDER BY ts_min""".stripMargin,
+         |ORDER BY ts_bkt""".stripMargin,
 
     "q_pivot_keepfirst_j1" ->
       s"""SELECT ts_us,
@@ -1072,6 +1087,15 @@ object Queries {
          |      FROM documents)
          |WHERE t <> ''
          |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+
+    "q_bpe_vocab" ->
+      // Same extraction pattern as TextStats.BpeTokenPattern, verbatim —
+      // extraction (unlike the historical lookaround split) is RE2-safe.
+      s"""SELECT p AS piece, count(*) AS cnt
+         |FROM (SELECT unnest(regexp_extract_all(text,
+         |        '${graft.text.TextStats.BpeTokenPattern}')) AS p
+         |      FROM documents)
+         |GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 100""".stripMargin,
 
     "q_doc_stats" ->
       s"""SELECT lang, count(*) AS cnt, round(avg(n_chars), 6) AS avg_chars,

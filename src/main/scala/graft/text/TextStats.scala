@@ -21,11 +21,32 @@ object TextStats {
   /** BPE-ish subword pre-tokenization: word pieces, number runs, and single
     * punctuation marks (the GPT-2-style contraction/word/number/punct split,
     * simplified to an ASCII-safe regex). Splits at letter↔digit transitions
-    * so "stop2day" → ["stop","2","day"]. */
+    * so "stop2day" → ["stop","2","day"].
+    *
+    * Formulated as EXTRACTION (`[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`) rather
+    * than a lookaround split: the token stream is identical (letter runs,
+    * digit runs, single non-space symbols — see the parity test in
+    * TextStatsSpec), but extraction needs no lookarounds, so the same
+    * pattern runs on RE2 engines (DuckDB) and the query is oracle-checkable. */
   def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
+
+  /** The extraction pattern shared verbatim with the DuckDB oracle.
+    * The symbol branch excludes ALL of \x00-\x20 (not just regex \s)
+    * because the split formulation's `trim` filter drops every ASCII
+    * control char — this keeps the two token streams bit-identical. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\x00-\\x20]"
+
+  /** The original lookaround-split formulation, kept as the parity witness:
+    * TextStatsSpec asserts it yields the same token stream as [[bpeTokens]].
+    * (The historical filter used `trim`, which in Spark SQL strips ONLY
+    * spaces — so `\t`/`\n` leaked through as vocabulary "pieces". The
+    * whitespace filter here is the intended semantics, matching the
+    * extraction pattern's \x00-\x20 exclusion.) */
+  private[text] def bpeTokensSplit(text: Column): Column =
     filter(split(text,
       "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
-      t => length(trim(t)) > 0)
+      t => !t.rlike("^[\\x00-\\x20]*$"))
 
   val DefaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",

@@ -52,6 +52,19 @@ class TextStatsSpec extends SparkSpec {
     assert(r.contains("!") && r.contains("2"))
   }
 
+  test("bpeTokens (extraction) == lookaround-split formulation, incl. edge cases") {
+    val df = Seq(
+      "don't stop2day!", "  spaced   out  ", "", "a1b2c3", "!!??..",
+      "MiXeD CaSe 42x", "tab\tand\nnewline", "ctrlchar  nbsp",
+      "unicode é ü 中文 ok", "1,234.56 dollars ($)")
+      .toDF("t")
+    val both = df.select(
+      TextStats.bpeTokens(col("t")).as("ex"),
+      TextStats.bpeTokensSplit(col("t")).as("sp"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (ex, sp) => assert(ex == sp, s"extract=$ex split=$sp") }
+  }
+
   test("chunkTokens: overlapping windows cover every token, tail kept") {
     import spark.implicits._
     val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
