@@ -116,7 +116,7 @@ object Stages {
         // 80/20 split is a seeded randomSplit on the RDD (same intent as
         // the driver path's shuffled index split; exact row assignment is
         // RNG-specific either way — see Windows.trainValSplit). Persisted:
-        // trainDistributed runs count + one gradient treeAggregate + one
+        // trainDistributed runs count + per-batch gradient jobs + one
         // forward-only val treeAggregate per epoch over them.
         val Array(tr, va) = windowMatricesRdd(cfg, scaled).randomSplit(
           Array(cfg.training.trainSplitRatio,
@@ -125,7 +125,8 @@ object Stages {
         va.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val r = Training.trainDistributed(spark, tr, init,
           epochs = cfg.training.epochs, lr = cfg.training.learningRate,
-          patience = cfg.training.earlyStoppingPatience, valWindows = Some(va))
+          patience = cfg.training.earlyStoppingPatience, valWindows = Some(va),
+          batchSize = cfg.training.batchSize)
         tr.unpersist(false)
         va.unpersist(false)
         r

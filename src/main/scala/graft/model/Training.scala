@@ -290,54 +290,90 @@ object Training {
     TrainResult(unflatten(init, best), history.toSeq, bestEpoch)
   }
 
-  /** Distributed full-batch gradient per epoch via treeAggregate — the
-    * scale path: executors compute per-partition gradient partial sums over
-    * broadcast weights; the driver takes the Adam step. Gradient size is
-    * O(model), not O(data), so the shuffle is a few MB regardless of
-    * window count.
+  /** Distributed MINIBATCH Adam — the scale path with the reference's
+    * optimization schedule (`train_autoencoder.py:199`: batch 64, shuffled
+    * each epoch, one Adam step per batch), not one step per epoch.
+    *
+    * Shape per epoch: ONE narrow hash pass assigns every window to a seeded
+    * pseudo-random slice `murmur3(id, epoch, seed) mod numBatches` (the
+    * distributed analogue of the driver path's per-epoch shuffle), one
+    * shuffle regroups slices into `numBatches × tasksPerBatch` partitions,
+    * then each batch is one Spark job over its own `tasksPerBatch`
+    * partitions: executors compute gradient partial sums over broadcast
+    * weights, the driver combines O(model)-sized partials and takes the
+    * Adam step — classic synchronous data-parallel SGD. Per-step traffic is
+    * O(model) (a few MB) regardless of window count; the shuffle map output
+    * is computed once per epoch and reused by every batch job (Spark stage
+    * reuse), so total data movement per epoch is one pass. At cluster scale
+    * the knobs are `batchSize` (larger batches amortize the per-step
+    * broadcast/allreduce barrier) and `tasksPerBatch` (parallelism within a
+    * step); windows never touch the driver in any configuration.
     *
     * When `valWindows` is given, early stopping and best-weight restore key
     * on the held-out loss (a forward-only treeAggregate per epoch — shuffle
     * volume one Double per partition), matching the driver path's
     * EarlyStopping(val_loss) semantics; otherwise they fall back to the
-    * training loss. */
+    * training loss. Reported train loss mirrors Keras/trainDriver: the sum
+    * of per-window losses as each batch was visited, over n. */
   def trainDistributed(spark: org.apache.spark.sql.SparkSession,
                        windows: org.apache.spark.rdd.RDD[DenseMatrix[Double]],
                        init: AeParams, epochs: Int = 50, lr: Double = 1e-3,
                        patience: Int = 10,
-                       valWindows: Option[org.apache.spark.rdd.RDD[DenseMatrix[Double]]] = None)
-      : TrainResult = {
+                       valWindows: Option[org.apache.spark.rdd.RDD[DenseMatrix[Double]]] = None,
+                       batchSize: Int = 64, seed: Long = 42L,
+                       tasksPerBatch: Int = 0): TrainResult = {
     val sc = spark.sparkContext
     var flat = flatten(init)
     val adam = new Adam(lr = lr)
-    val n = windows.count().toDouble
+    val indexed = windows.zipWithIndex().map(_.swap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = indexed.count().toDouble
     val nVal = valWindows.map(_.count().toDouble).getOrElse(0.0)
+    val numBatches = math.max(1, math.ceil(n / batchSize).toInt)
+    // default intra-step parallelism: spread the input's partitions over the
+    // batches (>=1) so one epoch occupies about as many tasks as the input had
+    val tpb = if (tasksPerBatch > 0) tasksPerBatch
+      else math.max(1, math.ceil(windows.getNumPartitions.toDouble / numBatches).toInt)
+    val numSlices = numBatches * tpb
     var best = flat.clone(); var bestVal = Double.MaxValue; var bestEpoch = -1
     var wait = 0
     val history = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     var epoch = 0
     while (epoch < epochs && wait <= patience) {
-      val bc = sc.broadcast(unflatten(init, flat))
-      val zero = (Array.empty[Double], 0.0) // lazy-init gradient array
-      val (gradSum, lossSum) = windows.treeAggregate(zero)(
-        seqOp = { case ((g, l), x) =>
-          val p = bc.value
-          val acc = zeroGrads(p)
-          val loss = forwardBackward(p, x, acc)
-          val fg = flattenGrads(acc)
-          if (g.isEmpty) (fg, l + loss)
-          else { var k = 0; while (k < g.length) { g(k) += fg(k); k += 1 }; (g, l + loss) }
-        },
-        combOp = { case ((g1, l1), (g2, l2)) =>
-          if (g1.isEmpty) (g2, l1 + l2)
-          else if (g2.isEmpty) (g1, l1 + l2)
-          else { var k = 0; while (k < g1.length) { g1(k) += g2(k); k += 1 }; (g1, l1 + l2) }
-        }, depth = 2)
-      val loss = lossSum / n
-      var k = 0; while (k < gradSum.length) { gradSum(k) /= n; k += 1 }
-      adam.step(flat, gradSum)
-      // held-out loss on the PRE-step weights' update — evaluate with the
-      // freshly stepped params, as Keras reports val_loss after the epoch
+      val e = epoch
+      // seeded per-epoch re-slicing; HashPartitioner on an Int key in
+      // [0, numSlices) is the identity partitioner
+      val sliced = indexed.map { case (id, x) =>
+        (math.floorMod(scala.util.hashing.MurmurHash3.productHash((id, e, seed)),
+          numSlices), x)
+      }.partitionBy(new org.apache.spark.HashPartitioner(numSlices)).values
+      var epochLossSum = 0.0
+      var b = 0
+      while (b < numBatches) {
+        val bc = sc.broadcast(unflatten(init, flat))
+        val results = sc.runJob(sliced,
+          (it: Iterator[DenseMatrix[Double]]) => {
+            val p = bc.value
+            val acc = zeroGrads(p)
+            var loss = 0.0; var cnt = 0L
+            it.foreach { x => loss += forwardBackward(p, x, acc); cnt += 1 }
+            (flattenGrads(acc), loss, cnt)
+          }, b * tpb until (b + 1) * tpb)
+        bc.destroy()
+        val cnt = results.map(_._3).sum.toDouble
+        if (cnt > 0) { // a slice can hash empty on tiny inputs
+          val g = results.map(_._1).reduceLeft { (g1, g2) =>
+            var k = 0; while (k < g1.length) { g1(k) += g2(k); k += 1 }; g1
+          }
+          var k = 0; while (k < g.length) { g(k) /= cnt; k += 1 }
+          adam.step(flat, g)
+          epochLossSum += results.map(_._2).sum
+        }
+        b += 1
+      }
+      val loss = epochLossSum / n
+      // held-out loss evaluated with the post-epoch params, as Keras
+      // reports val_loss after the epoch
       val valLoss = valWindows match {
         case Some(va) if nVal > 0 =>
           val bcNew = sc.broadcast(unflatten(init, flat))
@@ -348,12 +384,12 @@ object Training {
           s / nVal
         case _ => loss
       }
-      bc.destroy()
       history += ((loss, valLoss))
       if (valLoss < bestVal) { bestVal = valLoss; best = flat.clone(); bestEpoch = epoch; wait = 0 }
       else wait += 1
       epoch += 1
     }
+    indexed.unpersist(false)
     TrainResult(unflatten(init, best), history.toSeq, bestEpoch)
   }
 }

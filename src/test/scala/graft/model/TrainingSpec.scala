@@ -71,6 +71,34 @@ class TrainingSpec extends AnyFunSuite {
       && back.out.b == p.out.b)
   }
 
+  test("distributed minibatch trajectory is comparable to the driver path (batch semantics)") {
+    val spark = graft.TestSpark.spark
+    val windows = (0 until 32).map(window)
+    val init = Lstm.glorotInit(F, units = Seq(6, 3, 3, 6), seed = 7L)
+    val epochs = 15
+    val rDriver = Training.trainDriver(windows, IndexedSeq.empty, init,
+      epochs = epochs, batchSize = 8, lr = 1e-2, patience = epochs, seed = 1L)
+    val rDist = Training.trainDistributed(spark,
+      spark.sparkContext.parallelize(windows, 4), init, epochs = epochs,
+      lr = 1e-2, patience = epochs, batchSize = 8)
+    // Same schedule shape: 4 Adam steps per epoch on both arms (n=32, b=8).
+    // The epoch shuffles differ (Random vs murmur slices) so trajectories
+    // are not identical — but with matching step counts and lr they must
+    // track each other closely, unlike full-batch (1 step/epoch) which
+    // after 15 epochs has taken 15 steps instead of 60.
+    assert(rDist.history.size == epochs && rDriver.history.size == epochs)
+    val dFinal = rDist.history.last._1
+    val drFinal = rDriver.history.last._1
+    assert(dFinal < rDist.history.head._1, "distributed loss must decrease")
+    assert(dFinal / drFinal < 1.5 && drFinal / dFinal < 1.5,
+      s"trajectories diverged: driver=$drFinal distributed=$dFinal")
+    // per-epoch comparability over the back half of training
+    rDist.history.zip(rDriver.history).drop(epochs / 2).foreach {
+      case ((dl, _), (rl, _)) =>
+        assert(dl / rl < 2.0 && rl / dl < 2.0, s"epoch loss drifted: $dl vs $rl")
+    }
+  }
+
   test("Adam takes a descent step on a quadratic") {
     val adam = new Training.Adam(lr = 0.1)
     val params = Array(5.0, -3.0)
