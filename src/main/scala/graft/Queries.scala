@@ -726,6 +726,20 @@ object Queries {
         .orderBy("qid", "rank")
     }),
 
+    "q_ann_ivf_kmeans" -> ((s, d) => {
+      // IVF over the LEARNED quantizer: fixed-point Lloyd k-means (md5-
+      // seeded init, 2 exact-integer iterations) — no labels involved; the
+      // DuckDB oracle replays the identical iterations bit-for-bit.
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.sim.Ann.ivfTopKKmeans(q, "qid", "qv", emb, "vec_id", "embedding",
+          k = 5, centers = 8, iters = 2, nprobe = 2)
+        .select(col("qid"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     "q_random_proj" -> ((s, d) =>
       // JL random projection 64 → 8 dims on the md5 integer plane family —
       // exact integer dot products, bit-stable cross-engine (no rounding).
@@ -1196,6 +1210,8 @@ object Queries {
          |SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank
          |FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    "q_ann_ivf_kmeans" -> ivfKmeansSql(k = 8, iters = 2, nprobe = 2, topk = 5),
+
     "q_random_proj" ->
       s"""WITH fx AS (
          |  SELECT vec_id, CAST(g.i AS INTEGER) AS i,
@@ -1328,6 +1344,56 @@ object Queries {
        |bkt AS (
        |  SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY vec_id)""".stripMargin
+
+  /** DuckDB twin of Ann.ivfTopKKmeans: replays the fixed-point Lloyd
+    * iterations with the identical integer arithmetic — md5-seeded init,
+    * exact squared-distance assignment (tie → smaller cell), centroid
+    * update floorDiv(1000·Σq, m) via the pmod-subtraction so engine
+    * division semantics can't diverge. */
+  private def ivfKmeansSql(k: Int, iters: Int, nprobe: Int, topk: Int): String = {
+    def distTo(qa: String, ca: String) =
+      s"(SELECT sum(($qa[g.i]*1000 - $ca[g.i])*($qa[g.i]*1000 - $ca[g.i])) FROM generate_series(1, 64) g(i))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ev AS (SELECT vec_id, embedding,
+         |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         |  list_transform(q, x -> x*1000) AS c FROM ev
+         |  QUALIFY cell < $k),
+         |""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s"""a$i AS (SELECT e.vec_id, e.q, s.cell,
+           |  row_number() OVER (PARTITION BY e.vec_id ORDER BY ${distTo("e.q", "s.c")}, s.cell) AS rk
+           |  FROM ev e CROSS JOIN c${i - 1} s),
+           |u$i AS (SELECT a.cell, g.i AS pos, sum(a.q[g.i]) AS sv, count(*) AS m
+           |  FROM a$i a CROSS JOIN generate_series(1, 64) g(i) WHERE a.rk = 1
+           |  GROUP BY a.cell, g.i),
+           |c$i AS (SELECT cell,
+           |  list(CAST((1000*sv - ((((1000*sv) % m) + m) % m)) // m AS BIGINT) ORDER BY pos) AS c
+           |  FROM u$i GROUP BY cell),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""fin AS (SELECT e.vec_id, e.embedding, s.cell,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY ${distTo("e.q", "s.c")}, s.cell) AS rk
+         |  FROM ev e CROSS JOIN c$iters s),
+         |cells AS (SELECT vec_id, embedding, cell FROM fin WHERE rk = 1),
+         |probes AS (SELECT e.vec_id AS qid, e.embedding AS qv, s.cell,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY ${distTo("e.q", "s.c")}, s.cell) AS rk
+         |  FROM ev e CROSS JOIN c$iters s WHERE e.vec_id < 10),
+         |pr AS (SELECT qid, qv, cell FROM probes WHERE rk <= $nprobe),
+         |scored AS (
+         |  SELECT pr.qid, ce.vec_id,
+         |    round(list_cosine_similarity(pr.qv::DOUBLE[], ce.embedding::DOUBLE[]), 6) AS cosine,
+         |    row_number() OVER (PARTITION BY pr.qid
+         |      ORDER BY list_cosine_similarity(pr.qv::DOUBLE[], ce.embedding::DOUBLE[]) DESC, ce.vec_id) AS rank
+         |  FROM cells ce JOIN pr ON ce.cell = pr.cell AND ce.vec_id <> pr.qid)
+         |SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+         |FROM scored WHERE rank <= $topk ORDER BY qid, rank""".stripMargin)
+    sb.toString
+  }
 
   private lazy val jaccardSql: String =
     s"""WITH sh AS (

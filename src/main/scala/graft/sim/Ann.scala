@@ -85,14 +85,19 @@ object Ann {
     * per term and ≤ ~2^51 per 64-dim sum — far inside Long. `dims` must
     * equal the vector length (zip_with would null-pad a mismatch). */
   private def md5PlaneDots(vec: Column, prefix: String, nPlanes: Int,
-                           dims: Int): Column =
+                           dims: Int): Column = {
+    // hard guard: zip_with null-pads a length mismatch and the null dot
+    // would silently become 0-bits downstream — fail loudly instead
+    val guarded = when(assert_true(size(vec) === dims,
+      lit(s"md5 plane family: vector length must equal dims=$dims")).isNull, vec)
     array((0 until nPlanes).map { p =>
       val planes = array((0 until dims).map(i =>
         lit(md5Hex24(s"$prefix${p}_$i") - 8388608L)): _*)
-      aggregate(zip_with(vec, planes,
+      aggregate(zip_with(guarded, planes,
         (v, c) => floor(v.cast("double") * 1e6).cast("long") * c),
         lit(0L), (acc, x) => acc + x)
     }: _*)
+  }
 
   /** md5-parity twin of [[lshBucket]]: sign bits of the [[md5PlaneDots]]
     * integer projections — bucket assignment is bit-stable across engines
@@ -276,6 +281,114 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
   }
+  // ---- learned coarse quantizer: fixed-point Lloyd k-means ----
+
+  /** ⌊v·10³⌋ integer view of a float vector — the k-means quantization
+    * grid. All k-means arithmetic below is EXACT on integers, so cell
+    * assignment has no float near-tie anywhere (the md5-parity playbook
+    * applied to clustering: components ≤ ~2^11, squared distances over 64
+    * dims ≤ ~2^50 — Long-safe). */
+  private def quantize3(vec: Column): Column =
+    transform(vec, v => floor(v.cast("double") * 1000).cast("long"))
+
+  /** Integer squared L2 distance between a 10⁻³-grid vector (scaled ×1000)
+    * and a 10⁻⁶-grid centroid literal. */
+  private def intDist(q: Column, cvec: Array[Long]): Column =
+    aggregate(zip_with(q, array(cvec.map(lit(_)).toSeq: _*),
+      (a, b) => (a * lit(1000L) - b) * (a * lit(1000L) - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** (distance, cell) struct per centroid — centroids are plan literals
+    * (k·dims longs), so this is map-only with zero shuffle/broadcast. */
+  private def cellScores(q: Column, cents: Seq[(Int, Array[Long])]): Column =
+    array(cents.map { case (cell, arr) =>
+      struct(intDist(q, arr).as("d"), lit(cell).as("cell")) }: _*)
+
+  /** argmin cell: lexicographic array_min over (distance, cell) structs —
+    * min distance wins, exact-integer ties break to the smallest cell. */
+  private def nearestCellInt(q: Column, cents: Seq[(Int, Array[Long])]): Column =
+    array_min(cellScores(q, cents)).getField("cell")
+
+  /** LEARNED IVF coarse quantizer: Lloyd's k-means on the fixed-point
+    * integer grid with md5-seeded initial centroids and a FIXED iteration
+    * count — fully deterministic, so the whole index build is cross-engine
+    * oracle-expressible (the DuckDB twin replays identical iterations).
+    *
+    * Scale shape (the MLlib KMeans loop): per iteration ONE map-only
+    * assignment pass over the corpus (centroids ride in the plan as
+    * literals) and one (cell, pos) aggregation whose k×dims result is
+    * collected to the driver — O(k·dims), never O(corpus), the classic
+    * iterative-ML driver pattern. The quantized corpus is persisted across
+    * the iters+1 passes. Cells that lose all members drop out — identically
+    * on both engines.
+    *
+    * Centroids live on the 10⁻⁶ grid: the update is floorDiv(1000·Σq, m);
+    * subtracting pmod first makes the numerator exactly divisible, so
+    * trunc-vs-floor division differences between engines cannot appear. */
+  def kmeansCentroidsFixedPoint(corpus: DataFrame, idCol: String,
+                                vecCol: String, k: Int, iters: Int)
+      : Seq[(Int, Array[Long])] = {
+    val qv = corpus.select(col(idCol).as("_id"), quantize3(col(vecCol)).as("_q"))
+    qv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // md5-seeded init: the k corpus rows with smallest (md5(id), id); their
+    // quantized vectors (×1000 onto the centroid grid) are cells 0..k−1
+    var cents: Seq[(Int, Array[Long])] =
+      qv.orderBy(md5(col("_id").cast("string").cast("binary")), col("_id"))
+        .limit(k).select("_q").collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Long](0).map(_ * 1000L).toArray) }
+    var it = 0
+    while (it < iters) {
+      val upd = qv.withColumn("_cell", nearestCellInt(col("_q"), cents))
+        .select(col("_cell"), posexplode(col("_q")).as(Seq("_pos", "_v")))
+        .groupBy("_cell", "_pos")
+        .agg(sum("_v").as("_s"), count(lit(1)).as("_m"))
+        .collect() // ≤ k×dims rows — driver-sized by construction
+      cents = upd.groupBy(_.getInt(0)).toSeq.map { case (cell, rows) =>
+        (cell, rows.sortBy(_.getInt(1))
+          .map(r => Math.floorDiv(1000L * r.getLong(2), r.getLong(3))).toArray)
+      }.sortBy(_._1)
+      it += 1
+    }
+    qv.unpersist(false)
+    cents
+  }
+
+  /** IVF top-k over the learned k-means quantizer — no labels needed
+    * (the label-keyed [[ivfTopK]] stays as the fast path for pre-labeled
+    * corpora). Same two-stage search: corpus rows are assigned to their
+    * nearest centroid (map-only, exact integers), each query probes its
+    * `nprobe` nearest cells, and only those cells' rows are exact-scored.
+    * Both cell assignment and probe selection compare exact integer
+    * distances, so there is no float near-tie anywhere in the index —
+    * the fragility ADVICE flagged on the label variant's unrounded-cosine
+    * assignment cannot occur here. */
+  def ivfTopKKmeans(queries: DataFrame, qidCol: String, qvecCol: String,
+                    corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, centers: Int = 8, iters: Int = 2,
+                    nprobe: Int = 2): DataFrame = {
+    val cents = kmeansCentroidsFixedPoint(corpus, idCol, vecCol, centers, iters)
+    val cells = corpus
+      .withColumn("_cell", nearestCellInt(quantize3(col(vecCol)), cents))
+      .select(col(idCol), col(vecCol), col("_cell"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("_s.d"), col("_s.cell"))
+    val probes = queries
+      .select(col(qidCol), col(qvecCol),
+        explode(cellScores(quantize3(col(qvecCol)), cents)).as("_s"))
+      .withColumn("_rk", row_number().over(wq))
+      .filter(col("_rk") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("_s.cell").as("_cell"))
+    val joined = cells.join(broadcast(probes), Seq("_cell"))
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("cosine", cosine(col(qvecCol).cast("array<double>"),
+        col(vecCol).cast("array<double>")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
+  }
+
   def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, bits: Int = 8,
                     bucketFn: (Column, Int) => Column = lshBucket): DataFrame = {

@@ -140,6 +140,45 @@ class AnnSpec extends SparkSpec {
     assert(!ivf.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("ivfTopKKmeans: learned quantizer reaches recall@5 >= 0.9 on UNLABELED data") {
+    // Same clustered family, but no label column — the quantizer must
+    // discover the cells itself (md5-seeded fixed-point Lloyd).
+    val rng = new scala.util.Random(17)
+    val centers = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, -1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f),
+      Array(-1f, 0f, 0f, 1f, 0f, 0f, 0f, -1f))
+    val vecs = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + (rng.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val brute = Ann.bruteForceTopK(queries, "qid", "qv", corpus, "vec_id",
+      "embedding", 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopKKmeans(queries, "qid", "qv", corpus, "vec_id",
+      "embedding", 5, centers = 6, iters = 3, nprobe = 3)
+    val hits = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect hits).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall=$recall brute=${brute.size} ivf=${hits.size}")
+    assert(!ivf.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("kmeansCentroidsFixedPoint is deterministic and drops empty cells") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(-1.0f, 0.0f)), (3L, Seq(-0.9f, -0.1f))).toDF("vec_id", "embedding")
+    val a = Ann.kmeansCentroidsFixedPoint(df, "vec_id", "embedding", 2, 2)
+    val b = Ann.kmeansCentroidsFixedPoint(df, "vec_id", "embedding", 2, 2)
+    assert(a.map(_._1) == b.map(_._1))
+    assert(a.map(_._2.toSeq) == b.map(_._2.toSeq))
+    assert(a.nonEmpty && a.size <= 2)
+    // centroid components are on the 1e-6 integer grid of the data range
+    assert(a.forall(_._2.forall(c => math.abs(c) <= 1100000L)))
+  }
+
   test("lshBucketMd5 equals the exact integer projection computed on the driver") {
     // Re-derive the md5-basis bucket for one vector in plain Scala (same
     // integer math the oracle SQL mirrors) and compare with the expression.
