@@ -160,6 +160,16 @@ object Queries {
         .orderBy("ts_min")
     }),
 
+    "q_ffill_bucketed_w1" -> ((s, d) => {
+      // W1 for ONE long series at 100 TB: range-bucketed fill with
+      // boundary-value carry — no global window anywhere in the plan
+      // (PlanGuard's allow-list is NOT extended for this query). Same
+      // result, and the same oracle SQL, as the global q_ffill_bfill_w1.
+      val filled = Fill.ffillBfillBucketed(minuteWide(s, d), "ts_min", Types)
+      filled.select(col("ts_min") +: Types.map(c => round(col(c), 6).as(c)): _*)
+        .orderBy("ts_min")
+    }),
+
     "q_ffill_partitioned_w1" -> ((s, d) =>
       // The 100TB-shape fill: one analytic window PER SERIES (partitionBy
       // event_type) instead of a global single-task window. Nulls come from
@@ -835,6 +845,10 @@ object Queries {
         s"""round(coalesce("$c", median("$c") OVER ()), 6) AS "$c""""),
 
     "q_ffill_bfill_w1" -> fillAllSql(MinuteWideSql),
+
+    // the bucketed twin must produce byte-identical results to the global
+    // fill — it shares fillSql verbatim
+    "q_ffill_bucketed_w1" -> fillAllSql(MinuteWideSql),
 
     "q_ffill_partitioned_w1" ->
       s"""WITH long AS ($MinuteLongSql),

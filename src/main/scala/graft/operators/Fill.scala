@@ -55,6 +55,73 @@ object Fill {
     ffillBfill(sparse, orderCol, Seq(valCol), partitionCols = Seq(keyCol))
   }
 
+  /** W1 at 100 TB for ONE series: bucketed ffill-then-bfill with NO global
+    * window — [[graft.operators.Windows.prefixSumPartitioned]]'s offset
+    * trick applied to carried VALUES instead of sums. Rows are
+    * range-partitioned by `orderCol` and sorted within partitions; a
+    * per-partition (first, last) non-null summary per column — computed
+    * with order-independent `min_by`/`max_by` keyed on `orderCol`, so the
+    * aggregation is shuffle-safe — is collected to the driver
+    * (O(partitions × cols)); each partition then fills locally and falls
+    * back to the carried boundary values:
+    * {{{
+    *   ffill_global = coalesce(ffill_local, last non-null of earlier buckets)
+    *   bfill_global = coalesce(bfill_local, first non-null of later buckets)
+    *   result       = coalesce(ffill_global, bfill_global)
+    * }}}
+    * which equals the global `coalesce(ffill, bfill)` row-for-row, with
+    * every stage parallel. `orderCol` must be unique across rows (the same
+    * requirement any order-dependent fill has). */
+  def ffillBfillBucketed(df: DataFrame, orderCol: String,
+                         cols: Seq[String]): DataFrame = {
+    // localCheckpoint, not persist: repartitionByRange samples with an
+    // execution-dependent seed — recomputation could move bucket boundaries
+    // between the summary pass and the fill pass (same reasoning as
+    // Windows.prefixSumPartitioned).
+    val sorted = df.repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val nParts = math.max(1, sorted.rdd.getNumPartitions)
+    val aggs = cols.flatMap(c => Seq(
+      min_by(col(c), when(col(c).isNotNull, col(orderCol))).as(s"_f_$c"),
+      max_by(col(c), when(col(c).isNotNull, col(orderCol))).as(s"_l_$c")))
+    val byPid = sorted.groupBy("_pid").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getInt(r.fieldIndex("_pid")) -> r).toMap
+    def valueAt(p: Int, name: String): Any =
+      byPid.get(p).map(r => r.get(r.fieldIndex(name))).orNull
+    val wF = Window.partitionBy("_pid").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.partitionBy("_pid").orderBy(col(orderCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cols.foldLeft(sorted) { (d, c) =>
+      val dt = df.schema(c).dataType
+      // driver scans: carryIn(p) = last non-null before bucket p;
+      // backCarry(p) = first non-null after bucket p (empty buckets skipped)
+      val carryIn = new Array[Any](nParts)
+      var seen: Any = null
+      var p = 0
+      while (p < nParts) {
+        carryIn(p) = seen
+        val l = valueAt(p, s"_l_$c"); if (l != null) seen = l
+        p += 1
+      }
+      val backCarry = new Array[Any](nParts)
+      seen = null
+      p = nParts - 1
+      while (p >= 0) {
+        backCarry(p) = seen
+        val f = valueAt(p, s"_f_$c"); if (f != null) seen = f
+        p -= 1
+      }
+      def atPid(a: Array[Any]) =
+        element_at(array(a.map(v => lit(v).cast(dt)).toSeq: _*), col("_pid") + 1)
+      d.withColumn(c, coalesce(
+        last(col(c), ignoreNulls = true).over(wF), atPid(carryIn),
+        first(col(c), ignoreNulls = true).over(wB), atPid(backCarry)))
+    }.drop("_pid")
+  }
+
   /** Fill each column's nulls with that column's mean (`preprocess_data.py:48-55`). */
   def fillMean(df: DataFrame, cols: Seq[String]): DataFrame =
     fillWithAgg(df, cols, c => avg(col(c)))

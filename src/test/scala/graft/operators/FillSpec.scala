@@ -26,6 +26,31 @@ class FillSpec extends SparkSpec {
     assert(f.filter($"z".isNull).count() == 4) // all-null column stays null
   }
 
+  test("ffillBfillBucketed == global ffillBfill across bucket boundaries, no global window") {
+    // long sparse series: null runs longer than a bucket, leading and
+    // trailing nulls, an all-null column — every carry case exercised
+    val rows = (0 until 200).map { i =>
+      val x = if (i < 7 || i >= 193 || (i % 29) < 13) None else Some(i.toDouble)
+      val y = if (i == 100) Some(1.5) else None // one non-null: carries everywhere
+      (i.toLong, x, y, None: Option[Double])
+    }
+    val d = rows.toDF("ts", "x", "y", "z").repartition(8)
+    val global = Fill.ffillBfill(d, "ts", Seq("x", "y", "z"))
+      .orderBy("ts").collect().map(r => (r.get(1), r.get(2), r.get(3))).toSeq
+    val bucketed = Fill.ffillBfillBucketed(d, "ts", Seq("x", "y", "z"))
+    val got = bucketed.orderBy("ts").collect()
+      .map(r => (r.get(r.fieldIndex("x")), r.get(r.fieldIndex("y")),
+        r.get(r.fieldIndex("z")))).toSeq
+    assert(got == global)
+    // scale contract: the plan contains no single-partition window
+    val exec = bucketed.queryExecution.executedPlan
+    val globalWindows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "bucketed fill must not plan a global window")
+  }
+
   test("fillMean uses the column mean (A1)") {
     val f = Fill.fillMean(df, Seq("x")).orderBy("ts").collect()
     assert(f(0).getDouble(1) == 3.0) // mean(2,4)
