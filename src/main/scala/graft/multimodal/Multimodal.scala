@@ -10,11 +10,16 @@ import org.apache.spark.sql.types._
   * plumbing as batched `mapPartitions` transforms.
   *
   * Image decode is REAL (JDK-native `javax.imageio`: PNG/JPEG/GIF/BMP →
-  * downsampled luminance grid, see [[decodeImageLuma]]). Audio/video codec
-  * work is STUBBED (no such libraries in this environment — see
-  * `fakeDecode`, a deterministic hash-based stand-in). Everything around
-  * the seam — schema, batching, partitioning, encoders — is real: swap
-  * `fakeDecode` for a JNI/javacv call and the pipeline is production-shaped.
+  * downsampled luminance grid, see [[decodeImageLuma]]; note JPEG decode
+  * output is JDK/platform-dependent — IDCT and color management vary — so
+  * determinism claims hold for the lossless formats). Audio decode is REAL
+  * for JDK-native containers (`javax.sound.sampled`: WAV/AIFF/AU PCM →
+  * RMS-energy/zero-crossing block features, see [[decodeAudioFeatures]]).
+  * Only VIDEO codec work is STUBBED (no codec libraries in this
+  * environment — see `fakeDecode`, a deterministic hash-based stand-in).
+  * Everything around the seam — schema, batching, partitioning, encoders —
+  * is real: swap `fakeDecode` for a JNI/javacv call and the pipeline is
+  * production-shaped.
   *
   * Scale notes: payloads stay in executor memory only one batch at a time;
   * transforms are per-partition with zero shuffle; downstream joins carry
@@ -80,7 +85,78 @@ object Multimodal {
       case scala.util.control.NonFatal(_) => None
     }
 
-  /** Deterministic stand-in for the audio/video decoders (no codec
+  /** REAL audio decode — JDK-native `javax.sound.sampled`, no external
+    * dependency: WAV/AIFF/AU payload → PCM frames (converted to 16-bit
+    * signed, channel-averaged to mono) → `dim` features laid out as
+    * ⌊dim/2⌋ equal time blocks of (RMS energy, zero-crossing rate) pairs —
+    * the classic cheap audio fingerprint for dedup/quality screening.
+    *
+    * Returns None when the payload is not a decodable audio container
+    * (or has zero frames) — callers fall back to the hash stub, keeping
+    * non-audio corpora deterministic, and corrupt payloads task-safe. */
+  def decodeAudioFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val base = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          base.getChannels * 2, base.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = pcm.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = pcm.read(buf) }
+        val data = out.toByteArray
+        val ch = target.getChannels
+        val nFrames = data.length / (2 * ch)
+        if (nFrames == 0) None
+        else {
+          val samples = new Array[Double](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var s = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = (f * ch + c) * 2 // little-endian signed 16-bit
+              s += ((data(o + 1) << 8) | (data(o) & 0xff)).toShort / 32768.0
+              c += 1
+            }
+            samples(f) = s / ch
+            f += 1
+          }
+          val nBlocks = math.max(1, dim / 2)
+          val feats = new Array[Float](dim)
+          var b = 0
+          while (b < nBlocks) {
+            val lo = (b.toLong * nFrames / nBlocks).toInt
+            val hi = math.max(lo + 1, ((b + 1).toLong * nFrames / nBlocks).toInt)
+            var e = 0.0
+            var z = 0
+            var i = lo
+            while (i < hi) {
+              e += samples(i) * samples(i)
+              if (i > lo && (samples(i) >= 0) != (samples(i - 1) >= 0)) z += 1
+              i += 1
+            }
+            val len = hi - lo
+            if (2 * b < dim) feats(2 * b) = math.sqrt(e / len).toFloat
+            if (2 * b + 1 < dim) feats(2 * b + 1) = z.toFloat / len
+            b += 1
+          }
+          Some(feats)
+        }
+      } finally in.close()
+    } catch {
+      // same rationale as decodeImageLuma: the JDK parsers throw unchecked
+      // exceptions on valid-magic/corrupt-body payloads — fall back, don't
+      // kill the task
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Deterministic stand-in for the video decoder (no codec
     * libraries in this environment): folds the payload bytes into `dim`
     * float features with a rolling 64-bit hash. Also the fallback for
     * image payloads that fail to parse. */
@@ -98,8 +174,10 @@ object Multimodal {
 
   /** Feature extraction: (asset_id, features array<float>) via batched
     * mapPartitions — the decode seam. Image payloads go through the REAL
-    * `javax.imageio` luminance-grid decoder ([[decodeImageLuma]]); audio /
-    * video (and undecodable image bytes) use the documented hash stub. */
+    * `javax.imageio` luminance-grid decoder ([[decodeImageLuma]]); audio
+    * payloads through the REAL `javax.sound.sampled` PCM feature decoder
+    * ([[decodeAudioFeatures]]); video (and any undecodable payload) uses
+    * the documented hash stub. */
   def extractFeatures(assets: DataFrame, dim: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -114,6 +192,8 @@ object Multimodal {
           if (bytes == null) null
           else if (r.getAs[String](mIdx) == "image")
             decodeImageLuma(bytes, dim).getOrElse(fakeDecode(bytes, dim)).toSeq
+          else if (r.getAs[String](mIdx) == "audio")
+            decodeAudioFeatures(bytes, dim).getOrElse(fakeDecode(bytes, dim)).toSeq
           else fakeDecode(bytes, dim).toSeq
         Row(r.getLong(idIdx), feats)
       }

@@ -83,6 +83,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImageLuma("not an image".getBytes, 16).isEmpty)
   }
 
+  /** In-memory 16-bit mono WAV with the given samples in [-1, 1]. */
+  private def wavBytes(samples: Array[Double], rate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val v = math.max(-32768, math.min(32767, (s * 32767).round.toInt))
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudioFeatures: real WAV decodes to per-block RMS + zero-crossing features") {
+    // first half: full-scale 400 Hz sine; second half: silence
+    val n = 8000
+    val samples = Array.tabulate(n)(i =>
+      if (i < n / 2) math.sin(2 * math.Pi * 400 * i / 8000.0) else 0.0)
+    val feats = Multimodal.decodeAudioFeatures(wavBytes(samples), dim = 8).get
+    assert(feats.length == 8)
+    // 4 blocks of (rms, zcr): blocks 0-1 cover the sine (rms ~ 0.707,
+    // zcr ~ 2*400/8000 = 0.1), blocks 2-3 the silence (both ~ 0)
+    assert(math.abs(feats(0) - 0.707) < 0.05, s"sine rms ${feats(0)}")
+    assert(math.abs(feats(1) - 0.1) < 0.02, s"sine zcr ${feats(1)}")
+    assert(feats(4) < 1e-6 && feats(6) < 1e-6, "silence rms must be ~0")
+  }
+
+  test("decodeAudioFeatures returns None on non-audio bytes; extractFeatures routes audio") {
+    assert(Multimodal.decodeAudioFeatures("definitely not a wav".getBytes, 8).isEmpty)
+    val sine = wavBytes(Array.tabulate(4000)(i => math.sin(2 * math.Pi * 200 * i / 8000.0)))
+    val df = Seq((1L, "audio", sine), (2L, "audio", "corrupt".getBytes),
+        (3L, "video", sine))
+      .toDF("asset_id", "modality", "content")
+    val f = Multimodal.extractFeatures(df, dim = 8).orderBy("asset_id").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("features")))
+    // real decode: RMS of a full-scale sine ~0.707 in every block
+    assert(math.abs(f(0)(0) - 0.707) < 0.05, s"wav rms ${f(0)(0)}")
+    // corrupt audio payload falls back to the deterministic hash stub
+    assert(f(1).toList == Multimodal.fakeDecode("corrupt".getBytes, 8).toList)
+    // video stays on the stub even for valid wav bytes
+    assert(f(2).toList == Multimodal.fakeDecode(sine, 8).toList)
+  }
+
   test("binary column is pruned when only features are selected") {
     val feats = Multimodal.extractFeatures(assets, dim = 8)
     val scan = feats.queryExecution.executedPlan.toString
