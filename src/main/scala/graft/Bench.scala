@@ -39,7 +39,19 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: log captures of the stdout line have truncated
+    // the head of long JSON lines, losing the alphabetically-first per-query
+    // timings — the file copy is always fully parseable.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
