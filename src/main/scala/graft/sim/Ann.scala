@@ -153,6 +153,62 @@ object Ann {
       .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** Multi-probe LSH top-k — recall without another corpus scan: the CORPUS
+    * is bucketed once (same single-table layout as [[lshTopK]]), while each
+    * QUERY probes its own bucket plus the `probes` Hamming-distance-1
+    * neighbor buckets obtained by flipping its least-confident sign bits —
+    * the bits whose |projection| is smallest, i.e. where the vector lies
+    * closest to the hyperplane and a true neighbor most likely landed on
+    * the other side (the classic multi-probe LSH heuristic).
+    *
+    * Scale shape: corpus-side work is IDENTICAL to single-table LSH (one
+    * bucket per row — no explode, no second scan); only the tiny broadcast
+    * query side fans out ×(probes+1). Probe buckets of one query are
+    * pairwise distinct, so the equi-join introduces no duplicate candidate
+    * pairs and needs no distinct. */
+  def lshTopKMultiProbe(queries: DataFrame, qidCol: String, qvecCol: String,
+                        corpus: DataFrame, idCol: String, vecCol: String,
+                        k: Int, bits: Int = 8, probes: Int = 2): DataFrame = {
+    require(probes >= 0 && probes <= bits, s"need 0 <= probes <= bits, got $probes/$bits")
+    // per-plane projections — SAME expression composition as lshBucketPlanes
+    // so the sign-bit bucket is bit-identical to the corpus side's
+    def projArray(vec: Column): Column = {
+      val dims = sequence(lit(0), size(vec) - 1)
+      array((0 until bits).map { p =>
+        aggregate(zip_with(vec, dims,
+          (v, i) => v.cast("double") * planeComponent(p, i)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+    }
+    val qb = queries
+      // materialized aliases: _projs is referenced by both the base bucket
+      // and the flip ranking — inlining would re-evaluate the whole
+      // projection array per reference (interpreted-HOF recompute trap)
+      .withColumn("_projs", projArray(col(qvecCol)))
+      .withColumn("_bucket",
+        aggregate(zip_with(col("_projs"), sequence(lit(0), lit(bits - 1)),
+          (d, p) => when(d >= 0, call_function("shiftleft", lit(1L), p))
+            .otherwise(lit(0L))), lit(0L), (acc, v) => acc + v))
+      .withColumn("_flips",
+        transform(
+          slice(array_sort(zip_with(col("_projs"),
+            sequence(lit(0), lit(bits - 1)),
+            (d, p) => struct(abs(d).as("a"), p.as("idx")))), 1, probes),
+          s => col("_bucket")
+            .bitwiseXOR(call_function("shiftleft", lit(1L), s.getField("idx")))))
+      .select(col(qidCol), col(qvecCol),
+        explode(concat(array(col("_bucket")), col("_flips"))).as("bucket"))
+    val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), bits))
+    val joined = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("cosine", cosine(col(qvecCol), col(vecCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** Multi-table LSH top-k — the recall fix for the single-table variant: T
     * independent hyperplane tables, candidates unioned across tables, then
     * exact-scored and ranked. A query misses a true neighbor only if they

@@ -140,6 +140,35 @@ class AnnSpec extends SparkSpec {
     assert(!ivf.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("lshTopKMultiProbe: Hamming-1 probes lift single-table recall@5 to >= 0.95") {
+    val rng = new scala.util.Random(11)
+    val centers = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, -1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f),
+      Array(-1f, 0f, 0f, 1f, 0f, 0f, 0f, -1f))
+    val vecs = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + (rng.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val brute = Ann.bruteForceTopK(queries, "qid", "qv", corpus, "vec_id",
+      "embedding", 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp = Ann.lshTopKMultiProbe(queries, "qid", "qv", corpus, "vec_id",
+      "embedding", 5, bits = 4, probes = 3)
+    val hits = mp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect hits).size.toDouble / brute.size
+    assert(recall >= 0.95, s"recall=$recall brute=${brute.size} mp=${hits.size}")
+    assert(!mp.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // multi-probe must strictly dominate the plain single-table recall here
+    val single = Ann.lshTopK(queries, "qid", "qv", corpus, "vec_id",
+      "embedding", 5, bits = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val singleRecall = (brute intersect single).size.toDouble / brute.size
+    assert(recall >= singleRecall, s"probe recall $recall < single $singleRecall")
+  }
+
   test("ivfTopKKmeans: learned quantizer reaches recall@5 >= 0.9 on UNLABELED data") {
     // Same clustered family, but no label column — the quantizer must
     // discover the cells itself (md5-seeded fixed-point Lloyd).
