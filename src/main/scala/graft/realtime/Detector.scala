@@ -49,16 +49,29 @@ final class Detector(
     (end - (L + 2) * step, end)
   }
 
+  /** ST5 guard shared by both cycle entry points: true (and zeros
+    * published) when model/scaler artifacts are missing. */
+  private def missingArtifacts(): Boolean =
+    if (model.isEmpty || scaler.isEmpty) {
+      exporter.setGauge(exporter.LatestMse, 0.0)
+      exporter.setGauge(exporter.IsAnomaly, 0.0)
+      true
+    } else false
+
+  /** ST5: scoring failure → mse gauge −1 (realtime_detector.py:339-348). */
+  private def degraded(e: Throwable): Option[Double] = {
+    org.apache.log4j.Logger.getLogger(getClass)
+      .warn(s"detection cycle failed: ${e.getMessage}")
+    exporter.setGauge(exporter.LatestMse, -1.0)
+    exporter.setGauge(exporter.IsAnomaly, 0.0)
+    None
+  }
+
   /** One detection cycle at time `nowSec`. Returns the published MSE
     * (None on skip/degraded). Synchronous and side-effect-free except for
     * exporter updates — directly testable. */
   def runCycle(nowSec: Long): Option[Double] = {
-    if (model.isEmpty || scaler.isEmpty) {
-      // ST5: missing artifacts → publish zeros, no crash
-      exporter.setGauge(exporter.LatestMse, 0.0)
-      exporter.setGauge(exporter.IsAnomaly, 0.0)
-      return None
-    }
+    if (missingArtifacts()) return None
     try {
       val (startSec, endSec) = windowBounds(nowSec)
       // Persist the fetched window for the cycle: the lineage is consumed by
@@ -67,51 +80,87 @@ final class Detector(
       // and could score a different snapshot than the guard checked.
       val long = fetchWindow(startSec, endSec, step)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-      // J2 inner alignment: keep only timestamps present for every metric;
-      // broadcast-trivial at window size ≤ L+2 rows.
-      val wide = Align.pivotAlignInner(long, "ts", "alias", "value", aliases,
-        agg = Some(c => first(c, ignoreNulls = true)))
-      val withCal = PromIngest.withCalendar(wide, "ts")
-      // P5: re-impose the training column order (positional contract).
-      val ordered = withCal.select(("ts" +: features).map(col): _*)
-      val n = ordered.count()
-      exporter.setGauge(exporter.WindowPoints, n.toDouble)
-      if (n < L) return None // ST6: partial window → skip cycle
-      // W5 tail(L), W1 fallback fill, M5 frozen transform
-      val tail = Windows.tail(ordered, Seq("ts"), L)
-      val filled = Fill.ffillBfill(tail, "ts", features)
-      val scaled = scaler.get.transform(
-        filled.select(features.map(c => col(c).cast("double").as(c)): _*))
-      val rows = scaled.collect()
-      if (rows.length < L) return None
-      val x = DenseMatrix.tabulate(L, features.size) { (i, j) =>
-        val v = rows(i).get(j)
-        if (v == null) 0.0 else v.asInstanceOf[Double]
-      }
-      // M4 single-window inference + A6/A8 scoring
-      val xhat = Lstm.forward(model.get, x)
-      val mse = Lstm.mse(x, xhat)
-      val perFeature = Lstm.perFeatureMse(x, xhat)
-      val isAnomaly = mse > cfg.realtime.anomalyThresholdMse // P8
-      exporter.setGauge(exporter.LatestMse, mse)
-      exporter.setGauge(exporter.IsAnomaly, if (isAnomaly) 1.0 else 0.0)
-      if (isAnomaly) exporter.incCounter(exporter.TotalAnomalies) // ST4/A10
-      features.zip(perFeature).foreach { case (f, m) =>
-        exporter.setFeatureGauge(exporter.FeatureMse, f, m)
-      }
-      exporter.setGauge(exporter.LastSuccess, nowSec.toDouble)
-      Some(mse)
-      } finally long.unpersist()
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        // ST5: scoring failure → mse gauge −1 (realtime_detector.py:339-348)
-        org.apache.log4j.Logger.getLogger(getClass)
-          .warn(s"detection cycle failed: ${e.getMessage}")
-        exporter.setGauge(exporter.LatestMse, -1.0)
-        exporter.setGauge(exporter.IsAnomaly, 0.0)
-        None
+      try scoreLong(long, nowSec) finally long.unpersist()
+    } catch { case scala.util.control.NonFatal(e) => degraded(e) }
+  }
+
+  /** Align → guard → tail(L) → fill → scale → score → export: the cycle
+    * body both the fetching and the source-fed entry points share. */
+  private def scoreLong(long: DataFrame, nowSec: Long): Option[Double] = {
+    // J2 inner alignment: keep only timestamps present for every metric;
+    // broadcast-trivial at window size ≤ L+2 rows.
+    val wide = Align.pivotAlignInner(long, "ts", "alias", "value", aliases,
+      agg = Some(c => first(c, ignoreNulls = true)))
+    val withCal = PromIngest.withCalendar(wide, "ts")
+    // P5: re-impose the training column order (positional contract).
+    val ordered = withCal.select(("ts" +: features).map(col): _*)
+    val n = ordered.count()
+    exporter.setGauge(exporter.WindowPoints, n.toDouble)
+    if (n < L) return None // ST6: partial window → skip cycle
+    // W5 tail(L), W1 fallback fill, M5 frozen transform
+    val tail = Windows.tail(ordered, Seq("ts"), L)
+    val filled = Fill.ffillBfill(tail, "ts", features)
+    val scaled = scaler.get.transform(
+      filled.select(features.map(c => col(c).cast("double").as(c)): _*))
+    val rows = scaled.collect()
+    if (rows.length < L) return None
+    val x = DenseMatrix.tabulate(L, features.size) { (i, j) =>
+      val v = rows(i).get(j)
+      if (v == null) 0.0 else v.asInstanceOf[Double]
     }
+    // M4 single-window inference + A6/A8 scoring
+    val xhat = Lstm.forward(model.get, x)
+    val mse = Lstm.mse(x, xhat)
+    val perFeature = Lstm.perFeatureMse(x, xhat)
+    val isAnomaly = mse > cfg.realtime.anomalyThresholdMse // P8
+    exporter.setGauge(exporter.LatestMse, mse)
+    exporter.setGauge(exporter.IsAnomaly, if (isAnomaly) 1.0 else 0.0)
+    if (isAnomaly) exporter.incCounter(exporter.TotalAnomalies) // ST4/A10
+    features.zip(perFeature).foreach { case (f, m) =>
+      exporter.setFeatureGauge(exporter.FeatureMse, f, m)
+    }
+    exporter.setGauge(exporter.LastSuccess, nowSec.toDouble)
+    Some(mse)
+  }
+
+  // Trailing long-row buffer for source-fed cycles: bounded by
+  // aliases × (L+2) steps — driver-sized by construction.
+  private val trailing =
+    scala.collection.mutable.ArrayBuffer[(String, java.sql.Timestamp, Any)]()
+
+  /** ST1/ST2 fed by the DSv2 streaming source: accumulate one micro-batch
+    * of long rows (alias, ts, value) into the trailing (L+2)-step window
+    * and run one scoring cycle over it. Replaces the clock + per-cycle
+    * re-fetch with the source's own offset tracking — each sample is
+    * fetched ONCE (the reference re-fetches overlapping windows every 30 s;
+    * this is the incremental upgrade the DSv2 stream enables). The
+    * micro-batch collect is one poll interval of rows — driver-sized. */
+  def runCycleFromBatch(batch: DataFrame): Option[Double] = {
+    if (missingArtifacts()) return None
+    try {
+      batch.select(col("alias"), col("ts"), col("value")).collect().foreach { r =>
+        trailing += ((r.getString(0), r.getTimestamp(1),
+          if (r.isNullAt(2)) null else r.getDouble(2)))
+      }
+      if (trailing.isEmpty) return None
+      val maxSec = trailing.iterator.map(_._2.getTime / 1000).max
+      val horizon = maxSec - (L + 2).toLong * step
+      val kept = trailing.filter(_._2.getTime / 1000 > horizon).toVector
+      trailing.clear()
+      trailing ++= kept
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("alias",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val window = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          kept.map { case (a, t, v) => org.apache.spark.sql.Row(a, t, v) }, 1),
+        schema)
+      scoreLong(window, maxSec + step)
+    } catch { case scala.util.control.NonFatal(e) => degraded(e) }
   }
 
   /** ST1: the 30 s polling loop (`realtime_detector.py:392-398`). Runs

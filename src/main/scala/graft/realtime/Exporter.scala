@@ -35,6 +35,11 @@ final class Exporter(prefix: String = "anomaly_detector_") {
   private def fmt(d: Double): String =
     if (d == d.toLong.toDouble) d.toLong.toString else d.toString
 
+  /** Label-value escaping per the exposition format spec: backslash,
+    * double-quote and newline must be escaped inside label values. */
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
   /** Render the Prometheus text exposition format (public format spec). */
   def render(): String = {
     val sb = new StringBuilder
@@ -46,7 +51,7 @@ final class Exporter(prefix: String = "anomaly_detector_") {
       .foreach { case (n, entries) =>
         sb.append(s"# TYPE $prefix$n gauge\n")
         entries.sortBy(_._1._2).foreach { case ((_, f), v) =>
-          sb.append(s"""$prefix$n{feature_name="$f"} ${fmt(v)}""").append('\n')
+          sb.append(s"""$prefix$n{feature_name="${esc(f)}"} ${fmt(v)}""").append('\n')
         }
       }
     counters.asScala.toSeq.sortBy(_._1).foreach { case (n, v) =>

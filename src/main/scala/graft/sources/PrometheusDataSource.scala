@@ -204,13 +204,25 @@ private[sources] class PromMicroBatchStream(props: Map[String, String],
 
   override def initialOffset(): Offset = PromOffset(startSec)
 
+  // Monotonic floor for emitted offsets: a wall clock stepped BACK (NTP)
+  // between triggers must not produce an offset earlier than one already
+  // committed — Spark would re-emit rows into an append sink. Tracks the
+  // highest offset this instance has handed out.
+  @volatile private var highWater: Long = startSec
+
   private def clockEnd(): Long = {
     val now = System.currentTimeMillis() / 1000
     val aligned = now - Math.floorMod(now, step)
     math.max(startSec, math.min(boundSec, aligned))
   }
 
-  override def latestOffset(): Offset = PromOffset(clockEnd())
+  private def monotonic(sec: Long): Long = {
+    val v = math.max(highWater, sec)
+    highWater = v
+    v
+  }
+
+  override def latestOffset(): Offset = PromOffset(monotonic(clockEnd()))
 
   /** Capped batch ends stay on the startSec-anchored step grid: Prometheus
     * anchors query_range samples at each request's own `start`, so a batch
@@ -220,8 +232,10 @@ private[sources] class PromMicroBatchStream(props: Map[String, String],
     * step still advances by a full step so the stream always progresses. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[PromOffset].sec
-    val end = clockEnd()
-    PromOffset(maxSpanSec match {
+    // clamp: a regressed clock (end < from) must return `from` (empty
+    // batch), never an offset earlier than the one already committed
+    val end = math.max(from, clockEnd())
+    PromOffset(monotonic(maxSpanSec match {
       case Some(span) =>
         if (span >= end - from) end
         else {
@@ -230,15 +244,19 @@ private[sources] class PromMicroBatchStream(props: Map[String, String],
           if (floored <= from) math.min(end, from + step) else floored
         }
       case None => end
-    })
+    }))
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   /** The TRUE latest available offset (ignores the per-batch cap) — lets
     * Trigger.AvailableNow snapshot the real catch-up target and drain it
-    * over several capped batches instead of stopping after one. */
-  override def reportLatestOffset(): Offset = PromOffset(clockEnd())
+    * over several capped batches instead of stopping after one. READ-ONLY
+    * on the high-water mark: reporting must not advance `highWater`, or a
+    * report of the uncapped end would defeat the per-batch cap inside
+    * `monotonic` on the next `latestOffset` call. */
+  override def reportLatestOffset(): Offset =
+    PromOffset(math.max(highWater, clockEnd()))
 
   override def deserializeOffset(json: String): Offset = PromOffset(json.toLong)
 

@@ -44,6 +44,29 @@ object StreamingDetector {
       .start()
   }
 
+  /** Shape 1b: the polling loop fed BY the DSv2 Prometheus source — the
+    * metric stream reads through `PromMicroBatchStream` (same table
+    * abstraction as the batch scan, offsets tracked by the source) and
+    * each micro-batch's long rows accumulate into the detector's trailing
+    * window for one scoring cycle ([[Detector.runCycleFromBatch]]). Unlike
+    * [[startPolling]]'s clockwork re-fetch, every sample is fetched exactly
+    * once; chunk fetches parallelize across executors inside each batch. */
+  def startPollingDsv2(spark: SparkSession, detector: Detector,
+                       sourceOptions: Map[String, String],
+                       trigger: Trigger): StreamingQuery =
+    spark.readStream
+      .format("graft.sources.PrometheusDataSource")
+      .options(sourceOptions)
+      .load()
+      .writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        detector.runCycleFromBatch(batch.toDF())
+        ()
+      }
+      .start()
+
   /** Streaming J1 building block: event-time windowed per-series averages
     * with a watermark — `readStream → withWatermark → groupBy(window(...))`.
     * Late rows beyond `lateness` are dropped and windows finalize, so state

@@ -98,6 +98,38 @@ class RealtimeSpec extends SparkSpec {
     assert(s == e - (5 + 2) * 60L)
   }
 
+  test("S10 golden: the full /metrics render is byte-stable (six series, escaping, ordering)") {
+    // All six reference series (realtime_detector.py:251-258), rendered in
+    // the exporter's documented order: gauges sorted by name, then labeled
+    // feature gauges sorted by feature name, then counters. One feature
+    // name exercises label-value escaping (backslash + quote).
+    val exp = new Exporter()
+    exp.setGauge(exp.WindowPoints, 20.0)
+    exp.setGauge(exp.IsAnomaly, 1.0)
+    exp.setGauge(exp.LastSuccess, 1700000000.0)
+    exp.setGauge(exp.LatestMse, 0.00125)
+    exp.setFeatureGauge(exp.FeatureMse, "cpu", 0.5)
+    exp.setFeatureGauge(exp.FeatureMse, "a\"b\\c", 0.25)
+    exp.incCounter(exp.TotalAnomalies, 3)
+    val golden =
+      """# TYPE anomaly_detector_data_points_in_current_window gauge
+        |anomaly_detector_data_points_in_current_window 20
+        |# TYPE anomaly_detector_is_anomaly_detected gauge
+        |anomaly_detector_is_anomaly_detected 1
+        |# TYPE anomaly_detector_last_successful_run_timestamp_seconds gauge
+        |anomaly_detector_last_successful_run_timestamp_seconds 1700000000
+        |# TYPE anomaly_detector_latest_reconstruction_error_mse gauge
+        |anomaly_detector_latest_reconstruction_error_mse 0.00125
+        |# TYPE anomaly_detector_feature_reconstruction_error_mse gauge
+        |anomaly_detector_feature_reconstruction_error_mse{feature_name="a\"b\\c"} 0.25
+        |anomaly_detector_feature_reconstruction_error_mse{feature_name="cpu"} 0.5
+        |# TYPE anomaly_detector_total_anomalies_count_total counter
+        |anomaly_detector_total_anomalies_count_total 3
+        |""".stripMargin
+    assert(exp.render() == golden,
+      s"render drifted:\n---got---\n${exp.render()}\n---want---\n$golden")
+  }
+
   test("S10: exporter serves /metrics over HTTP in exposition format") {
     val exp = new Exporter()
     exp.setGauge(exp.LatestMse, 0.125)

@@ -176,6 +176,47 @@ class StreamingDetectorSpec extends SparkSpec {
     assert(out.forall(!_.getAs[Boolean]("isAnomaly")))
   }
 
+  test("polling loop fed by the DSv2 source: fetch -> score end-to-end (ST1 + S1)") {
+    graft.sources.CannedFetcher.reset()
+    val cfg = graft.config.GraftConfig.fromYaml(
+      "queries:\n  cpu: 'rate(cpu[1m])'\ndata_settings:\n  step: \"120\"\ntraining_settings:\n  sequence_length: 3\n")
+    val exp = new graft.realtime.Exporter()
+    val feats = cfg.featureColumns // cpu + day_of_week + hour_of_day
+    val det = new graft.realtime.Detector(spark, cfg, exp,
+      Some(graft.operators.Scalers.MinMaxScaler(feats,
+        Seq.fill(feats.size)(0.0), Seq(100.0, 6.0, 23.0))),
+      Some(Lstm.glorotInit(feats.size, Seq(4, 2, 2, 4), 1L)),
+      // source-fed cycles must never re-fetch on their own
+      (_, _, _) => sys.error("fetchWindow must not be called on the DSv2 path"))
+    val q = StreamingDetector.startPollingDsv2(spark, det, Map(
+      "url" -> "http://prom.test",
+      "queries" -> "cpu=rate(cpu[1m])",
+      "start" -> "0", "end" -> "3600",
+      "step" -> "120", "chunkHours" -> "1",
+      "maxSecondsPerBatch" -> "1200", // 3 capped micro-batches over [0, 3600)
+      "fetcher" -> classOf[graft.sources.CannedFetcher].getName),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      // capped batches drain the bounded range over ~3 triggers; wait for
+      // the cycle that scored the final window (maxTs 3480 + step = 3600)
+      val deadline = System.currentTimeMillis() + 90000
+      def done() = exp.render()
+        .contains("last_successful_run_timestamp_seconds 3600\n")
+      while (!done() && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      val rendered = exp.render()
+      assert(rendered.contains("last_successful_run_timestamp_seconds 3600\n"),
+        rendered)
+      // the last cycle scored the trailing (L+2)-step window: samples at
+      // t=3000 (null, dropped by inner align), 3120..3480 -> 4 points
+      assert(rendered.contains("data_points_in_current_window 4\n"), rendered)
+      assert(rendered.contains("latest_reconstruction_error_mse"), rendered)
+      // the bounded range was fetched chunk-by-chunk through the fixture:
+      // 3 capped batches x 1 alias, at least one chunk each
+      assert(graft.sources.CannedFetcher.count >= 3,
+        s"fetches=${graft.sources.CannedFetcher.count}")
+    } finally q.stop()
+  }
+
   test("polling shape: rate-source stream drives detection cycles (ST1)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
