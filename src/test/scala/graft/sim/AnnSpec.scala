@@ -195,6 +195,37 @@ class AnnSpec extends SparkSpec {
     assert(!ivf.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("label-IVF assignment has no cross-cell near-ties on the shipped fixtures") {
+    // ivfTopK's cell assignment compares UNROUNDED double cosines on both
+    // engines; it is oracle-safe only while no vector's top-2 centroid
+    // similarities are within cross-engine float drift. Assert a gap far
+    // above ulp noise (1e-7) on every fixture scale the gates use.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val path = s"/root/testdata/$sf/embeddings.parquet"
+      if (new java.io.File(path).exists) {
+        val emb = spark.read.parquet(path)
+        val cents = Ann.centroids(emb, "label", "embedding")
+          .collect().map { r =>
+            r.getSeq[Double](r.fieldIndex("centroid"))
+              .map(v => math.rint(v * 1e6) / 1e6).toArray // 6-dp, as in ivfTopK
+          }
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+          d / math.sqrt(na * nb)
+        }
+        val vecs = emb.select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        val minGap = vecs.map { v =>
+          val sims = cents.map(c => cos(v, c)).sorted(Ordering[Double].reverse)
+          sims(0) - sims(1)
+        }.min
+        assert(minGap > 1e-7, s"$sf: top-2 centroid similarity gap $minGap " +
+          "is inside float-drift range — quantize the assignment similarity")
+      }
+    }
+  }
+
   test("kmeansCentroidsFixedPoint is deterministic and drops empty cells") {
     val df = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
