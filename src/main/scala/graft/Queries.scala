@@ -597,6 +597,35 @@ object Queries {
         .orderBy(col("cnt").desc, col("token"))
         .limit(100)),
 
+    "q_pii_scrub" -> ((s, d) => {
+      // PII redaction. The fixture text carries no PII, so a deterministic
+      // email + IPv4 are synthesized from doc_id IDENTICALLY on both
+      // engines — the oracle then verifies real (non-vacuous) replacements.
+      val withPii = Tables.documents(s, d).select(col("doc_id"),
+        concat(substring(col("text"), 1, 40), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 end"))
+          .as("text"))
+      graft.text.TextStats.scrubPii(withPii, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q_repetition" -> ((s, d) =>
+      // Gopher/C4 repetition filters: distinct-token ratio + top-token share.
+      graft.text.TextStats.repetitionSignals(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_contamination" -> ((s, d) => {
+      // Decontamination audit: corpus docs (id >= 20) sharing 3-gram
+      // shingles with the benchmark stand-in (id < 20).
+      val docs = Tables.documents(s, d)
+      graft.text.TextStats.contamination(
+          docs.filter(col("doc_id") >= 20), "doc_id", "text",
+          docs.filter(col("doc_id") < 20), k = 3)
+        .orderBy("doc_id")
+    }),
+
     "q_doc_stats" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang")
@@ -1124,6 +1153,49 @@ object Queries {
          |        '${graft.text.TextStats.BpeTokenPattern}')) AS p
          |      FROM documents)
          |GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 100""".stripMargin,
+
+    "q_pii_scrub" -> {
+      val email = graft.text.TextStats.EmailPattern
+      val ip = graft.text.TextStats.Ipv4Pattern
+      s"""WITH pii AS (SELECT doc_id,
+         |  substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |    || '.7 end' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS INTEGER) AS n_ips,
+         |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g') AS scrubbed
+         |FROM pii ORDER BY doc_id""".stripMargin
+    },
+
+    "q_repetition" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, t AS tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |        FROM documents)
+         |  WHERE t <> '' GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(max(c) AS BIGINT) AS max_tf,
+         |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_share
+         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(0, len(tk) - 2),
+         |    i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])))) AS shingle
+         |  FROM (SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+         |    FROM documents)),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sh s JOIN bench b USING (shingle)
+         |WHERE s.doc_id >= 20
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "q_doc_stats" ->
       s"""SELECT lang, count(*) AS cnt, round(avg(n_chars), 6) AS avg_chars,

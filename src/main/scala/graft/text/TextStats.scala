@@ -145,6 +145,64 @@ object TextStats {
       .select(col(idCol), col("term"), col("rk"), round(col("score"), 6).as("score"))
   }
 
+  /** PII masking patterns. Single-branch regexes ONLY (no alternation):
+    * Java regex is leftmost-first backtracking where RE2 (DuckDB) is
+    * leftmost-longest — the two agree exactly when every pattern has one
+    * branch and plain greedy quantifiers, which these do. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrubbing — the redaction pass of a training-data pipeline:
+    * masks emails then IPv4 literals, and reports per-document match
+    * counts (counted BEFORE masking). Pure per-row regex work: scan
+    * speed, zero shuffle, embarrassingly parallel at 100 TB. */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).as("n_ips"),
+      regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>").as("scrubbed"))
+  }
+
+  /** Repetition signals (the Gopher/C4 repetition filters): per document,
+    * token totals, distinct-token ratio and the share of the single most
+    * frequent token. Shape: explode → (doc, token) count → per-doc
+    * aggregate — two map-side-combinable shuffles keyed by doc, no
+    * windows. Documents with zero tokens emit no row (explode of an empty
+    * array), identically on both engines. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max("c").as("max_tf"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .withColumn("top_token_share",
+        round(col("max_tf").cast("double") / col("n_tokens"), 6))
+
+  /** Benchmark-contamination audit — the decontamination pre-step of every
+    * LLM training pipeline: for each corpus document, the number of
+    * distinct k-gram shingles it shares with ANY benchmark document.
+    *
+    * Scale shape: both sides explode to (id, shingle) — already distinct
+    * per doc via the shingle builder — the benchmark side collapses to a
+    * distinct shingle set, and the match is an equi-join on the shingle
+    * (hash-distributed, never all-pairs; AQE broadcasts a small benchmark).
+    * Docs with zero overlap are absent (inner join) — left-join the corpus
+    * ids back for explicit zeros if needed. */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, k: Int = 3): DataFrame = {
+    import graft.dedup.Dedup
+    def sh(df: DataFrame) = df
+      .select(col(idCol), Dedup.normTokens(col(textCol)).as("_tk"))
+      .select(col(idCol), explode(Dedup.shinglesFromTokens(col("_tk"), k)).as("shingle"))
+    val bench = sh(benchmark).select("shingle").distinct()
+    sh(corpus).join(bench, Seq("shingle"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Document chunking — the context-window packing pre-step of every LLM
     * training pipeline: each document's token stream becomes overlapping
     * windows of `chunkSize` tokens starting every `stride` tokens. The last

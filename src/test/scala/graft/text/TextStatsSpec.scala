@@ -65,6 +65,48 @@ class TextStatsSpec extends SparkSpec {
     both.foreach { case (ex, sp) => assert(ex == sp, s"extract=$ex split=$sp") }
   }
 
+  test("scrubPii masks emails and IPv4s, counts matches before masking") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org and 192.168.0.1 twice 10.0.0.7"),
+      (2L, "no pii here at all"),
+      (3L, "version 1.2 is not an ip, 1.2.3.4 is")).toDF("id", "text")
+    val r = TextStats.scrubPii(df, "id", "text").orderBy("id").collect()
+    assert(r(0).getAs[Int]("n_emails") == 1 && r(0).getAs[Int]("n_ips") == 2)
+    assert(r(0).getAs[String]("scrubbed") ==
+      "mail <EMAIL> and <IP> twice <IP>")
+    assert(r(1).getAs[Int]("n_emails") == 0 && r(1).getAs[Int]("n_ips") == 0)
+    assert(r(1).getAs[String]("scrubbed") == "no pii here at all")
+    assert(r(2).getAs[Int]("n_ips") == 1)
+    assert(r(2).getAs[String]("scrubbed") == "version 1.2 is not an ip, <IP> is")
+  }
+
+  test("repetitionSignals: distinct ratio and top-token share per doc") {
+    val df = Seq(
+      (1L, "a a a b"),    // 4 tokens, 2 distinct, max tf 3
+      (2L, "x y z"),      // no repetition
+      (3L, "")).toDF("id", "text")
+    val r = TextStats.repetitionSignals(df, "id", "text").orderBy("id").collect()
+    assert(r.length == 2) // empty doc emits no row
+    assert(r(0).getAs[Long]("n_tokens") == 4 && r(0).getAs[Long]("n_distinct") == 2)
+    assert(r(0).getAs[Double]("distinct_ratio") == 0.5)
+    assert(r(0).getAs[Double]("top_token_share") == 0.75)
+    assert(r(1).getAs[Double]("distinct_ratio") == 1.0)
+  }
+
+  test("contamination counts shared distinct shingles vs the benchmark set") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox sleeps"),   // shares 2 3-grams
+      (2L, "entirely different words here"), // shares none
+      // duplicated n-grams count ONCE: shares {quick brown fox, brown fox jumps}
+      (3L, "quick brown fox jumps high quick brown fox jumps"))
+      .toDF("id", "text")
+    val r = TextStats.contamination(corpus, "id", "text", bench, k = 3)
+      .orderBy("id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 2L))) // doc 2 absent: zero overlap
+  }
+
   test("chunkTokens: overlapping windows cover every token, tail kept") {
     import spark.implicits._
     val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
