@@ -511,6 +511,23 @@ object Queries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    "q_sample_temperature" -> ((s, d) =>
+      // α=0.5 mixture sampling: rare languages keep a higher fraction.
+      // sqrt/division are correctly-rounded IEEE ops, so the per-language
+      // floor threshold is bit-identical cross-engine.
+      graft.text.Sampling.sampleTemperatureHalf(
+          Tables.documents(s, d), "doc_id", "lang", c = 3.0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    "q_dedup_quality" -> ((s, d) =>
+      // Retention policy: keep the LONGEST duplicate (not the first-seen)
+      // per exact fingerprint, ties to the smallest doc_id.
+      graft.dedup.Dedup.exactDedupSurvivorsByQuality(
+          Tables.documents(s, d), "doc_id", "text", "n_chars")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
     "q_sample_stratified" -> ((s, d) =>
       // Language-rebalancing sample: downsample dominant 'en' to 10%, keep
       // 50% of every other language — deterministic per-stratum rates.
@@ -1046,6 +1063,20 @@ object Queries {
     "q_sample_hash" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000 < 300
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_temperature" ->
+      s"""WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN n USING (lang)
+         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000
+         |  < least(1000, CAST(floor(3000.0 / sqrt(cnt)) AS BIGINT))
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_quality" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |  ORDER BY n_chars DESC, doc_id) = 1
          |ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->

@@ -271,6 +271,22 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Exact-dedup survivors by QUALITY: keep the row maximizing `scoreCol`
+    * per fingerprint group (ties → smallest `idCol`) — the retention
+    * policy real pipelines use (keep the best-quality duplicate, not the
+    * first-seen). One ranked window partitioned by the fingerprint: the
+    * shuffle is keyed on the fingerprint, groups are duplicate-set-sized
+    * (tiny), and no second pass over the corpus is needed. */
+  def exactDedupSurvivorsByQuality(df: DataFrame, idCol: String,
+                                   textCol: String, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_fp").orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("_fp", graft.text.TextStats.fingerprintMd5(col(textCol)))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_fp", "_rk")
+  }
+
   /** Near-dup CLUSTERS from candidate/verified pairs: connected components,
     * labeled by the smallest member id. Returns (id, cluster) for every id
     * appearing in `pairs` (singletons are implicitly their own cluster).

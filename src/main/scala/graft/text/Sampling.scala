@@ -42,6 +42,29 @@ object Sampling {
     df.filter(hashBucket(col(idCol), buckets) < rateCol)
   }
 
+  /** Temperature-weighted mixture sampling at α = 0.5 — the multilingual
+    * data-mixing recipe (keep language l with rate ∝ n_l^(α−1), flattening
+    * the mix toward rare languages; α = 0.5 ⇒ rate_l = min(1, c/√n_l)).
+    *
+    * α is FIXED at 0.5 deliberately: `sqrt` and division are
+    * correctly-rounded IEEE operations, so the per-stratum threshold
+    * `floor(c·buckets/√n_l)` is bit-identical cross-engine — a generic
+    * `pow(n, α−1)` is libm-dependent and could flip a floor boundary. The
+    * per-stratum form also avoids normalizing by Σ_l n_l^α, whose
+    * engine-dependent summation order would reintroduce ulp drift.
+    *
+    * Scale shape: one tiny stratum-count aggregate broadcast back onto the
+    * scan; the keep decision stays a scan-side filter — the data itself
+    * never shuffles. */
+  def sampleTemperatureHalf(df: DataFrame, idCol: String, stratumCol: String,
+                            c: Double, buckets: Int = 1000): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("_n"))
+    df.join(broadcast(counts), Seq(stratumCol))
+      .filter(hashBucket(col(idCol), buckets) <
+        least(lit(buckets.toLong), floor(lit(c * buckets) / sqrt(col("_n")))))
+      .drop("_n")
+  }
+
   /** Split-leakage audit: values of `keyCol` present in BOTH frames (e.g.
     * text fingerprints shared by a train and an eval split — the
     * contamination check every training pipeline needs). Distinct +

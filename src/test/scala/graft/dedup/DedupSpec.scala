@@ -21,6 +21,22 @@ class DedupSpec extends SparkSpec {
     assert(d(1).getAs[Long]("doc_id") == 4L && d(1).getAs[Long]("dup_count") == 1L)
   }
 
+  test("exactDedupSurvivorsByQuality keeps the best-scoring duplicate, ties to min id") {
+    import org.apache.spark.sql.functions._
+    // docs 1,2,3 normalize identically; give doc 2 the top score, and tie
+    // docs 1 and 3 below it (tie must break to the smaller id = unused here)
+    val scored = docs.withColumn("score",
+      when(col("doc_id") === 2L, 10).otherwise(5))
+    val kept = Dedup.exactDedupSurvivorsByQuality(scored, "doc_id", "text", "score")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L, 4L, 5L)) // 2 beats 1/3 on score; 4, 5 singletons
+    // all-equal scores fall back to keep-first (min id) — matches exactDedup
+    val uniform = Dedup.exactDedupSurvivorsByQuality(
+      scored.withColumn("score", lit(1)), "doc_id", "text", "score")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(uniform == Seq(1L, 4L, 5L))
+  }
+
   test("shingles: k-gram count and n<k degenerate case") {
     val df = Seq("a b c d", "a b").toDF("t")
     val sh = df.select(Dedup.shingles(col("t"), 3).as("s"))

@@ -31,6 +31,24 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(byLang("de") - 500L) < 80, s"de=${byLang("de")} of ~500")
   }
 
+  test("sampleTemperatureHalf: rare strata keep a higher fraction; rate = min(1, c/sqrt(n))") {
+    // 1600 'en' rows vs 100 'tlh' rows: keep thresholds c*1000/sqrt(n)
+    // with c=2 -> en: 2000/40 = 50 buckets (5%), tlh: 2000/10 = 200 (20%)
+    val df = ((0L until 1600L).map(i => (i, "en")) ++
+      (10000L until 10100L).map(i => (i, "tlh"))).toDF("id", "lang")
+    val s = Sampling.sampleTemperatureHalf(df, "id", "lang", c = 2.0)
+    val byLang = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / 1600
+    val tlhRate = byLang.getOrElse("tlh", 0L).toDouble / 100
+    assert(math.abs(enRate - 0.05) < 0.03, s"en rate $enRate of ~0.05")
+    assert(math.abs(tlhRate - 0.20) < 0.12, s"tlh rate $tlhRate of ~0.20")
+    assert(tlhRate > enRate, "flattening must favor the rare stratum")
+    // c large enough saturates at keep-everything
+    val all = Sampling.sampleTemperatureHalf(df, "id", "lang", c = 1000.0)
+    assert(all.count() == 1700)
+  }
+
   test("overlap: keys present in both sides, distinct, semi-join plan") {
     val a = Seq("x", "y", "y", "z").toDF("fp")
     val b = Seq("y", "z", "z", "w").toDF("fp")
