@@ -118,6 +118,24 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ffillBfillBucketed equals global ffillBfill on random sparse series") {
+    // The boundary-value-carry fill must equal the single-window semantics
+    // row-for-row on arbitrary null layouts: leading/trailing null runs,
+    // runs longer than a bucket, all-null and all-present columns.
+    val optGen = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.option(Gen.chooseNum(-50.0, 50.0))))
+    for (seed <- 1L to 6L) {
+      val xs = sample(optGen, seed * 41)
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("ts", "x").repartition(7)
+      def vals(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("ts").collect().map(r => Option(r.get(r.fieldIndex("x")))).toSeq
+      val global = vals(Fill.ffillBfill(df, "ts", Seq("x")))
+      val bucketed = vals(Fill.ffillBfillBucketed(df, "ts", Seq("x")))
+      assert(bucketed == global, s"seed=$seed n=${xs.size}")
+    }
+  }
+
   test("windowMse ≥ 0, = 0 on identical windows, symmetric in arguments") {
     for (seed <- 1L to 4L) {
       val xs = sample(Gen.listOfN(6, Gen.chooseNum(-5.0, 5.0)), seed * 17)
