@@ -538,11 +538,16 @@ object Queries {
 
     "q_split_leakage" -> ((s, d) => {
       // Train/eval contamination check: normalized-text fingerprints that
-      // appear on BOTH sides of a (deterministic) even/odd doc split.
+      // appear on BOTH sides of a split. The fixture corpus has NO
+      // duplicate texts, so a disjoint even/odd split would make this
+      // oracle verify the empty set (the vacuous-oracle trap) — the two
+      // "sources" here deliberately overlap in membership (multiples of 2
+      // vs multiples of 3 ⇒ multiples of 6 leak), as real multi-source
+      // corpora do, so the oracle checks a non-empty fingerprint set.
       val f = Tables.documents(s, d).select(col("doc_id"),
         graft.text.TextStats.fingerprintMd5(col("text")).as("fp"))
       graft.text.Sampling.overlap(
-          f.filter(col("doc_id") % 2 === 0), f.filter(col("doc_id") % 2 === 1), "fp")
+          f.filter(col("doc_id") % 2 === 0), f.filter(col("doc_id") % 3 === 0), "fp")
         .orderBy("fp")
     }),
 
@@ -1090,7 +1095,7 @@ object Queries {
          |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
          |  FROM documents)
          |SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0
-         |  AND fp IN (SELECT fp FROM f WHERE doc_id % 2 = 1)
+         |  AND fp IN (SELECT fp FROM f WHERE doc_id % 3 = 0)
          |ORDER BY fp""".stripMargin,
 
     "q5_local_supplier" ->
