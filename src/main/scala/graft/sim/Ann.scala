@@ -362,8 +362,10 @@ object Ann {
 
   /** argmin cell: lexicographic array_min over (distance, cell) structs —
     * min distance wins, exact-integer ties break to the smallest cell. */
-  private def nearestCellInt(q: Column, cents: Seq[(Int, Array[Long])]): Column =
+  private def nearestCellInt(q: Column, cents: Seq[(Int, Array[Long])]): Column = {
+    require(cents.nonEmpty, "nearestCellInt: empty centroid set (empty corpus?)")
     array_min(cellScores(q, cents)).getField("cell")
+  }
 
   /** LEARNED IVF coarse quantizer: Lloyd's k-means on the fixed-point
     * integer grid with md5-seeded initial centroids and a FIXED iteration

@@ -239,6 +239,23 @@ class AnnSpec extends SparkSpec {
     assert(a.forall(_._2.forall(c => math.abs(c) <= 1100000L)))
   }
 
+  test("fixed-point k-means envelope: Long-safe distance sums for the documented ranges") {
+    // worst distance sum = dims * (2 * 1000 * floor(vmax*1000))^2 with both
+    // vectors at opposite extremes on the 1e-6 centroid grid. Embedding
+    // fixtures (|v| < 1, 64 dims) have ~2^26 headroom; |v| <= 100 at 64
+    // dims and |v| <= 23 at 4096 dims stay inside Long; |v| ~ 1000 breaks
+    // already at 3 dims — the operator is for normalized-ish embeddings.
+    def worstSum(vmax: Double, dims: Int): BigInt = {
+      val q = BigInt(math.floor(vmax * 1000).toLong)
+      val diff = q * 1000 * 2
+      diff * diff * dims
+    }
+    assert(worstSum(1.0, 64) < BigInt(Long.MaxValue), "unit vectors, 64 dims")
+    assert(worstSum(100.0, 64) < BigInt(Long.MaxValue), "|v|<=100, 64 dims")
+    assert(worstSum(23.0, 4096) < BigInt(Long.MaxValue), "|v|<=23, 4096 dims")
+    assert(worstSum(1000.0, 3) > BigInt(Long.MaxValue), "|v|~1000 overflows")
+  }
+
   test("lshBucketMd5 equals the exact integer projection computed on the driver") {
     // Re-derive the md5-basis bucket for one vector in plain Scala (same
     // integer math the oracle SQL mirrors) and compare with the expression.
