@@ -81,6 +81,21 @@ object StreamingDetector {
       .agg(avg(col(valueCol)).as("v"), count(lit(1)).as("n"))
       .select(col("window.start").as("ts"), col(keyCol), col("v"), col("n"))
 
+  /** Streaming exact-dedup — the ingest-time face of the batch dedup
+    * family (W3 / exact dedup): drop rows whose `keyCols` were already
+    * seen, with state BOUNDED by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`): two rows with the same key are
+    * deduped when they arrive within the `lateness` horizon of each
+    * other, and the key's state is reclaimed once the watermark passes —
+    * so state size tracks the horizon × key arrival rate, not stream
+    * length. The right shape for at-least-once upstream ingestion (HTTP
+    * retries, source replays) at 100 TB: keys shard across executors like
+    * all keyed state. */
+  def dedupStream(events: DataFrame, tsCol: String, lateness: String,
+                  keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** One input row of the incremental stream. */
   final case class FeatureRow(seriesKey: String, tsSec: Long, features: Seq[Double])
   /** One emitted scored window. */

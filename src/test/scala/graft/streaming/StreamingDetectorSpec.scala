@@ -109,6 +109,27 @@ class StreamingDetectorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: watermarked streaming dedup drops replayed keys, keeps state bounded") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val dd = StreamingDetector.dedupStream(
+      input.toDF().toDF("ts", "k", "v"), "ts", "10 seconds", Seq("k"))
+    val q = dd.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    def t(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:${sec}%02d")
+    try {
+      // duplicate key "a" within the same batch and replayed in the next
+      input.addData((t(1), "a", 1.0), (t(2), "a", 2.0), (t(3), "b", 3.0))
+      q.processAllAvailable()
+      input.addData((t(4), "a", 4.0)) // replay within the watermark horizon
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").collect()
+      assert(rows.map(_.getAs[String]("k")).sorted.toSeq == Seq("a", "b"),
+        rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("DSv2 source micro-batch: readStream over the Prometheus table (S1 streaming face)") {
     // Bounded historical range [0, 2h) with the canned fixture fetcher: one
     // AvailableNow replay must pull every (alias × chunk) cell through the
