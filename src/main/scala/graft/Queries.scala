@@ -490,6 +490,25 @@ object Queries {
           "text", chunkSize = 32, stride = 16)
         .orderBy("doc_id", "chunk_no")),
 
+    "q_curation_pipeline" -> ((s, d) => {
+      // The operators COMPOSED as one curation run — dedup (keep best
+      // duplicate) → repetition gate → deterministic 50% sample → context
+      // chunking → per-language chunk/token budget. One oracle checks the
+      // whole chain end-to-end, not just each stage in isolation.
+      val docs = Tables.documents(s, d)
+      val kept = graft.dedup.Dedup.exactDedupSurvivorsByQuality(
+        docs, "doc_id", "text", "n_chars")
+      val fluent = graft.text.TextStats.repetitionSignals(docs, "doc_id", "text")
+        .filter(col("distinct_ratio") >= 0.5).select("doc_id")
+      val sampled = graft.text.Sampling.sampleByHash(
+        kept.join(fluent, Seq("doc_id"), "left_semi"), "doc_id", 0.5)
+      graft.text.TextStats.chunkTokens(sampled, "doc_id", "text", 32, 16)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("lang")
+    }),
+
     "q_len_percentiles" -> ((s, d) =>
       // Length-distribution profile per language — the curation dashboard
       // staple. EXACT linear-interpolation percentiles (Spark `percentile`
@@ -1043,6 +1062,35 @@ object Queries {
          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
          |SELECT doc_id, term, CAST(rk AS INTEGER) AS rk, round(score, 6) AS score
          |FROM scored WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
+    "q_curation_pipeline" ->
+      s"""WITH kept AS (SELECT doc_id, lang, text FROM documents
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |    ORDER BY n_chars DESC, doc_id) = 1),
+         |tf AS (SELECT doc_id, t AS tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |        FROM documents)
+         |  WHERE t <> '' GROUP BY 1, 2),
+         |fluent AS (SELECT doc_id FROM tf GROUP BY doc_id
+         |  HAVING round(CAST(count(*) AS DOUBLE) / sum(c), 6) >= 0.5),
+         |samp AS (SELECT k.doc_id, k.lang, k.text
+         |  FROM kept k JOIN fluent USING (doc_id)
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000 < 500),
+         |tk AS (SELECT doc_id, lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+         |  FROM samp),
+         |st AS (SELECT doc_id, lang, t,
+         |    CAST(greatest(floor((len(t) - 32 + 15) / 16.0), 0) AS BIGINT) AS last
+         |  FROM tk),
+         |ex AS (SELECT doc_id, lang, t, unnest(range(0, last + 1)) AS i FROM st),
+         |chunks AS (SELECT doc_id, lang,
+         |    len(list_slice(t, i*16 + 1, i*16 + 32)) AS n_tokens
+         |  FROM ex WHERE len(list_slice(t, i*16 + 1, i*16 + 32)) > 0)
+         |SELECT lang, count(*) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_doc_chunks" ->
       s"""WITH tk AS (SELECT doc_id,
