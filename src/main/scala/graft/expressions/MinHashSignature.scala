@@ -268,5 +268,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) =>
         CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
+      (children: Seq[Expression]) =>
+        NearestCell(children(0), children(1), children(2))))
   }
 }

@@ -360,11 +360,24 @@ object Ann {
     array(cents.map { case (cell, arr) =>
       struct(intDist(q, arr).as("d"), lit(cell).as("cell")) }: _*)
 
-  /** argmin cell: lexicographic array_min over (distance, cell) structs —
-    * min distance wins, exact-integer ties break to the smallest cell. */
+  /** argmin cell: min distance wins, exact-integer ties break to the
+    * smallest cell. Uses the native codegen'd `graft_nearest_cell` kernel
+    * when the session has GraftExtensions (one loop; the HOF fold builds a
+    * k-struct array per row interpreted, and its ~k·dims-literal tree is
+    * codegen-compiled once per assignment pass); falls back to the
+    * bit-identical `array_min(cellScores(...))` composition otherwise. */
   private def nearestCellInt(q: Column, cents: Seq[(Int, Array[Long])]): Column = {
     require(cents.nonEmpty, "nearestCellInt: empty centroid set (empty corpus?)")
-    array_min(cellScores(q, cents)).getField("cell")
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(s => scala.util.Try(s.catalog.functionExists("graft_nearest_cell"))
+        .getOrElse(false))
+      .map { _ =>
+        val mat = array(cents.map { case (_, arr) =>
+          array(arr.map(lit(_)).toSeq: _*) }: _*)
+        val ids = array(cents.map { case (c, _) => lit(c) }: _*)
+        call_function("graft_nearest_cell", q, mat, ids)
+      }
+      .getOrElse(array_min(cellScores(q, cents)).getField("cell"))
   }
 
   /** LEARNED IVF coarse quantizer: Lloyd's k-means on the fixed-point
