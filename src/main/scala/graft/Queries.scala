@@ -836,6 +836,20 @@ object Queries {
         .agg(round(avg(col("comp").cast("double")), 6).as("mean_v"))
         .orderBy("label", "pos")),
 
+    "q_mm_meta" -> ((s, d) =>
+      // The deterministic half of the multimodal pipeline — asset
+      // construction: modality routing, typed meta, payload sizes — IS
+      // oracle-checkable; only the codec kernel itself stays rows-only
+      // (q_mm_features) with golden-file unit tests on the decoders.
+      graft.multimodal.Multimodal.syntheticAssets(
+          Tables.documents(s, d), "doc_id", "text")
+        .select(col("asset_id"), col("modality"),
+          length(col("content")).as("n_bytes"),
+          col("meta.width").as("width"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("asset_id")),
+
     "q_mm_features" -> ((s, d) =>
       // Multimodal plumbing smoke: synthetic binary assets → stubbed decode →
       // feature vectors. No oracle (hash-derived features).
@@ -1280,6 +1294,16 @@ object Queries {
          |FROM sh s JOIN bench b USING (shingle)
          |WHERE s.doc_id >= 20
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q_mm_meta" ->
+      // duration mirrors syntheticAssets' length(text)*10 (CHARACTER
+      // length), n_bytes the binary payload's octet length
+      s"""SELECT doc_id AS asset_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         |  64 AS width, 16000 AS sample_rate,
+         |  CAST(length(text) * 10 AS BIGINT) AS duration_ms
+         |FROM documents ORDER BY asset_id""".stripMargin,
 
     "q_doc_stats" ->
       s"""SELECT lang, count(*) AS cnt, round(avg(n_chars), 6) AS avg_chars,
