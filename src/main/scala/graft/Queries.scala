@@ -651,6 +651,12 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q_fluency" -> ((s, d) =>
+      // Bigram-frequency fluency (perplexity proxy, no libm log): mean
+      // corpus frequency of the doc's bigram occurrences.
+      graft.text.TextStats.bigramFluency(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "q_repetition" -> ((s, d) =>
       // Gopher/C4 repetition filters: distinct-token ratio + top-token share.
       graft.text.TextStats.repetitionSignals(
@@ -1267,6 +1273,18 @@ object Queries {
          |    '$ip', '<IP>', 'g') AS scrubbed
          |FROM pii ORDER BY doc_id""".stripMargin
     },
+
+    "q_fluency" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+         |  FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
+         |    i -> tk[i+1] || ' ' || tk[i+2])) AS bg FROM tk),
+         |fr AS (SELECT bg, count(*) AS f FROM bg GROUP BY 1)
+         |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(f) AS DOUBLE) / count(*), 6) AS fluency
+         |FROM bg b JOIN fr USING (bg)
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       s"""WITH tf AS (

@@ -182,6 +182,38 @@ object TextStats {
       .withColumn("top_token_share",
         round(col("max_tf").cast("double") / col("n_tokens"), 6))
 
+  /** Bigram-frequency fluency score — the perplexity proxy of the
+    * C4/CCNet-style quality filters, without a language model: a document
+    * scores high when its word bigrams are common in the corpus, low when
+    * its token sequence is rare/garbled. score = (Σ corpus-frequency of
+    * each bigram occurrence) / (bigram count) — integer sum over exact
+    * counts divided once, so the only float op runs on identical operands
+    * cross-engine (no log/perplexity — `ln` is libm-dependent).
+    *
+    * Shape: explode bigrams (NON-distinct — repeats weigh), one
+    * vocabulary-sized count aggregate, an equi-join of doc bigrams against
+    * it (AQE broadcasts when it fits; forced broadcast of an open-ended
+    * bigram vocabulary would be the scale mistake), one per-doc aggregate.
+    * Docs with < 2 tokens emit no row (no bigrams), identically on both
+    * engines. */
+  def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.dedup.Dedup
+    // all consecutive pairs, repeats kept (shinglesFromTokens distincts)
+    val toks = Dedup.normTokens(col(textCol))
+    val bigrams = df
+      .select(col(idCol), toks.as("_tk"))
+      .select(col(idCol), explode(zip_with(col("_tk"),
+        slice(col("_tk"), lit(2), greatest(size(col("_tk")) - 1, lit(1))),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .filter(col("bg").isNotNull)
+    val freq = bigrams.groupBy("bg").agg(count(lit(1)).as("corpus_freq"))
+    bigrams.join(freq, Seq("bg"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("corpus_freq").cast("double") / count(lit(1)), 6)
+          .as("fluency"))
+  }
+
   /** Benchmark-contamination audit — the decontamination pre-step of every
     * LLM training pipeline: for each corpus document, the number of
     * distinct k-gram shingles it shares with ANY benchmark document.

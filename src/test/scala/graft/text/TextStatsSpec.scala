@@ -93,6 +93,22 @@ class TextStatsSpec extends SparkSpec {
     assert(r(1).getAs[Double]("distinct_ratio") == 1.0)
   }
 
+  test("bigramFluency: common-bigram docs outscore rare-bigram docs; repeats weigh") {
+    val df = Seq(
+      (1L, "the cat sat"),   // bigrams: "the cat", "cat sat"
+      (2L, "the cat ran"),   // shares "the cat"
+      (3L, "zq xw vv"),      // unique bigrams only
+      (4L, "one")).toDF("id", "text") // single token: no bigrams, no row
+    val r = TextStats.bigramFluency(df, "id", "text").orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val fluency = r.map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // doc 1: ("the cat" freq 2 + "cat sat" freq 1) / 2 = 1.5
+    assert(fluency(1L) == 1.5)
+    assert(fluency(3L) == 1.0) // all-unique bigrams floor at 1.0
+    assert(fluency(1L) > fluency(3L))
+    assert(r.find(_.getLong(0) == 1L).get.getLong(1) == 2L) // n_bigrams
+  }
+
   test("contamination counts shared distinct shingles vs the benchmark set") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("id", "text")
     val corpus = Seq(
