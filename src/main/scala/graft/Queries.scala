@@ -720,6 +720,20 @@ object Queries {
         .orderBy("qid", "rank")
     }),
 
+    "q_ann_mp_md5" -> ((s, d) => {
+      // Multi-probe LSH on the md5 integer basis: base bucket + Hamming-1
+      // flips of the least-confident bits, ALL exact-integer — probe
+      // selection included — so the full search is oracle-checked.
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.sim.Ann.lshTopKMultiProbeMd5(q, "qid", "qv", emb, "vec_id",
+          "embedding", 5, bits = 4, probes = 2)
+        .select(col("qid"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     "q_cosine_neardup_md5" -> ((s, d) =>
       // md5-parity twin of q_cosine_neardup — LSH-bucketed pairs with the
       // exact-integer bucket basis, fully oracle-checked.
@@ -1336,6 +1350,34 @@ object Queries {
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_minhash_lsh_md5" -> minhashMd5Sql,
+
+    "q_ann_mp_md5" ->
+      s"""WITH ${annBucketMd5Cte(4)},
+         |qsel AS (SELECT vec_id FROM embeddings WHERE vec_id < 10),
+         |flips AS (
+         |  SELECT p.vec_id, p.p,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY abs(pr), p.p) AS rk
+         |  FROM proj p JOIN qsel USING (vec_id)),
+         |qb AS (
+         |  SELECT b.vec_id AS qid, b.bucket
+         |  FROM bkt b JOIN qsel USING (vec_id)
+         |  UNION ALL
+         |  SELECT f.vec_id AS qid,
+         |    CAST(xor(b.bucket, CAST(1 AS BIGINT) << f.p) AS BIGINT) AS bucket
+         |  FROM flips f JOIN bkt b USING (vec_id) WHERE f.rk <= 2),
+         |q AS (SELECT qb.qid, e.embedding AS qv, qb.bucket
+         |  FROM qb JOIN embeddings e ON e.vec_id = qb.qid),
+         |c AS (SELECT e.vec_id, e.embedding, b.bucket
+         |  FROM embeddings e JOIN bkt b USING (vec_id)),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id,
+         |    round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+         |  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.qid)
+         |SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+         |FROM scored WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
 
     "q_ann_lsh_md5" ->
       s"""WITH ${annBucketMd5Cte(4)},

@@ -209,6 +209,43 @@ object Ann {
       .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** md5-parity twin of [[lshTopKMultiProbe]]: buckets, projections AND
+    * probe selection all run on the exact-integer md5 plane family, so the
+    * least-confident-bit ranking (smallest |dot|, tie → plane index) is
+    * bit-stable cross-engine and the whole multi-probe search is
+    * DuckDB-oracle-checkable. Same plan shape: corpus bucketed once,
+    * broadcast query side fans out ×(probes+1). */
+  def lshTopKMultiProbeMd5(queries: DataFrame, qidCol: String, qvecCol: String,
+                           corpus: DataFrame, idCol: String, vecCol: String,
+                           k: Int, bits: Int = 4, probes: Int = 2,
+                           dims: Int = 64): DataFrame = {
+    require(probes >= 0 && probes <= bits, s"need 0 <= probes <= bits, got $probes/$bits")
+    val qb = queries
+      .withColumn("_dots", md5PlaneDots(col(qvecCol), "", bits, dims))
+      .withColumn("_bucket",
+        aggregate(zip_with(col("_dots"), sequence(lit(0), lit(bits - 1)),
+          (d, p) => when(d >= 0, call_function("shiftleft", lit(1L), p))
+            .otherwise(lit(0L))), lit(0L), (acc, v) => acc + v))
+      .withColumn("_flips",
+        transform(
+          slice(array_sort(zip_with(col("_dots"),
+            sequence(lit(0), lit(bits - 1)),
+            (d, p) => struct(abs(d).as("a"), p.as("idx")))), 1, probes),
+          s => col("_bucket")
+            .bitwiseXOR(call_function("shiftleft", lit(1L), s.getField("idx")))))
+      .select(col(qidCol), col(qvecCol),
+        explode(concat(array(col("_bucket")), col("_flips"))).as("bucket"))
+    val cb = corpus.withColumn("bucket", lshBucketMd5(col(vecCol), bits, dims))
+    val joined = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("cosine", cosine(col(qvecCol), col(vecCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** Multi-table LSH top-k — the recall fix for the single-table variant: T
     * independent hyperplane tables, candidates unioned across tables, then
     * exact-scored and ranked. A query misses a true neighbor only if they
