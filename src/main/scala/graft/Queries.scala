@@ -579,6 +579,20 @@ object Queries {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    "q_neardup_survivors" -> ((s, d) => {
+      // Near-dup retention: anti-join away every non-representative
+      // cluster member (same deterministic consecutive-Jaccard pair set as
+      // q_neardup_clusters, so the oracle mirrors it exactly).
+      val docs = Tables.documents(s, d)
+      val consecutive = docs.select(col("doc_id").as("id1"),
+        (col("doc_id") + 1).as("id2"))
+      val pairs = graft.dedup.Dedup.jaccardVerify(consecutive, docs,
+        "doc_id", "text", k = 1, threshold = 0.75).select("id1", "id2")
+      graft.dedup.Dedup.nearDupSurvivors(docs, "doc_id", pairs)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "q_neardup_clusters" -> ((s, d) => {
       // Connected-component near-dup clustering over a DETERMINISTIC pair
       // set (consecutive ids with unigram Jaccard >= 0.75) so the oracle
@@ -1222,6 +1236,25 @@ object Queries {
          |  SELECT min(doc_id) FROM documents
          |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
          |ORDER BY doc_id""".stripMargin,
+
+    "q_neardup_survivors" ->
+      // survivors = docs that are their own cluster representative under
+      // the same gaps-and-islands clustering as q_neardup_clusters
+      s"""WITH sh AS (SELECT doc_id, list_distinct(string_split(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS s
+         |  FROM documents),
+         |linked AS (SELECT a.doc_id AS id,
+         |    (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(a.s, b.s))) >= 0.75) AS l
+         |  FROM sh a JOIN sh b ON a.doc_id = b.doc_id + 1),
+         |cl AS (SELECT d.doc_id,
+         |    max(CASE WHEN NOT coalesce(l.l, FALSE) THEN d.doc_id END)
+         |      OVER (ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster
+         |  FROM documents d LEFT JOIN linked l ON l.id = d.doc_id)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+         |WHERE cl.doc_id = cl.cluster
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_neardup_clusters" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct(string_split(
