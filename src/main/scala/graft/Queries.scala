@@ -208,6 +208,19 @@ object Queries {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     }),
 
+    "q_scale_inverse_m5" -> ((s, d) => {
+      // M5's other direction: inverse(transform(x)) ≡ x — the oracle is
+      // simply the rounded original columns, so any drift in either the
+      // forward or the inverse affine breaks the hash.
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_quantity", "l_extendedprice")
+      val sc = Scalers.fitMinMax(li, cols)
+      sc.inverse(sc.transform(li))
+        .select(col("l_orderkey") +: col("l_linenumber") +:
+          cols.map(c => round(col(c), 6).as(c)): _*)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
     "q_scale_transform_m5" -> ((s, d) => {
       // M5: params FROZEN on a subset (orders before 1999), applied to all.
       val li = Tables.lineitem(s, d)
@@ -999,6 +1012,13 @@ object Queries {
       s"""SELECT l_orderkey, l_linenumber, ${Seq("l_quantity", "l_extendedprice").map(st).mkString(", ")}
          |FROM lineitem ORDER BY l_orderkey, l_linenumber, "l_quantity", "l_extendedprice"""".stripMargin
     },
+
+    "q_scale_inverse_m5" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  round(l_quantity, 6) AS l_quantity,
+         |  round(l_extendedprice, 6) AS l_extendedprice
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "q_scale_transform_m5" ->
       s"""SELECT l_orderkey, l_linenumber,
