@@ -899,12 +899,31 @@ object Queries {
 
     "q_mm_features" -> ((s, d) =>
       // Multimodal plumbing smoke: synthetic binary assets → stubbed decode →
-      // feature vectors. No oracle (hash-derived features).
+      // feature vectors. No oracle (hash-derived features); the hard-oracle
+      // twin is q_mm_features_real below.
       graft.multimodal.Multimodal.extractFeatures(
           graft.multimodal.Multimodal.syntheticAssets(
             Tables.documents(s, d), "doc_id", "text"), dim = 16)
         .select(col("asset_id"), size(col("features")).as("n_features"))
-        .orderBy("asset_id"))
+        .orderBy("asset_id")),
+
+    "q_mm_features_real" -> ((s, d) =>
+      // The hard oracle for the multimodal feature path: REAL container
+      // payloads (PNG / WAV / Y4M, pixel+sample values from pure integer
+      // formulas of doc_id) → the REAL JDK decoders (javax.imageio,
+      // javax.sound.sampled, the Y4M frame parser) → feature vectors.
+      // DuckDB replays the formulas + feature math directly, so every
+      // decoded value meets the oracle bit-for-bit (all float ops in the
+      // feature math are exact or IEEE-identical cross-engine — see
+      // Multimodal.scala's media-fixture notes).
+      graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.mediaAssets(
+            Tables.documents(s, d), "doc_id"), dim = 16)
+        .select(col("asset_id"),
+          posexplode(col("features")).as(Seq("pos", "f")))
+        .select(col("asset_id"), col("pos"),
+          round(col("f").cast("double"), 6).as("feat"))
+        .orderBy("asset_id", "pos"))
   )
 
   // ==========================================================================
@@ -1389,6 +1408,44 @@ object Queries {
          |  64 AS width, 16000 AS sample_rate,
          |  CAST(length(text) * 10 AS BIGINT) AS duration_ms
          |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // Replays the media-fixture formulas (Multimodal.imagePixel/audioSample/
+    // videoLumaPx) and the decoders' feature math: image/video are one
+    // pixel per grid cell (4×4 @ dim 16), audio is 8 blocks of 32 samples
+    // → (RMS, zero-crossing-rate) pairs. Each float op mirrors the JVM op
+    // order exactly; RMS partial sums are dyadic rationals (x²/2³⁰,
+    // |x| ≤ 10⁴) so summation order cannot matter.
+    "q_mm_features_real" ->
+      s"""WITH p AS (SELECT CAST(i AS INTEGER) AS pos FROM range(16) t(i)),
+         |img AS (
+         |  SELECT doc_id, pos,
+         |    CAST((0.299*v + 0.587*v + 0.114*v)/255.0 AS FLOAT) AS f
+         |  FROM (SELECT doc_id, pos, (doc_id*131 + pos*17) % 256 AS v
+         |        FROM documents, p WHERE doc_id % 3 = 0)),
+         |vid AS (
+         |  SELECT doc_id, pos, CAST(y/255.0 AS FLOAT) AS f
+         |  FROM (SELECT doc_id, pos, (doc_id*37 + pos*13) % 256 AS y
+         |        FROM documents, p WHERE doc_id % 3 = 2)),
+         |smp AS (
+         |  SELECT d.doc_id, s.i,
+         |    ((d.doc_id*7919 + s.i*104729) % 20001) - 10000 AS x
+         |  FROM documents d, range(256) s(i) WHERE d.doc_id % 3 = 1),
+         |blk AS (
+         |  SELECT doc_id, CAST(i // 32 AS INTEGER) AS b,
+         |    sqrt(sum((x/32768.0)*(x/32768.0)) / 32.0) AS rms,
+         |    sum(CASE WHEN i % 32 > 0 AND ((x >= 0) <>
+         |      (((doc_id*7919 + (i-1)*104729) % 20001) - 10000 >= 0))
+         |      THEN 1 ELSE 0 END) AS z
+         |  FROM smp GROUP BY doc_id, b),
+         |aud AS (
+         |  SELECT doc_id, 2*b AS pos, CAST(rms AS FLOAT) AS f FROM blk
+         |  UNION ALL
+         |  SELECT doc_id, 2*b + 1 AS pos, CAST(z/32.0 AS FLOAT) AS f FROM blk)
+         |SELECT doc_id AS asset_id, CAST(pos AS INTEGER) AS pos,
+         |  round(CAST(f AS DOUBLE), 6) AS feat
+         |FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
+         |      UNION ALL SELECT * FROM vid)
+         |ORDER BY asset_id, pos""".stripMargin,
 
     "q_doc_stats" ->
       s"""SELECT lang, count(*) AS cnt, round(avg(n_chars), 6) AS avg_chars,

@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   * determinism claims hold for the lossless formats). Audio decode is REAL
   * for JDK-native containers (`javax.sound.sampled`: WAV/AIFF/AU PCM →
   * RMS-energy/zero-crossing block features, see [[decodeAudioFeatures]]).
-  * Only VIDEO codec work is STUBBED (no codec libraries in this
-  * environment — see `fakeDecode`, a deterministic hash-based stand-in).
-  * Everything around the seam — schema, batching, partitioning, encoders —
-  * is real: swap `fakeDecode` for a JNI/javacv call and the pipeline is
-  * production-shaped.
+  * Video decode is REAL for the uncompressed YUV4MPEG2 container (pure-JDK
+  * header + planar-frame parse, frame-0 luminance plane → the same grid
+  * the image path emits, see [[decodeVideoLuma]]); compressed codecs
+  * (H.264 etc.) have no JDK decoder and fall back to `fakeDecode`, the
+  * deterministic hash stand-in — swap in a JNI/javacv call there and the
+  * pipeline is production-shaped (schema, batching, partitioning, encoders
+  * are all real).
   *
   * Scale notes: payloads stay in executor memory only one batch at a time;
   * transforms are per-partition with zero shuffle; downstream joins carry
@@ -52,31 +54,11 @@ object Multimodal {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-      else {
-        val g = math.max(1, math.sqrt(dim.toDouble).toInt)
-        val (w, h) = (img.getWidth, img.getHeight)
-        val sums = new Array[Double](g * g)
-        val counts = new Array[Long](g * g)
-        var total = 0.0
-        var y = 0
-        while (y < h) {
-          val cy = math.min(g - 1, y * g / h)
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val luma = (0.299 * ((rgb >> 16) & 0xff) +
-              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
-            val cell = cy * g + math.min(g - 1, x * g / w)
-            sums(cell) += luma; counts(cell) += 1; total += luma
-            x += 1
-          }
-          y += 1
-        }
-        val mean = (total / (w.toLong * h)).toFloat
-        Some(Array.tabulate(dim) { i =>
-          if (i < g * g && counts(i) > 0) (sums(i) / counts(i)).toFloat else mean
-        })
-      }
+      else Some(lumaGrid(img.getWidth, img.getHeight, dim, { (x, y) =>
+        val rgb = img.getRGB(x, y)
+        (0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+      }))
     } catch {
       // NonFatal, not just IOException: the JDK image readers throw
       // RuntimeExceptions (AIOOBE, NegativeArraySizeException, CMMException)
@@ -84,6 +66,34 @@ object Multimodal {
       // the stub fallback too, not kill the task.
       case scala.util.control.NonFatal(_) => None
     }
+
+  /** Shared grid fold for the pixel-plane decoders (image RGB, video Y):
+    * g×g mean-luminance cells (g = ⌊√dim⌋), row-major scan, padded to
+    * exactly `dim` with the global mean when g² < dim. Kept as one loop so
+    * image and video features live on the identical feature scale. */
+  private def lumaGrid(w: Int, h: Int, dim: Int,
+                       lumaAt: (Int, Int) => Double): Array[Float] = {
+    val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val sums = new Array[Double](g * g)
+    val counts = new Array[Long](g * g)
+    var total = 0.0
+    var y = 0
+    while (y < h) {
+      val cy = math.min(g - 1, y * g / h)
+      var x = 0
+      while (x < w) {
+        val luma = lumaAt(x, y)
+        val cell = cy * g + math.min(g - 1, x * g / w)
+        sums(cell) += luma; counts(cell) += 1; total += luma
+        x += 1
+      }
+      y += 1
+    }
+    val mean = (total / (w.toLong * h)).toFloat
+    Array.tabulate(dim) { i =>
+      if (i < g * g && counts(i) > 0) (sums(i) / counts(i)).toFloat else mean
+    }
+  }
 
   /** REAL audio decode — JDK-native `javax.sound.sampled`, no external
     * dependency: WAV/AIFF/AU payload → PCM frames (converted to 16-bit
@@ -156,7 +166,89 @@ object Multimodal {
       case scala.util.control.NonFatal(_) => None
     }
 
-  /** Deterministic stand-in for the video decoder (no codec
+  // ---- REAL video decode: YUV4MPEG2 (uncompressed planar YUV) ----
+
+  /** Parsed Y4M stream header: frame dims, bytes per full YUV frame, and
+    * the offset of the first FRAME marker. */
+  private[multimodal] final case class Y4mHeader(
+    w: Int, h: Int, frameBytes: Int, firstFrameOff: Int)
+
+  /** Magic sniff for the YUV4MPEG2 container — same role as
+    * [[looksLikeAudio]]: only payloads with the magic reach the parser. */
+  def looksLikeY4m(b: Array[Byte]): Boolean = {
+    val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+    b.length > magic.length && magic.indices.forall(i => b(i) == magic(i))
+  }
+
+  /** YUV4MPEG2 stream-header parse (pure JDK): `YUV4MPEG2 W<w> H<h> …\n`,
+    * space-separated single-letter params; chroma layout from the C param
+    * (default 4:2:0 per spec). Returns None on anything malformed —
+    * missing dims, no newline, unknown colorspace. */
+  private[multimodal] def parseY4mHeader(bytes: Array[Byte]): Option[Y4mHeader] =
+    try {
+      if (!looksLikeY4m(bytes)) return None
+      val nl = bytes.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val params = new String(bytes, 0, nl, "US-ASCII").split(' ').drop(1)
+      def num(tag: Char): Option[Int] = params
+        .find(p => p.nonEmpty && p.head == tag && p.tail.forall(_.isDigit))
+        .map(_.tail.toInt).filter(_ > 0)
+      val cs = params.find(p => p.nonEmpty && p.head == 'C')
+        .map(_.tail).getOrElse("420")
+      for (w <- num('W'); h <- num('H'); chroma <- chromaBytes(cs, w, h))
+        yield Y4mHeader(w, h, w * h + chroma, nl + 1)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Bytes of U+V planes per frame for a Y4M colorspace tag. */
+  private def chromaBytes(cs: String, w: Int, h: Int): Option[Int] =
+    if (cs.startsWith("420")) Some(2 * ((w / 2) * (h / 2)))
+    else if (cs.startsWith("422")) Some(2 * ((w / 2) * h))
+    else if (cs.startsWith("444")) Some(2 * (w * h))
+    else if (cs.startsWith("mono")) Some(0)
+    else None
+
+  /** Iterate a Y4M payload's frames as (frame_no, offset-of-Y-plane).
+    * Each frame is a `FRAME[ params]\n` marker followed by the planar
+    * data; iteration stops cleanly at the first truncated/malformed
+    * frame so corrupt tails degrade to fewer frames, never a throw. */
+  private[multimodal] def y4mFrameOffsets(bytes: Array[Byte], hdr: Y4mHeader)
+      : Iterator[(Int, Int)] = new Iterator[(Int, Int)] {
+    private val marker = "FRAME".getBytes("US-ASCII")
+    private var off = hdr.firstFrameOff
+    private var no = 0
+    private var nextOff = advance()
+    private def advance(): Int = {
+      if (off + marker.length > bytes.length ||
+        !marker.indices.forall(i => bytes(off + i) == marker(i))) return -1
+      var p = off + marker.length
+      while (p < bytes.length && bytes(p) != '\n'.toByte) p += 1
+      if (p >= bytes.length || p + 1 + hdr.frameBytes > bytes.length) -1
+      else p + 1
+    }
+    def hasNext: Boolean = nextOff >= 0
+    def next(): (Int, Int) = {
+      val r = (no, nextOff)
+      no += 1; off = nextOff + hdr.frameBytes; nextOff = advance()
+      r
+    }
+  }
+
+  /** REAL video decode — pure-JDK YUV4MPEG2 parse: stream header + frame-0
+    * luminance (Y) plane → the same g×g mean-luma grid the image path
+    * emits (Y normalized /255, so image and video features share a scale).
+    * Compressed codecs have no JDK decoder; callers fall back to the hash
+    * stub for those, keeping corrupt payloads task-safe. */
+  def decodeVideoLuma(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    try {
+      parseY4mHeader(bytes).flatMap { hdr =>
+        y4mFrameOffsets(bytes, hdr).buffered.headOption.map { case (_, yOff) =>
+          lumaGrid(hdr.w, hdr.h, dim,
+            (x, y) => (bytes(yOff + y * hdr.w + x) & 0xff) / 255.0)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic stand-in for the compressed-codec video path (no codec
     * libraries in this environment): folds the payload bytes into `dim`
     * float features with a rolling 64-bit hash. Also the fallback for
     * image payloads that fail to parse. */
@@ -187,8 +279,10 @@ object Multimodal {
     * mapPartitions — the decode seam. Image payloads go through the REAL
     * `javax.imageio` luminance-grid decoder ([[decodeImageLuma]]); audio
     * payloads through the REAL `javax.sound.sampled` PCM feature decoder
-    * ([[decodeAudioFeatures]]); video (and any undecodable payload) uses
-    * the documented hash stub. */
+    * ([[decodeAudioFeatures]]); video payloads in the uncompressed
+    * YUV4MPEG2 container through the REAL pure-JDK frame parser
+    * ([[decodeVideoLuma]]); compressed video (and any undecodable payload)
+    * uses the documented hash stub. */
   def extractFeatures(assets: DataFrame, dim: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -205,6 +299,8 @@ object Multimodal {
             decodeImageLuma(bytes, dim).getOrElse(fakeDecode(bytes, dim)).toSeq
           else if (r.getAs[String](mIdx) == "audio" && looksLikeAudio(bytes))
             decodeAudioFeatures(bytes, dim).getOrElse(fakeDecode(bytes, dim)).toSeq
+          else if (r.getAs[String](mIdx) == "video" && looksLikeY4m(bytes))
+            decodeVideoLuma(bytes, dim).getOrElse(fakeDecode(bytes, dim)).toSeq
           else fakeDecode(bytes, dim).toSeq
         Row(r.getLong(idIdx), feats)
       }
@@ -236,8 +332,13 @@ object Multimodal {
     }(RowEncoder.encoderFor(schema))
   }
 
-  /** Frame sampling stub for video payloads: every `stride`-th 1KiB slice
-    * becomes a "frame" row (asset_id, frame_no, frame binary). */
+  /** Frame sampling for video payloads: every `stride`-th frame becomes a
+    * row (asset_id, frame_no, frame binary). YUV4MPEG2 payloads yield REAL
+    * container frames — `frame_no` is the stream's frame index and `frame`
+    * the raw planar YUV bytes, decodable by [[decodeVideoLuma]]'s plane
+    * math. Payloads without a parseable container fall back to fixed 1KiB
+    * slices so the plumbing still exercises end-to-end. Per-row flatMap,
+    * zero shuffle; only sampled frames materialize downstream. */
   def sampleFrames(assets: DataFrame, stride: Int = 4): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -249,16 +350,118 @@ object Multimodal {
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](cIdx)
         if (bytes == null) Iterator.empty
-        else {
-          val frameSize = 1024
-          val n = math.max(1, bytes.length / frameSize)
-          (0 until n by stride).iterator.map { f =>
-            Row(r.getLong(idIdx), f,
-              bytes.slice(f * frameSize, math.min((f + 1) * frameSize, bytes.length)))
-          }
+        else parseY4mHeader(bytes) match {
+          case Some(hdr) =>
+            y4mFrameOffsets(bytes, hdr)
+              .filter { case (no, _) => no % stride == 0 }
+              .map { case (no, off) =>
+                Row(r.getLong(idIdx), no,
+                  java.util.Arrays.copyOfRange(bytes, off, off + hdr.frameBytes))
+              }
+          case None =>
+            val frameSize = 1024
+            val n = math.max(1, bytes.length / frameSize)
+            (0 until n by stride).iterator.map { f =>
+              Row(r.getLong(idIdx), f,
+                bytes.slice(f * frameSize, math.min((f + 1) * frameSize, bytes.length)))
+            }
         }
       }
     }(RowEncoder.encoderFor(outSchema))
+  }
+
+  // ---- real-container synthetic media (the oracle-checkable fixtures) ----
+  //
+  // Each generator writes a REAL container whose pixel/sample values come
+  // from a pure integer formula of (id, position) — so the end-to-end path
+  // payload bytes → real JDK decode → feature math is replayable in ANSI
+  // SQL from the same formula, and the whole decode pipeline gets a hard
+  // cross-engine oracle (q_mm_features_real). Formula values are chosen so
+  // every float op is exact or IEEE-identical cross-engine: luma terms are
+  // per-pixel (one pixel per grid cell at 4×4/dim 16 — no summation-order
+  // dependence), audio RMS sums dyadic rationals x²/2³⁰ whose partial sums
+  // stay exact, ZCR is integer-counted.
+
+  /** Gray value of pixel `pos` (row-major) for image asset `id`. */
+  def imagePixel(id: Long, pos: Int): Int = ((id * 131 + pos * 17) % 256).toInt
+  /** 16-bit PCM sample `i` for audio asset `id` — in [−10000, 10000]. */
+  def audioSample(id: Long, i: Int): Int = (((id * 7919 + i * 104729L) % 20001) - 10000).toInt
+  /** Luminance of pixel `pos` in frame `f` for video asset `id`. */
+  def videoLumaPx(id: Long, pos: Int, f: Int): Int = ((id * 37 + pos * 13 + f) % 256).toInt
+
+  /** Real PNG: w×h gray image, pixel values from [[imagePixel]]. PNG is
+    * lossless, so decode returns the exact formula values. */
+  def pngGray(id: Long, w: Int = 4, h: Int = 4): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var pos = 0
+    while (pos < w * h) {
+      val v = imagePixel(id, pos)
+      img.setRGB(pos % w, pos / w, (v << 16) | (v << 8) | v)
+      pos += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV: canonical 44-byte RIFF header + `n` little-endian 16-bit
+    * mono PCM samples from [[audioSample]]. */
+  def wavPcm(id: Long, n: Int = 256, rate: Int = 8000): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) { out.putShort(audioSample(id, i).toShort); i += 1 }
+    out.array()
+  }
+
+  /** Real YUV4MPEG2: w×h 4:2:0 stream of `frames` frames; Y plane from
+    * [[videoLumaPx]] (frame index shifts the formula so frame-0 selection
+    * is observable), chroma planes neutral 128. */
+  def y4mGray(id: Long, w: Int = 4, h: Int = 4, frames: Int = 2): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+    val chroma = Array.fill[Byte](2 * ((w / 2) * (h / 2)))(128.toByte)
+    var f = 0
+    while (f < frames) {
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      var pos = 0
+      while (pos < w * h) { bos.write(videoLumaPx(id, pos, f)); pos += 1 }
+      bos.write(chroma)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Asset table with REAL container payloads (PNG / WAV / Y4M by
+    * `id % 3`, same routing as [[syntheticAssets]]) — the fixture feed for
+    * the hard-oracle feature query. Per-row generation in mapPartitions,
+    * zero shuffle; payload bytes never leave the executor. */
+  def mediaAssets(src: DataFrame, idCol: String): DataFrame = {
+    val ids = src.select(col(idCol).cast("long").as("asset_id"))
+    val idIdx = 0
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val (modality, content) = (id % 3) match {
+          case 0 => ("image", pngGray(id))
+          case 1 => ("audio", wavPcm(id))
+          case _ => ("video", y4mGray(id))
+        }
+        val meta = modality match {
+          case "image" => Row(4, 4, null, null)
+          case "audio" => Row(null, null, 8000, 32L) // 256 samples @ 8 kHz
+          case _       => Row(4, 4, null, 80L)       // 2 frames @ 25 fps
+        }
+        Row(id, modality, content, meta)
+      }
+    }(RowEncoder.encoderFor(assetSchema))
   }
 
   /** Build a synthetic asset table from any table with an id + a string

@@ -130,6 +130,94 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2).toList == Multimodal.fakeDecode(sine, 8).toList)
   }
 
+  test("decodeVideoLuma: real Y4M decodes frame-0 luminance to the formula grid") {
+    val id = 5L
+    val feats = Multimodal.decodeVideoLuma(Multimodal.y4mGray(id), 16).get
+    // 4×4 @ dim 16 → one pixel per cell; frame 0 (NOT the shifted frame 1)
+    val expected = Array.tabulate(16)(p =>
+      (Multimodal.videoLumaPx(id, p, 0) / 255.0).toFloat)
+    assert(feats.toList == expected.toList)
+  }
+
+  test("decodeVideoLuma: non-default dims and padding; header params tolerated") {
+    // 8×8 mono, dim 16 → 4×4 grid of 2×2-pixel means
+    val y = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W8 H8 F30000:1001 Ip A1:1 Cmono XYSCSS=mono\n".getBytes)
+    bos.write("FRAME\n".getBytes); bos.write(y)
+    val feats = Multimodal.decodeVideoLuma(bos.toByteArray, 16).get
+    // cell (0,0) = mean of pixels 0,1,8,9 → (0+3+24+27)*1.0/4/255
+    assert(math.abs(feats(0) - ((0 + 3 + 24 + 27) / 4.0 / 255.0)) < 1e-6)
+    assert(feats.length == 16)
+  }
+
+  test("decodeVideoLuma returns None on corrupt payloads (stub fallback path)") {
+    assert(Multimodal.decodeVideoLuma("not a video".getBytes, 16).isEmpty)
+    assert(Multimodal.decodeVideoLuma("YUV4MPEG2 W4 H4\nFRAME\nxx".getBytes, 16).isEmpty,
+      "truncated frame must not decode")
+    assert(Multimodal.decodeVideoLuma("YUV4MPEG2 W4 F25:1\nFRAME\n".getBytes, 16).isEmpty,
+      "missing height must not decode")
+    val valid = Multimodal.y4mGray(1L)
+    assert(Multimodal.decodeVideoLuma(valid, 16).isDefined)
+  }
+
+  test("extractFeatures routes Y4M video through the real decoder, corrupt video to the stub") {
+    val df = Seq(
+      (1L, "video", Multimodal.y4mGray(1L)),
+      (2L, "video", "MPEG-TS or whatever".getBytes)).toDF("asset_id", "modality", "content")
+    val f = Multimodal.extractFeatures(df, dim = 16).orderBy("asset_id").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("features")))
+    assert(f(0).toList == (0 until 16).map(p =>
+      (Multimodal.videoLumaPx(1L, p, 0) / 255.0).toFloat).toList)
+    assert(f(1).toList == Multimodal.fakeDecode("MPEG-TS or whatever".getBytes, 16).toList)
+  }
+
+  test("sampleFrames emits REAL Y4M container frames with stream frame indices") {
+    val df = Seq((7L, "video", Multimodal.y4mGray(7L, frames = 5)))
+      .toDF("asset_id", "modality", "content")
+    val frames = Multimodal.sampleFrames(df, stride = 2)
+      .orderBy("frame_no").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    // each frame is the full 4:2:0 plane set: 16 Y + 4 U + 4 V bytes,
+    // and the Y plane carries the per-frame shifted formula values
+    val f2 = frames(1).getAs[Array[Byte]]("frame")
+    assert(f2.length == 24)
+    assert((0 until 16).forall(p =>
+      (f2(p) & 0xff) == Multimodal.videoLumaPx(7L, p, 2)))
+  }
+
+  test("pngGray round-trips exactly through the ImageIO decoder") {
+    val id = 42L
+    val feats = Multimodal.decodeImageLuma(Multimodal.pngGray(id), 16).get
+    val expected = Array.tabulate(16) { p =>
+      val v = Multimodal.imagePixel(id, p)
+      ((0.299 * v + 0.587 * v + 0.114 * v) / 255.0).toFloat
+    }
+    assert(feats.toList == expected.toList)
+  }
+
+  test("wavPcm round-trips exactly through the javax.sound decoder") {
+    val id = 43L
+    val feats = Multimodal.decodeAudioFeatures(Multimodal.wavPcm(id), 16).get
+    val expected = Array.tabulate(16) { pos =>
+      val b = pos / 2
+      val xs = (32 * b until 32 * (b + 1)).map(i => Multimodal.audioSample(id, i))
+      if (pos % 2 == 0)
+        math.sqrt(xs.map(x => (x / 32768.0) * (x / 32768.0)).sum / 32).toFloat
+      else xs.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0)).toFloat / 32
+    }
+    assert(feats.toList == expected.toList)
+  }
+
+  test("mediaAssets: real container payloads routed by id % 3, decodable end-to-end") {
+    val a = Multimodal.mediaAssets(
+      Seq(3L, 4L, 5L).toDF("id"), "id").orderBy("asset_id").collect()
+    assert(a.map(_.getAs[String]("modality")).toSeq == Seq("image", "audio", "video"))
+    assert(Multimodal.decodeImageLuma(a(0).getAs[Array[Byte]]("content"), 16).isDefined)
+    assert(Multimodal.decodeAudioFeatures(a(1).getAs[Array[Byte]]("content"), 16).isDefined)
+    assert(Multimodal.decodeVideoLuma(a(2).getAs[Array[Byte]]("content"), 16).isDefined)
+  }
+
   test("binary column is pruned when only features are selected") {
     val feats = Multimodal.extractFeatures(assets, dim = 8)
     val scan = feats.queryExecution.executedPlan.toString
