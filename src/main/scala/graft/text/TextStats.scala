@@ -219,21 +219,54 @@ object TextStats {
     * distinct k-gram shingles it shares with ANY benchmark document.
     *
     * Scale shape: both sides explode to (id, shingle) — already distinct
-    * per doc via the shingle builder — the benchmark side collapses to a
-    * distinct shingle set, and the match is an equi-join on the shingle
-    * (hash-distributed, never all-pairs; AQE broadcasts a small benchmark).
-    * Docs with zero overlap are absent (inner join) — left-join the corpus
-    * ids back for explicit zeros if needed. */
+    * per doc via the shingle builder — and the benchmark side collapses to
+    * a distinct shingle set that is ALWAYS small relative to the corpus
+    * (benchmark suites are fixed-size; the corpus is the 100 TB side).
+    * Two-tier plan on the actual set size:
+    *
+    *  - driver-sized benchmark (≤ [[ContaminationInSetLimit]] shingles,
+    *    every real eval suite): ONE pass over the benchmark collects the
+    *    exact set, and the corpus side becomes explode → `InSet` filter →
+    *    one partial-aggregated groupBy. No join, no second shuffle — the
+    *    minimum possible plan, and the membership test is exact.
+    *  - oversized benchmark: the distinct set is localCheckpoint'ed once
+    *    (it feeds two consumers), a driver bloom filter built from it
+    *    pre-filters the exploded corpus BEFORE the shingle equi-join, and
+    *    the exact join removes the bloom's false positives. The bloom is
+    *    what keeps the join shuffle carrying ~matches instead of the
+    *    entire exploded corpus once the benchmark outgrows broadcast size.
+    *
+    * Docs with zero overlap are absent (inner join semantics on both
+    * tiers) — left-join the corpus ids back for explicit zeros if needed. */
   def contamination(corpus: DataFrame, idCol: String, textCol: String,
-                    benchmark: DataFrame, k: Int = 3): DataFrame = {
+                    benchmark: DataFrame, k: Int = 3,
+                    inSetLimit: Int = ContaminationInSetLimit): DataFrame = {
     import graft.dedup.Dedup
     def sh(df: DataFrame) = df
       .select(col(idCol), Dedup.normTokens(col(textCol)).as("_tk"))
       .select(col(idCol), explode(Dedup.shinglesFromTokens(col("_tk"), k)).as("shingle"))
-    val bench = sh(benchmark).select("shingle").distinct()
-    sh(corpus).join(bench, Seq("shingle"))
-      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    val benchSh = sh(benchmark).select("shingle").distinct()
+    val probe = benchSh.limit(inSetLimit + 1).collect().map(_.getString(0))
+    val matched =
+      if (probe.length <= inSetLimit)
+        sh(corpus).filter(col("shingle").isin(probe.toSeq: _*))
+      else {
+        val bench = benchSh.localCheckpoint(true)
+        val bloom = bench.stat.bloomFilter("shingle",
+          expectedNumItems = math.max(1024L, bench.count()), fpp = 0.01)
+        val bcBloom = corpus.sparkSession.sparkContext.broadcast(bloom)
+        val mightContain =
+          udf((s: String) => s != null && bcBloom.value.mightContainString(s))
+        sh(corpus).filter(mightContain(col("shingle")))
+          .join(bench, Seq("shingle"))
+      }
+    matched.groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Benchmark-shingle count up to which [[contamination]] collects the
+    * exact set driver-side (an `InSet` of 100k strings is a few MB —
+    * trivially broadcast-able); above it, bloom + equi-join. */
+  val ContaminationInSetLimit: Int = 100000
 
   /** Document chunking — the context-window packing pre-step of every LLM
     * training pipeline: each document's token stream becomes overlapping

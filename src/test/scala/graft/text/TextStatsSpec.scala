@@ -123,6 +123,23 @@ class TextStatsSpec extends SparkSpec {
       Seq((1L, 2L), (3L, 2L))) // doc 2 absent: zero overlap
   }
 
+  test("contamination: bloom+join tier (oversized benchmark) matches the InSet tier") {
+    // Same data through both plans: inSetLimit=0 forces the bloom+equi-join
+    // path a too-big-to-collect benchmark takes; results must be identical
+    // (the exact join removes bloom false positives).
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox sleeps"),
+      (2L, "entirely different words here"),
+      (3L, "quick brown fox jumps high quick brown fox jumps"))
+      .toDF("id", "text")
+    def run(limit: Int) =
+      TextStats.contamination(corpus, "id", "text", bench, k = 3, inSetLimit = limit)
+        .orderBy("id").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(run(0) == run(TextStats.ContaminationInSetLimit))
+    assert(run(0) == Seq((1L, 2L), (3L, 2L)))
+  }
+
   test("chunkTokens: overlapping windows cover every token, tail kept") {
     import spark.implicits._
     val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
