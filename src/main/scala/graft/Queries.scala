@@ -1709,23 +1709,44 @@ object Queries {
        |  SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY vec_id)""".stripMargin
 
-  /** DuckDB twin of Ann.ivfTopKKmeans: replays the fixed-point Lloyd
-    * iterations with the identical integer arithmetic — md5-seeded init,
+  /** DuckDB twin of Ann.ivfTopKKmeans: replays the k-means‖-style init
+    * (md5-seeded oversample of 4k candidates, Gonzalez farthest-first
+    * reduce to k via k−1 argmax-of-min-distance selection CTEs) and the
+    * fixed-point Lloyd iterations with the identical integer arithmetic —
     * exact squared-distance assignment (tie → smaller cell), centroid
     * update floorDiv(1000·Σq, m) via the pmod-subtraction so engine
     * division semantics can't diverge. */
   private def ivfKmeansSql(k: Int, iters: Int, nprobe: Int, topk: Int): String = {
     def distTo(qa: String, ca: String) =
       s"(SELECT sum(($qa[g.i]*1000 - $ca[g.i])*($qa[g.i]*1000 - $ca[g.i])) FROM generate_series(1, 64) g(i))"
+    // candidate-vs-candidate distance: both already on the ×1000 grid
+    def candDist(a: String, b: String) =
+      s"(SELECT sum(($a[g.i] - $b[g.i])*($a[g.i] - $b[g.i])) FROM generate_series(1, 64) g(i))"
+    val over = graft.sim.Ann.KmeansOversample * k
     val sb = new StringBuilder
     sb.append(
       s"""WITH ev AS (SELECT vec_id, embedding,
          |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*1000) AS BIGINT)) AS q
          |  FROM embeddings),
-         |c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         |cand AS MATERIALIZED (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
          |  list_transform(q, x -> x*1000) AS c FROM ev
-         |  QUALIFY cell < $k),
+         |  QUALIFY rn <= $over),
+         |ch1 AS MATERIALIZED (SELECT 0 AS cell, rn, c FROM cand WHERE rn = 1),
          |""".stripMargin)
+    for (j <- 1 until k) {
+      sb.append(
+        s"""m$j AS MATERIALIZED (SELECT ca.rn, min(${candDist("ca.c", "p.c")}) AS md
+           |  FROM cand ca CROSS JOIN ch$j p
+           |  WHERE ca.rn NOT IN (SELECT rn FROM ch$j)
+           |  GROUP BY ca.rn),
+           |ch${j + 1} AS MATERIALIZED (SELECT * FROM ch$j UNION ALL
+           |  SELECT $j AS cell, rn, c FROM (
+           |    SELECT ca.rn, ca.c,
+           |      row_number() OVER (ORDER BY m.md DESC, ca.rn) AS pk
+           |    FROM cand ca JOIN m$j m USING (rn)) WHERE pk = 1),
+           |""".stripMargin)
+    }
+    sb.append(s"c0 AS (SELECT cell, c FROM ch$k),\n")
     for (i <- 1 to iters) {
       sb.append(
         s"""a$i AS (SELECT e.vec_id, e.q, s.cell,

@@ -418,9 +418,21 @@ object Ann {
   }
 
   /** LEARNED IVF coarse quantizer: Lloyd's k-means on the fixed-point
-    * integer grid with md5-seeded initial centroids and a FIXED iteration
-    * count — fully deterministic, so the whole index build is cross-engine
-    * oracle-expressible (the DuckDB twin replays identical iterations).
+    * integer grid with a k-means‖-style deterministic init and a FIXED
+    * iteration count — fully deterministic, so the whole index build is
+    * cross-engine oracle-expressible (the DuckDB twin replays identical
+    * init selection and iterations).
+    *
+    * Init = md5-seeded oversample + farthest-first reduce: the
+    * [[KmeansOversample]]·k corpus rows with smallest (md5(id), id) form
+    * the candidate pool (one distributed top-m job — the "sample by a
+    * deterministic hash" half of k-means‖), then Gonzalez farthest-first
+    * selection on the driver picks k spread-out centers from the pool
+    * (exact integer distances, ties to the earlier candidate — the
+    * "reduce to k" half). Unlike first-k-by-md5, near-duplicate seeds
+    * can't collapse two cells onto one cluster, which is the cell-balance
+    * property that matters on skewed corpora at 100 TB. Driver work is
+    * O(m²·dims) on m ≈ 4k rows — constant-sized, never O(corpus).
     *
     * Scale shape (the MLlib KMeans loop): per iteration ONE map-only
     * assignment pass over the corpus (centroids ride in the plan as
@@ -438,12 +450,12 @@ object Ann {
       : Seq[(Int, Array[Long])] = {
     val qv = corpus.select(col(idCol).as("_id"), quantize3(col(vecCol)).as("_q"))
     qv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // md5-seeded init: the k corpus rows with smallest (md5(id), id); their
-    // quantized vectors (×1000 onto the centroid grid) are cells 0..k−1
-    var cents: Seq[(Int, Array[Long])] =
+    val cand: Array[Array[Long]] =
       qv.orderBy(md5(col("_id").cast("string").cast("binary")), col("_id"))
-        .limit(k).select("_q").collect().toSeq.zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Long](0).map(_ * 1000L).toArray) }
+        .limit(KmeansOversample * k).select("_q").collect()
+        .map(_.getSeq[Long](0).map(_ * 1000L).toArray)
+    var cents: Seq[(Int, Array[Long])] =
+      farthestFirst(cand, k).zipWithIndex.map { case (c, cell) => (cell, c) }
     var it = 0
     while (it < iters) {
       val upd = qv.withColumn("_cell", nearestCellInt(col("_q"), cents))
@@ -459,6 +471,42 @@ object Ann {
     }
     qv.unpersist(false)
     cents
+  }
+
+  /** Candidate-pool multiplier for the k-means‖ init oversample. */
+  val KmeansOversample: Int = 4
+
+  /** Deterministic Gonzalez farthest-first traversal over the candidate
+    * pool: start from the first candidate (smallest (md5, id)), repeatedly
+    * add the candidate with the LARGEST min-distance to the chosen set;
+    * exact integer distances, ties break to the earlier candidate — the
+    * identical argmax the DuckDB selection CTEs replay. */
+  private def farthestFirst(cand: Array[Array[Long]], k: Int): Seq[Array[Long]] = {
+    if (cand.isEmpty) return Seq.empty
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    // minD(j) = min distance from candidate j to the chosen set so far
+    val minD = cand.map(d2(_, cand(0)))
+    while (chosen.size < math.min(k, cand.length)) {
+      var best = -1; var bestMd = -1L
+      var j = 0
+      while (j < cand.length) {
+        if (!chosen.contains(j) && minD(j) > bestMd) { bestMd = minD(j); best = j }
+        j += 1
+      }
+      chosen += best
+      j = 0
+      while (j < cand.length) {
+        val d = d2(cand(j), cand(best))
+        if (d < minD(j)) minD(j) = d
+        j += 1
+      }
+    }
+    chosen.toSeq.map(cand(_))
   }
 
   /** IVF top-k over the learned k-means quantizer — no labels needed

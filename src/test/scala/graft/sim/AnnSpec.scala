@@ -226,6 +226,23 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("k-means|| init: near-duplicate seeds cannot collapse two cells onto one cluster") {
+    // Two tight clusters; the 8 smallest-md5 rows could all land in one
+    // cluster under first-k-by-md5 init. Farthest-first over the 4k-wide
+    // candidate pool must place initial centers in BOTH clusters, so after
+    // zero Lloyd iterations the learned cells already separate them.
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq(base + i * 1e-4f, base - i * 1e-4f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = Ann.kmeansCentroidsFixedPoint(df, "vec_id", "embedding", 2, 0)
+    assert(cents.size == 2)
+    // one center per sign-cluster — a collapsed init would put both in one
+    val signs = cents.map(_._2.head.sign).toSet
+    assert(signs == Set(1L, -1L), cents.map(_._2.toSeq).toString)
+  }
+
   test("kmeansCentroidsFixedPoint is deterministic and drops empty cells") {
     val df = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
