@@ -655,6 +655,15 @@ object Queries {
         .orderBy("id1")
     }),
 
+    "q_dup_spans" -> ((s, d) =>
+      // Substring-level dedup: longest verbatim shared token span per doc
+      // pair via rare-shingle anchoring + diagonal gaps-and-islands — the
+      // exact-substring pass doc-level dedup misses (two documents can
+      // share a 50-token quote at 0.1 Jaccard).
+      graft.dedup.Dedup.duplicatedSpans(Tables.documents(s, d),
+          "doc_id", "text", k = 3, maxDf = 5, minSpan = 5)
+        .orderBy("id1", "id2")),
+
     "q_vocab_topk" -> ((s, d) =>
       // Vocabulary building: token frequency top-k (explode → count → top
       // 100 with deterministic tiebreak) — the classic first pass of any
@@ -1268,6 +1277,35 @@ object Queries {
       s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
          |  min(doc_id) AS doc_id, count(*) AS dup_count
          |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Replays duplicatedSpans verbatim: positional 3-gram shingles, df<=5
+    // rare-shingle anchoring, pair equi-join on the shingle, diagonal
+    // gaps-and-islands (pos1 - row_number), span length = run + k - 1.
+    // All integer arithmetic — exact cross-engine.
+    "q_dup_spans" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+         |  FROM documents),
+         |sh AS (SELECT doc_id,
+         |    unnest(range(0, greatest(len(tk) - 2, 0))) AS pos,
+         |    unnest(list_transform(range(0, greatest(len(tk) - 2, 0)),
+         |      i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS shingle
+         |  FROM tk),
+         |rare AS (SELECT shingle FROM (
+         |    SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+         |  WHERE df <= 5),
+         |an AS (SELECT s.doc_id, s.pos, s.shingle FROM sh s JOIN rare USING (shingle)),
+         |isl AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    a.pos - b.pos AS diag, a.pos AS pos1,
+         |    a.pos - row_number() OVER (PARTITION BY a.doc_id, b.doc_id, a.pos - b.pos
+         |      ORDER BY a.pos) AS isl
+         |  FROM an a JOIN an b USING (shingle) WHERE a.doc_id < b.doc_id),
+         |sp AS (SELECT id1, id2, count(*) + 2 AS span_tokens
+         |  FROM isl GROUP BY id1, id2, diag, isl
+         |  HAVING count(*) + 2 >= 5)
+         |SELECT id1, id2, CAST(max(span_tokens) AS BIGINT) AS max_span_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_spans
+         |FROM sp GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin,
 
     "q_dedup_survivors" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents

@@ -182,6 +182,75 @@ object Dedup {
       idCol)
   }
 
+  /** POSITIONAL k-gram shingles: element i = tokens i..i+k−1 joined, for
+    * every start position (trailing k−1 entries null — filter after the
+    * posexplode). Unlike [[shinglesFromTokens]] this keeps positions and
+    * repeats: the input to span assembly, where WHERE a match sits matters. */
+  def positionalShingles(toks: Column, k: Int): Column =
+    (1 until k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), greatest(size(toks) - j, lit(1))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+
+  /** Duplicated-SPAN detection — substring-level dedup/contamination (the
+    * exact-substring pass of modern LLM data pipelines, cf. "Deduplicating
+    * Training Data Makes Language Models Better"): for each document pair,
+    * the longest run of tokens they share verbatim, found WITHOUT any
+    * suffix array or all-pairs scan.
+    *
+    *  1. explode positional k-gram shingles per doc;
+    *  2. RARE-SHINGLE ANCHORING: keep shingles appearing in ≤ `maxDf`
+    *     docs — stop-phrase shingles ("of the and …") would otherwise
+    *     fan the pair join quadratically on hot keys. Any shared span of
+    *     ≥ k tokens that contains at least one rare shingle is found;
+    *     spans made ENTIRELY of ubiquitous shingles are boilerplate by
+    *     definition — exactly what substring dedup wants to ignore.
+    *  3. equi-join anchored shingles across docs (id1 < id2) — matches
+    *     land on the (pos1 − pos2) diagonal;
+    *  4. gaps-and-islands per (pair, diagonal): consecutive positions
+    *     collapse to one span of `run + k − 1` tokens.
+    *
+    * Output: (id1, id2, max_span_tokens, n_spans) for pairs with a span
+    * ≥ `minSpan` tokens. All arithmetic is integer-exact — the DuckDB twin
+    * replays it verbatim.
+    *
+    * Scale shape: shingle explode is per-row (no shuffle); the df filter
+    * and pair join are shingle-keyed equi-joins (hash-distributed, never
+    * all-pairs); span assembly is one window + aggregate partitioned by
+    * (id1, id2, diag) — naturally parallel, no single-partition stage. The
+    * anchored shingle table is persisted across its self-join (same trade
+    * as [[candidatePairs]]). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, maxDf: Int = 5, minSpan: Int = 5): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("_id"), normTokens(col(textCol)).as("_tk"))
+      .select(col("_id"),
+        posexplode(positionalShingles(col("_tk"), k)).as(Seq("pos", "shingle")))
+      .filter(col("shingle").isNotNull)
+    val rare = sh.groupBy("shingle")
+      .agg(countDistinct(col("_id")).as("_df"))
+      .filter(col("_df") <= maxDf).select("shingle")
+    val anchored = sh.join(rare, Seq("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = anchored
+      .select(col("shingle"), col("_id").as("id1"), col("pos").as("pos1"))
+      .join(anchored.select(col("shingle"), col("_id").as("id2"), col("pos").as("pos2")),
+        Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("pos1"), col("id2"), col("pos2"),
+        (col("pos1") - col("pos2")).as("_diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1", "id2", "_diag").orderBy("pos1")
+    pairs
+      .withColumn("_isl", col("pos1") - row_number().over(w))
+      .groupBy("id1", "id2", "_diag", "_isl")
+      .agg((count(lit(1)) + (k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .groupBy("id1", "id2")
+      .agg(max("span_tokens").as("max_span_tokens"),
+        count(lit(1)).as("n_spans"))
+  }
+
   /** Exact n-gram Jaccard for (id1, id2) candidate pairs — joins the shingle
     * sets back in (broadcast-friendly: candidates are small) and computes
     * |∩| / |∪| with array HOFs. */

@@ -307,9 +307,13 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
-  /** Resize stub: deterministic payload rewrite + meta update (a real
-    * implementation re-encodes pixels; the contract — binary in, binary out,
-    * meta reflecting new dims — is what downstream code depends on). */
+  /** REAL image resize for ImageIO-decodable payloads: deterministic
+    * box-filter downsample/upsample (per-channel integer sums, truncating
+    * division — no platform-dependent interpolation) re-encoded as PNG
+    * (lossless, so the resized pixels round-trip exactly). Payloads that
+    * don't decode keep the previous deterministic byte-rewrite fallback so
+    * non-image corpora stay stable. Meta reflects the new dims either way.
+    * Per-row mapPartitions, zero shuffle. */
   def resizeImages(assets: DataFrame, w: Int, h: Int): DataFrame = {
     val outSize = math.max(1, (w * h) / 64)
     val schema = assets.schema
@@ -321,8 +325,9 @@ object Multimodal {
         val resized =
           if (bytes == null) null
           else if (bytes.isEmpty) bytes // zero-length payload: avoid % 0
-          else Array.tabulate[Byte](math.min(outSize, bytes.length))(
-            i => bytes(i % bytes.length))
+          else boxResizePng(bytes, w, h).getOrElse(
+            Array.tabulate[Byte](math.min(outSize, bytes.length))(
+              i => bytes(i % bytes.length)))
         val old = r.getAs[Row](midx)
         val meta = Row(w, h,
           if (old == null) null else old.get(2),
@@ -331,6 +336,57 @@ object Multimodal {
       }
     }(RowEncoder.encoderFor(schema))
   }
+
+  /** Decode → box-filter resample to w×h → PNG bytes; None when the
+    * payload is not a decodable image. Each target pixel is the truncating
+    * integer mean of its source block per RGB channel (blocks from the
+    * same integer grid mapping [[lumaGrid]] uses), so the result is
+    * bit-identical on any JVM. */
+  private[multimodal] def boxResizePng(bytes: Array[Byte], w: Int, h: Int)
+      : Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val rs = new Array[Long](w * h); val gs = new Array[Long](w * h)
+        val bs = new Array[Long](w * h); val ns = new Array[Long](w * h)
+        var y = 0
+        while (y < sh) {
+          val cy = math.min(h - 1, y * h / sh)
+          var x = 0
+          while (x < sw) {
+            val cell = cy * w + math.min(w - 1, x * w / sw)
+            val rgb = img.getRGB(x, y)
+            rs(cell) += (rgb >> 16) & 0xff; gs(cell) += (rgb >> 8) & 0xff
+            bs(cell) += rgb & 0xff; ns(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var cell = 0
+        while (cell < w * h) {
+          // upsampling can leave empty cells: borrow the nearest source
+          // pixel by inverse-mapping the cell center
+          if (ns(cell) == 0) {
+            val (cx, cyy) = (cell % w, cell / w)
+            val rgb = img.getRGB(
+              math.min(sw - 1, cx * sw / w), math.min(sh - 1, cyy * sh / h))
+            rs(cell) = (rgb >> 16) & 0xff; gs(cell) = (rgb >> 8) & 0xff
+            bs(cell) = rgb & 0xff; ns(cell) = 1
+          }
+          val v = (((rs(cell) / ns(cell)) << 16) |
+            ((gs(cell) / ns(cell)) << 8) | (bs(cell) / ns(cell))).toInt
+          out.setRGB(cell % w, cell / w, v)
+          cell += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Frame sampling for video payloads: every `stride`-th frame becomes a
     * row (asset_id, frame_no, frame binary). YUV4MPEG2 payloads yield REAL

@@ -103,6 +103,43 @@ class DedupSpec extends SparkSpec {
     assert(s == Seq(1L, 4L, 5L)) // 2,3 collapse into 1; 4,5 untouched
   }
 
+  test("duplicatedSpans: exact shared token span found, boilerplate and short overlaps dropped") {
+    val quote = "the quick brown fox jumps over the lazy sleeping dog" // 10 tokens
+    val d = Seq(
+      (1L, s"alpha beta $quote gamma delta"),
+      (2L, s"unrelated prefix words here $quote and a suffix"),
+      (3L, "alpha beta gamma delta epsilon zeta"),     // shares <5-token runs only
+      (4L, "totally different content about nothing")).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(d, "doc_id", "text", k = 3, maxDf = 5, minSpan = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // only the quoting pair survives, with the exact 10-token span, once
+    assert(r.toSeq == Seq((1L, 2L, 10L, 1L)), r.mkString(","))
+  }
+
+  test("duplicatedSpans: rare-shingle anchoring drops spans made only of hot shingles") {
+    // the same 6-token phrase in 7 docs -> every shingle has df 7 > maxDf 5
+    val phrase = "one two three four five six"
+    val d = (1L to 7L).map(i => (i, s"doc$i says $phrase end$i")).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(d, "doc_id", "text", k = 3, maxDf = 5, minSpan = 5)
+    assert(r.count() == 0)
+    // raising maxDf re-anchors them: all 21 pairs share the 7-token span
+    // ("says" + the 6-token phrase — "says" is common to every doc too)
+    val r2 = Dedup.duplicatedSpans(d, "doc_id", "text", k = 3, maxDf = 10, minSpan = 5)
+      .collect()
+    assert(r2.length == 21 && r2.forall(_.getLong(2) == 7L))
+  }
+
+  test("duplicatedSpans: two disjoint spans on the same pair count separately") {
+    val a = "first shared span of six tokens"   // 6 tokens
+    val b = "second shared run of seven more tokens" // 7 tokens
+    val d = Seq(
+      (1L, s"$a filler one $b"),
+      (2L, s"$b other filler words entirely $a")).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(d, "doc_id", "text", k = 3, maxDf = 5, minSpan = 5)
+      .collect()(0)
+    assert((r.getLong(2), r.getLong(3)) == ((7L, 2L)), r.toString)
+  }
+
   test("simhash: identical texts equal, near texts close in Hamming distance") {
     val s = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)

@@ -186,6 +186,40 @@ class MultimodalSpec extends SparkSpec {
       (f2(p) & 0xff) == Multimodal.videoLumaPx(7L, p, 2)))
   }
 
+  test("resizeImages: REAL box-filter resize on decodable images, exact block means") {
+    val id = 9L
+    val df = Seq((id, "image", Multimodal.pngGray(id)))
+      .toDF("asset_id", "modality", "content")
+      .withColumn("meta", struct(lit(4).as("width"), lit(4).as("height"),
+        lit(null).cast("int").as("sample_rate"), lit(null).cast("long").as("duration_ms")))
+    val out = Multimodal.resizeImages(df, 2, 2).collect()(0)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]]("content")))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    for (cy <- 0 until 2; cx <- 0 until 2) {
+      // truncating mean of the 2x2 source block (gray: r=g=b=v)
+      val vs = for (dy <- 0 to 1; dx <- 0 to 1)
+        yield Multimodal.imagePixel(id, (cy * 2 + dy) * 4 + (cx * 2 + dx))
+      val expect = vs.map(_.toLong).sum / 4
+      assert((img.getRGB(cx, cy) & 0xff) == expect, s"cell ($cy,$cx)")
+    }
+    assert(out.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") == 2)
+  }
+
+  test("resizeImages: upsampling fills every target pixel (nearest-source borrow)") {
+    val df = Seq((1L, "image", Multimodal.pngGray(1L)))
+      .toDF("asset_id", "modality", "content")
+      .withColumn("meta", struct(lit(4).as("width"), lit(4).as("height"),
+        lit(null).cast("int").as("sample_rate"), lit(null).cast("long").as("duration_ms")))
+    val out = Multimodal.resizeImages(df, 8, 8).collect()(0)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]]("content")))
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    // every 2x2 target block mirrors its source pixel exactly
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((img.getRGB(x, y) & 0xff) == Multimodal.imagePixel(1L, (y / 2) * 4 + x / 2))
+  }
+
   test("pngGray round-trips exactly through the ImageIO decoder") {
     val id = 42L
     val feats = Multimodal.decodeImageLuma(Multimodal.pngGray(id), 16).get
