@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.dedup.Dedup
+
+/** Streaming near-dup detection — the ingest-time face of the MinHash-LSH
+  * batch family, completing the dedup matrix: exact dedup has
+  * [[StreamingDetector.dedupStream]]; this is its near-dup sibling.
+  *
+  * Same signature math as the batch path ([[Dedup.minhashSignatureMd5]] on
+  * the md5 band family — bit-identical to `minhashCandidatesMd5`), applied
+  * per arriving document with zero shuffle, then the stream is keyed by
+  * (band_id, band_hash) and a `flatMapGroupsWithState` keeps ONE
+  * representative doc id per bucket. A document colliding with a
+  * non-empty bucket emits a (representative, doc) candidate — the
+  * streaming equivalent of the batch banded equi-join, arriving
+  * incrementally instead of as a corpus-wide shuffle.
+  *
+  * Semantics vs batch: the batch join yields the full clique of pairs
+  * inside a bucket; the stream yields the star anchored at the FIRST
+  * ARRIVAL (enough for drop-at-ingest decisions, where later members are
+  * duplicates *of the retained representative*). Candidates are
+  * band-level — verify with [[Dedup.jaccardVerify]] in `foreachBatch`
+  * exactly as the batch pipeline does before dropping anything.
+  *
+  * Scale shape: per-bucket state is one long, sharded across executors
+  * like all keyed state; per-doc work is the signature expression (no
+  * shuffle until the keyed exchange on the band key). State grows with
+  * distinct buckets — for bounded retention swap the NoTimeout for a
+  * processing-time TTL at the call site the way production dedup windows
+  * do; the checkpoint story is identical to the scoring stream's (proven
+  * by the recovery test).
+  */
+object StreamingDedup {
+
+  /** One emitted candidate: `id2` collided with the bucket whose retained
+    * representative is `id1`, in band `bandId`. */
+  final case class Candidate(id1: Long, id2: Long, bandId: Int)
+  /** Per-bucket state: the first-arrived member. */
+  final case class BucketState(rep: Long)
+
+  /** LSH band rows (doc, band_id, band_hash) for a streaming (or batch)
+    * doc frame — md5 family end-to-end, so signatures match the batch
+    * `minhashCandidatesMd5` bit-for-bit. Pure per-row expressions. */
+  def bandRows(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 3, numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val withTk = docs.select(col(idCol).cast("long").as("_id"),
+      Dedup.normTokens(col(textCol)).as("_tk"))
+    // each stage materialized in its own projection — the next references
+    // it many times (same CollapseProject trap as the batch path)
+    val withSh = withTk.select(col("_id"),
+      Dedup.shinglesFromTokens(col("_tk"), k).as("_sh"))
+    val withHp = withSh.select(col("_id"), Dedup.md5HashPairs(col("_sh")).as("_hp"))
+    val sigs = withHp.select(col("_id"),
+      Dedup.minhashSignatureMd5(col("_hp"), numHashes).as("sig"))
+    Dedup.lshBands(sigs, "_id", "sig", bands, numHashes / bands,
+      c => conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long"))
+  }
+
+  /** Streaming near-dup candidates over a stream of (id, text) documents.
+    * Emits one [[Candidate]] per (band bucket, later arrival); distinct
+    * (id1, id2) downstream if band multiplicity is unwanted. */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, numHashes: Int = 32, bands: Int = 16)
+      : Dataset[Candidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def update(key: (Int, Long), batch: Iterator[(Long, Int, Long)],
+               state: GroupState[BucketState]): Iterator[Candidate] = {
+      val out = scala.collection.mutable.ArrayBuffer[Candidate]()
+      var rep = state.getOption.map(_.rep)
+      // within-batch determinism: smallest id claims an empty bucket
+      batch.map(_._1).toSeq.sorted.foreach { id =>
+        rep match {
+          case None          => rep = Some(id)
+          case Some(r) if r != id => out += Candidate(r, id, key._1)
+          case _             => () // replay of the representative itself
+        }
+      }
+      rep.foreach(r => state.update(BucketState(r)))
+      out.iterator
+    }
+
+    bandRows(docs, idCol, textCol, k, numHashes, bands)
+      .as[(Long, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import scala.jdk.CollectionConverters._
+
+class StreamingDedupSpec extends SparkSpec {
+  import StreamingDedup._
+
+  private val dupA  = "the quick brown fox jumps over the lazy dog again and again"
+  private val dupA2 = "the quick brown fox jumps over the lazy dog again and again today"
+  private val other = "completely unrelated text about distributed stream processing"
+
+  test("near-dup candidates stream: later arrivals pair with the first-arrived representative") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val cands = nearDupCandidates(input.toDF().toDF("id", "text"), "id", "text")
+    val q = cands.writeStream.format("memory").queryName("sd1")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, dupA), (5L, other))
+      q.processAllAvailable()
+      assert(spark.table("sd1").count() == 0) // nothing collides yet
+      // a near-dup arriving in a LATER micro-batch pairs with doc 1
+      input.addData(Seq((2L, dupA2)))
+      q.processAllAvailable()
+      val pairs = spark.table("sd1").as[Candidate].collect()
+        .map(c => (c.id1, c.id2)).distinct.toSeq
+      assert(pairs == Seq((1L, 2L)), pairs.toString)
+      // an exact replay of the representative emits nothing new
+      input.addData(Seq((1L, dupA)))
+      q.processAllAvailable()
+      assert(spark.table("sd1").as[Candidate].collect()
+        .map(c => (c.id1, c.id2)).distinct.toSeq == Seq((1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming star matches the batch clique's connectivity (same md5 band family)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq((1L, dupA), (2L, dupA2), (3L, dupA), (9L, other))
+    // batch candidates: full clique among {1,2,3}
+    val batch = graft.dedup.Dedup.minhashCandidatesMd5(
+        docs.toDF("id", "text"), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((1L, 2L), (1L, 3L), (2L, 3L)), batch.toString)
+    // streaming: star anchored at the first arrival — same connected set
+    val input = MemoryStream[(Long, String)]
+    val q = nearDupCandidates(input.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.format("memory").queryName("sd2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      docs.foreach { d => input.addData(Seq(d)); q.processAllAvailable() }
+      val star = spark.table("sd2").as[Candidate].collect()
+        .map(c => (c.id1, c.id2)).distinct.toSet
+      assert(star == Set((1L, 2L), (1L, 3L)), star.toString)
+    } finally q.stop()
+  }
+
+  test("bucket state survives a checkpointed restart (drop-at-ingest across crashes)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Long, Long)]]()
+    def start() = nearDupCandidates(input.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Candidate], bid: Long) =>
+        got.put(bid, ds.collect().toSeq.map(c => (c.id1, c.id2))); ()
+      }.start()
+    val q1 = start()
+    try { input.addData(Seq((1L, dupA))); q1.processAllAvailable() }
+    finally q1.stop()
+    input.addData(Seq((2L, dupA2))) // arrives while the query is down
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // the restarted query still knows doc 1 owns the buckets
+    val pairs = got.values().asScala.flatten.toSeq.distinct
+    assert(pairs == Seq((1L, 2L)), pairs.toString)
+  }
+}
