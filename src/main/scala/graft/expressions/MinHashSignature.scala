@@ -273,5 +273,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
       (children: Seq[Expression]) =>
         NearestCell(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vec_sum_long"),
+      new ExpressionInfo(classOf[VectorSumLong].getName, "graft_vec_sum_long"),
+      (children: Seq[Expression]) =>
+        VectorSumLong(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vec_avg"),
+      new ExpressionInfo(classOf[VectorAvgDouble].getName, "graft_vec_avg"),
+      (children: Seq[Expression]) =>
+        VectorAvgDouble(children.head).toAggregateExpression()))
   }
 }

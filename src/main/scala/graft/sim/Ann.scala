@@ -282,16 +282,41 @@ object Ann {
       .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
   }
 
-  /** IVF-style coarse quantization: per-label centroid table (posexplode +
-    * two-level agg — one shuffle on (label, pos), then label). Serves both
-    * as an IVF index build and as a per-class embedding summary. */
-  def centroids(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame =
-    corpus
-      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy(labelCol, "pos").agg(avg(col("v").cast("double")).as("mean_v"))
-      .groupBy(labelCol)
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean_v")))),
-        s => s.getField("mean_v")).as("centroid"))
+  /** IVF-style coarse quantization: per-label centroid table. Serves both
+    * as an IVF index build and as a per-class embedding summary.
+    *
+    * Shape: per-dimension averages on a single groupBy(label) — NOT
+    * posexplode → groupBy(label, pos). The map side folds each row
+    * straight into its partition's labels×dims agg buffer, so the shuffle
+    * carries partial averages instead of a dims× exploded copy of the
+    * corpus (the difference between shuffling 64 B rows and labels·dims
+    * doubles at 10⁹ vectors). Preferred form is the native
+    * `graft_vec_avg` kernel (one buffer per group, constant-size codegen,
+    * no dims probe); fallback is a WIDE aggregate of dims
+    * `avg(element_at)` columns, whose dims come from the first non-empty
+    * vector (one tiny job; embedding columns are uniform-width by
+    * construction). Per-dim `avg` ignores null elements exactly as
+    * posexplode skipped them. */
+  def centroids(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val useKernel = scala.util.Try(
+      corpus.sparkSession.catalog.functionExists("graft_vec_avg"))
+      .getOrElse(false)
+    if (useKernel)
+      return corpus.groupBy(col(labelCol))
+        .agg(call_function("graft_vec_avg",
+          col(vecCol).cast("array<double>")).as("centroid"))
+    val head = corpus.select(size(col(vecCol)).as("n")).filter(col("n") > 0).head(1)
+    if (head.isEmpty)
+      return corpus.select(col(labelCol),
+        lit(null).cast("array<double>").as("centroid")).limit(0)
+    val dims = head(0).getInt(0)
+    val avgs = (0 until dims).map(i =>
+      avg(element_at(col(vecCol), i + 1).cast("double")).as(s"_a$i"))
+    corpus.groupBy(col(labelCol))
+      .agg(avgs.head, avgs.tail: _*)
+      .select(col(labelCol),
+        array((0 until dims).map(i => col(s"_a$i")): _*).as("centroid"))
+  }
 
   /** The nearest cell for a vector given a (small, materialized) array of
     * (cell, cvec) structs: argmax by cosine with ascending-cell tiebreak.
@@ -456,17 +481,43 @@ object Ann {
         .map(_.getSeq[Long](0).map(_ * 1000L).toArray)
     var cents: Seq[(Int, Array[Long])] =
       farthestFirst(cand, k).zipWithIndex.map { case (c, cell) => (cell, c) }
+    val dims = cents.headOption.map(_._2.length).getOrElse(0)
+    val useKernel = scala.util.Try(
+      corpus.sparkSession.catalog.functionExists("graft_vec_sum_long"))
+      .getOrElse(false)
     var it = 0
     while (it < iters) {
-      val upd = qv.withColumn("_cell", nearestCellInt(col("_q"), cents))
-        .select(col("_cell"), posexplode(col("_q")).as(Seq("_pos", "_v")))
-        .groupBy("_cell", "_pos")
-        .agg(sum("_v").as("_s"), count(lit(1)).as("_m"))
-        .collect() // ≤ k×dims rows — driver-sized by construction
-      cents = upd.groupBy(_.getInt(0)).toSeq.map { case (cell, rows) =>
-        (cell, rows.sortBy(_.getInt(1))
-          .map(r => Math.floorDiv(1000L * r.getLong(2), r.getLong(3))).toArray)
-      }.sortBy(_._1)
+      // Vector-sum aggregate, not posexplode→groupBy(_cell, _pos): the map
+      // side folds each row directly into its partition's k×dims agg
+      // buffer, so the shuffle carries k×dims partials per partition
+      // instead of a dims× exploded copy of the corpus — at 10⁹ vectors
+      // that is the difference between shuffling 64 B rows and shuffling
+      // k·dims longs. Preferred form is the native graft_vec_sum_long
+      // kernel (ONE buffer per group, ObjectHashAggregate, constant-size
+      // codegen); the builtin fallback is a WIDE aggregate of dims
+      // sum(element_at) columns — same shuffle shape, but its generated
+      // HashAggregate class grows with dims (~1 s first-run Janino at 64).
+      // Integer sums are associative and exact, so every form is
+      // bit-identical to the exploded shape and to the DuckDB replay.
+      val assigned = qv.withColumn("_cell", nearestCellInt(col("_q"), cents))
+      val upd =
+        if (useKernel)
+          assigned.groupBy("_cell")
+            .agg(count(lit(1)).as("_m"),
+              call_function("graft_vec_sum_long", col("_q")).as("_s"))
+            .collect() // ≤ k rows of dims sums — driver-sized by construction
+            .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+        else
+          assigned.groupBy("_cell")
+            .agg(count(lit(1)).as("_m"),
+              (0 until dims).map(i =>
+                sum(element_at(col("_q"), i + 1)).as(s"_s$i")): _*)
+            .collect()
+            .map(r => (r.getInt(0), r.getLong(1),
+              (0 until dims).map(i => r.getLong(2 + i))))
+      cents = upd.map { case (cell, m, sums) =>
+        (cell, sums.map(s => Math.floorDiv(1000L * s, m)).toArray)
+      }.toSeq.sortBy(_._1)
       it += 1
     }
     qv.unpersist(false)
