@@ -655,6 +655,22 @@ object Queries {
         .orderBy("id1")
     }),
 
+    "q_pack_bins" -> ((s, d) =>
+      // Sequence packing: sequential-fill bin assignment by cumulative
+      // token count per lang (capacity 512 tokens). Reference-faithful
+      // single-window shape; the bucketed twin below removes the per-lang
+      // single-task ceiling with boundary carries.
+      graft.text.Packing.packBins(Tables.documents(s, d),
+          "doc_id", "lang", "text", capacity = 512L)
+        .orderBy("doc_id")),
+
+    "q_pack_bins_bucketed" -> ((s, d) =>
+      // Scale twin: identical bins from range-bucketed local cumsums +
+      // broadcast carry-ins — shares q_pack_bins' oracle verbatim.
+      graft.text.Packing.packBinsBucketed(Tables.documents(s, d),
+          "doc_id", "lang", "text", capacity = 512L, idsPerBucket = 100L)
+        .orderBy("doc_id")),
+
     "q_dup_spans" -> ((s, d) =>
       // Substring-level dedup: longest verbatim shared token span per doc
       // pair via rare-shingle anchoring + diagonal gaps-and-islands — the
@@ -1278,6 +1294,9 @@ object Queries {
          |  min(doc_id) AS doc_id, count(*) AS dup_count
          |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    "q_pack_bins" -> packBinsSql,
+    "q_pack_bins_bucketed" -> packBinsSql,
+
     // Replays duplicatedSpans verbatim: positional 3-gram shingles, df<=5
     // rare-shingle anchoring, pair equi-join on the shingle, diagonal
     // gaps-and-islands (pos1 - row_number), span length = run + k - 1.
@@ -1817,6 +1836,21 @@ object Queries {
          |FROM scored WHERE rank <= $topk ORDER BY qid, rank""".stripMargin)
     sb.toString
   }
+
+  /** One oracle for BOTH packing forms (global window and bucketed-carry):
+    * exclusive per-lang running token count, integer-divided by capacity.
+    * All integer arithmetic; `//` (DuckDB) = `div` (Spark) on nonnegative
+    * operands. */
+  private lazy val packBinsSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens, CAST(cum_excl // 512 AS BIGINT) AS bin_id
+       |FROM c ORDER BY doc_id""".stripMargin
 
   private lazy val jaccardSql: String =
     s"""WITH sh AS (

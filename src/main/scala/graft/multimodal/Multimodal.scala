@@ -195,8 +195,13 @@ object Multimodal {
         .map(_.tail.toInt).filter(_ > 0)
       val cs = params.find(p => p.nonEmpty && p.head == 'C')
         .map(_.tail).getOrElse("420")
-      for (w <- num('W'); h <- num('H'); chroma <- chromaBytes(cs, w, h))
-        yield Y4mHeader(w, h, w * h + chroma, nl + 1)
+      for {
+        w <- num('W'); h <- num('H')
+        // hostile-header guard: w·h beyond 2^26 px would overflow the Int
+        // frame size (and no sane payload carries it) — treat as corrupt
+        if w.toLong * h <= (1 << 26)
+        chroma <- chromaBytes(cs, w, h)
+      } yield Y4mHeader(w, h, w * h + chroma, nl + 1)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Bytes of U+V planes per frame for a Y4M colorspace tag. */

@@ -157,6 +157,9 @@ class MultimodalSpec extends SparkSpec {
       "truncated frame must not decode")
     assert(Multimodal.decodeVideoLuma("YUV4MPEG2 W4 F25:1\nFRAME\n".getBytes, 16).isEmpty,
       "missing height must not decode")
+    assert(Multimodal.parseY4mHeader(
+      "YUV4MPEG2 W999999 H999999 F25:1\nFRAME\n".getBytes).isEmpty,
+      "hostile dims must not overflow the frame size")
     val valid = Multimodal.y4mGray(1L)
     assert(Multimodal.decodeVideoLuma(valid, 16).isDefined)
   }
