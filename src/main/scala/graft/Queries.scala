@@ -655,6 +655,20 @@ object Queries {
         .orderBy("id1")
     }),
 
+    "q_embed_quant" -> ((s, d) => {
+      // int8 embedding quantization report: symmetric codes, per-vector
+      // scale, mean abs reconstruction error — the 4x storage lever for
+      // 100 TB embedding tables, oracle-checked per row (fixed fold order).
+      val rep = Tables.embeddings(s, d)
+        .select(col("vec_id"), graft.sim.Ann.int8Report(col("embedding")).as("r"))
+      rep.select(col("vec_id"),
+          array_min(col("r.codes")).as("min_code"),
+          array_max(col("r.codes")).as("max_code"),
+          round(col("r.scale"), 6).as("scale"),
+          round(col("r.mae"), 6).as("mae"))
+        .orderBy("vec_id")
+    }),
+
     "q_pack_bins" -> ((s, d) =>
       // Sequence packing: sequential-fill bin assignment by cumulative
       // token count per lang (capacity 512 tokens). Reference-faithful
@@ -930,6 +944,15 @@ object Queries {
           graft.multimodal.Multimodal.syntheticAssets(
             Tables.documents(s, d), "doc_id", "text"), dim = 16)
         .select(col("asset_id"), size(col("features")).as("n_features"))
+        .orderBy("asset_id")),
+
+    "q_mm_probe" -> ((s, d) =>
+      // Typed metadata parsed FROM the payload bytes (PNG IHDR, WAV RIFF
+      // chunks, Y4M header+frames) — the oracle knows the closed form per
+      // modality, so every parsed field meets DuckDB.
+      graft.multimodal.Multimodal.probeAssets(
+          graft.multimodal.Multimodal.mediaAssets(
+            Tables.documents(s, d), "doc_id"))
         .orderBy("asset_id")),
 
     "q_mm_features_real" -> ((s, d) =>
@@ -1294,6 +1317,24 @@ object Queries {
          |  min(doc_id) AS doc_id, count(*) AS dup_count
          |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    "q_embed_quant" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |m AS (SELECT vec_id, v,
+         |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS ma FROM e),
+         |s AS (SELECT vec_id, v,
+         |    CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS scale FROM m),
+         |q AS (SELECT vec_id, v, scale,
+         |    list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS codes FROM s)
+         |SELECT vec_id,
+         |  list_aggregate(codes, 'min') AS min_code,
+         |  list_aggregate(codes, 'max') AS max_code,
+         |  round(scale, 6) AS scale,
+         |  round(list_aggregate(list_transform(range(1, len(v)+1),
+         |    i -> abs(v[i] - CASE WHEN scale > 0 THEN codes[i] / scale ELSE 0.0 END)),
+         |    'sum') / len(v), 6) AS mae
+         |FROM q ORDER BY vec_id""".stripMargin,
+
     "q_pack_bins" -> packBinsSql,
     "q_pack_bins_bucketed" -> packBinsSql,
 
@@ -1464,6 +1505,19 @@ object Queries {
          |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
          |  64 AS width, 16000 AS sample_rate,
          |  CAST(length(text) * 10 AS BIGINT) AS duration_ms
+         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // Closed form of the probed metadata per modality: PNG/Y4M are 4x4;
+    // WAV is 256 samples @ 8 kHz (512 B / 16000 Bps = 32 ms); Y4M is
+    // 2 frames @ 25 fps = 80 ms.
+    "q_mm_probe" ->
+      s"""SELECT doc_id AS asset_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'y4m' END AS format,
+         |  CASE WHEN doc_id % 3 = 1 THEN NULL ELSE 4 END AS width,
+         |  CASE WHEN doc_id % 3 = 1 THEN NULL ELSE 4 END AS height,
+         |  CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE NULL END AS sample_rate,
+         |  CASE doc_id % 3 WHEN 1 THEN CAST(32 AS BIGINT) WHEN 2 THEN CAST(80 AS BIGINT)
+         |    ELSE NULL END AS duration_ms
          |FROM documents ORDER BY asset_id""".stripMargin,
 
     // Replays the media-fixture formulas (Multimodal.imagePixel/audioSample/

@@ -431,6 +431,129 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  // ---- real container-metadata probing (headers only, no codecs) ----
+
+  /** Typed metadata parsed from payload BYTES (format sniff + header walk)
+    * rather than trusted from caller columns — the "typed metadata" half
+    * of the multimodal contract made real. Pure-JDK header parsing:
+    *
+    *  - PNG: IHDR width/height (big-endian at offsets 16/20)
+    *  - GIF: logical-screen width/height (little-endian at 6/8)
+    *  - WAV: RIFF chunk walk — `fmt ` sample rate + byte rate, `data`
+    *    size → duration
+    *  - Y4M: stream header dims + frame count × frame rate → duration
+    *  - MP4/ISO-BMFF: box walk — `moov/mvhd` timescale+duration (v0/v1),
+    *    `moov/trak/tkhd` 16.16-fixed width/height. Metadata needs no
+    *    codec, so this works on real compressed videos even though frame
+    *    DECODE for them stays behind the documented stub.
+    *
+    * Returns nulls for fields a format doesn't carry and format "unknown"
+    * (all-null fields) for unparseable payloads — never throws. */
+  def probeMeta(bytes: Array[Byte])
+      : (String, Option[Int], Option[Int], Option[Int], Option[Long]) =
+    try {
+      def be32(o: Int) = ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+      def le32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      def le16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def ascii(o: Int, n: Int) = new String(bytes, o, n, "US-ASCII")
+      if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 && ascii(1, 3) == "PNG")
+        ("png", Some(be32(16)), Some(be32(20)), None, None)
+      else if (bytes.length >= 10 && ascii(0, 4) == "GIF8")
+        ("gif", Some(le16(6)), Some(le16(8)), None, None)
+      else if (bytes.length >= 44 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
+        var (o, rate, byteRate, dataLen) = (12, 0, 0, -1L)
+        while (o + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
+          val (id, sz) = (ascii(o, 4), le32(o + 4))
+          if (id == "fmt " && o + 16 <= bytes.length) {
+            rate = le32(o + 12); byteRate = le32(o + 16)
+          } else if (id == "data") dataLen = sz.toLong
+          o += 8 + sz + (sz & 1) // chunks are 2-byte aligned
+        }
+        ("wav", None, None, Some(rate).filter(_ > 0),
+          if (dataLen >= 0 && byteRate > 0) Some(dataLen * 1000 / byteRate) else None)
+      } else if (looksLikeY4m(bytes))
+        parseY4mHeader(bytes) match {
+          case Some(hdr) =>
+            val nl = bytes.indexOf('\n'.toByte)
+            val fps = new String(bytes, 0, nl, "US-ASCII").split(' ')
+              .find(p => p.startsWith("F") && p.contains(':')).map(_.tail.split(':'))
+              .collect { case Array(n, d) if d.toLong > 0 => (n.toLong, d.toLong) }
+            val frames = y4mFrameOffsets(bytes, hdr).size
+            ("y4m", Some(hdr.w), Some(hdr.h), None,
+              fps.map { case (n, d) => frames * 1000L * d / n })
+          case None => ("unknown", None, None, None, None)
+        }
+      else if (bytes.length >= 12 && ascii(4, 4) == "ftyp") {
+        // ISO-BMFF box walk; returns at the first moov carrying mvhd/tkhd
+        var (w, h): (Option[Int], Option[Int]) = (None, None)
+        var dur: Option[Long] = None
+        def walk(from: Int, to: Int, depth: Int): Unit = {
+          var o = from
+          while (o + 8 <= to && depth < 6) {
+            val sz = be32(o); val id = ascii(o + 4, 4)
+            if (sz < 8 || o + sz > to) return
+            if (id == "moov" || id == "trak") walk(o + 8, o + sz, depth + 1)
+            else if (id == "mvhd" && sz >= 20) {
+              val v = bytes(o + 8) & 0xff
+              if (v == 1 && sz >= 36) {
+                val ts = be32(o + 8 + 4 + 16)
+                val d = (be32(o + 8 + 4 + 20).toLong << 32) |
+                  (be32(o + 8 + 4 + 24).toLong & 0xffffffffL)
+                if (ts > 0) dur = Some(d * 1000 / ts)
+              } else if (sz >= 28) {
+                val ts = be32(o + 8 + 4 + 8)
+                val d = be32(o + 8 + 4 + 12).toLong & 0xffffffffL
+                if (ts > 0) dur = Some(d * 1000 / ts)
+              }
+            } else if (id == "tkhd" && sz >= 92) {
+              // after version/flags: v0 fields 20 B (v1: 32), reserved/
+              // layer/group/volume 16 B, matrix 36 B, then 16.16 w/h
+              val v = bytes(o + 8) & 0xff
+              val base = if (v == 1) o + 8 + 4 + 32 + 16 + 36 else o + 8 + 4 + 20 + 16 + 36
+              if (base + 8 <= o + sz) {
+                val tw = be32(base) >>> 16; val th = be32(base + 4) >>> 16
+                if (tw > 0 && th > 0) { w = Some(tw); h = Some(th) }
+              }
+            }
+            o += sz
+          }
+        }
+        walk(0, bytes.length, 0)
+        ("mp4", w, h, None, dur)
+      } else ("unknown", None, None, None, None)
+    } catch {
+      case scala.util.control.NonFatal(_) => ("unknown", None, None, None, None)
+    }
+
+  /** Probed-metadata table: (asset_id, format, width, height, sample_rate,
+    * duration_ms) parsed from the binary payloads. Per-row mapPartitions,
+    * zero shuffle; the binary never leaves the executor. */
+  def probeAssets(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", LongType)))
+    val idIdx = assets.schema.fieldIndex("asset_id")
+    val cIdx = assets.schema.fieldIndex("content")
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](cIdx)
+        val (f, w, h, sr, d) =
+          if (bytes == null) ("unknown", None, None, None, None)
+          else probeMeta(bytes)
+        Row(r.getLong(idIdx), f,
+          w.map(Integer.valueOf).orNull, h.map(Integer.valueOf).orNull,
+          sr.map(Integer.valueOf).orNull,
+          d.map(java.lang.Long.valueOf).orNull)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   // ---- real-container synthetic media (the oracle-checkable fixtures) ----
   //
   // Each generator writes a REAL container whose pixel/sample values come

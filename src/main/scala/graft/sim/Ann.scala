@@ -29,6 +29,38 @@ object Ann {
   /** Cosine similarity. Uses the native codegen'd `graft_cosine` expression
     * when the session has GraftExtensions (one loop vs three interpreted
     * HOF folds); falls back to the pure-builtin composition otherwise. */
+  /** Symmetric int8 quantization of an embedding vector: scale =
+    * 127 / max|v|, q_i = round(v_i · scale) ∈ [−127, 127] — the classic
+    * 4× storage/bandwidth lever for 100 TB embedding tables (int8 + one
+    * float scale per vector instead of 64 floats). All-zero vectors
+    * quantize to zeros (scale 0 by convention, no division). Every step is
+    * per-row with a FIXED fold order, so the quantized codes and the
+    * reconstruction error are deterministic and cross-engine
+    * oracle-checkable (round-half-away ties are the one theoretical
+    * divergence and cannot occur on the fixture grid). */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = aggregate(vec, lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    transform(vec, v => round(v.cast("double") * scale).cast("long"))
+  }
+
+  /** Per-vector int8 reconstruction report: (codes, scale, mean abs error).
+    * Dequantized value = q_i / scale; the error fold runs in array order on
+    * both engines. */
+  def int8Report(vec: Column): Column = {
+    val maxAbs = aggregate(vec, lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    val codes = transform(vec, v => round(v.cast("double") * scale).cast("long"))
+    val errSum = aggregate(zip_with(vec, codes,
+      (v, q) => abs(v.cast("double") -
+        when(scale > 0.0, q.cast("double") / scale).otherwise(lit(0.0)))),
+      lit(0.0d), (acc, e) => acc + e)
+    struct(codes.as("codes"), scale.as("scale"),
+      (errSum / size(vec)).as("mae"))
+  }
+
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.SparkSession.getActiveSession
       .filter(s => scala.util.Try(s.catalog.functionExists("graft_cosine"))

@@ -255,6 +255,59 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeVideoLuma(a(2).getAs[Array[Byte]]("content"), 16).isDefined)
   }
 
+  test("probeMeta: real header parsing for PNG, WAV, Y4M and GIF") {
+    val (pf, pw, ph, _, _) = Multimodal.probeMeta(Multimodal.pngGray(1L, 4, 4))
+    assert((pf, pw, ph) == (("png", Some(4), Some(4))))
+    // WAV: 256 samples at 8 kHz mono 16-bit -> 512 data bytes / 16000 Bps = 32 ms
+    val (wf, _, _, wsr, wd) = Multimodal.probeMeta(Multimodal.wavPcm(1L))
+    assert((wf, wsr, wd) == (("wav", Some(8000), Some(32L))))
+    // Y4M: 2 frames at 25 fps = 80 ms
+    val (yf, yw, yh, _, yd) = Multimodal.probeMeta(Multimodal.y4mGray(1L))
+    assert((yf, yw, yh, yd) == (("y4m", Some(4), Some(4), Some(80L))))
+    val gif = Array[Byte]('G', 'I', 'F', '8', '9', 'a', 16, 0, 9, 0, 0, 0)
+    assert(Multimodal.probeMeta(gif) == (("gif", Some(16), Some(9), None, None)))
+    assert(Multimodal.probeMeta("junk".getBytes)._1 == "unknown")
+  }
+
+  /** Minimal ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
+  private def mp4Bytes(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(id.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val mvhd = { // v0: vf(4) ctime(4) mtime(4) timescale(4) duration(4) + tail
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      bb.array()
+    }
+    val tkhd = { // v0: vf(4) + 20 + 16 + matrix(36) + w(16.16) + h(16.16)
+      val bb = java.nio.ByteBuffer.allocate(4 + 20 + 16 + 36 + 8)
+      bb.position(4 + 20 + 16 + 36)
+      bb.putInt(w << 16).putInt(h << 16)
+      bb.array()
+    }
+    box("ftyp", "isom0000".getBytes) ++
+      box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+  }
+
+  test("probeMeta: MP4 box walk finds mvhd duration and tkhd dims without any codec") {
+    val mp4 = mp4Bytes(timescale = 1000, duration = 2500, w = 640, h = 360)
+    assert(Multimodal.probeMeta(mp4) ==
+      (("mp4", Some(640), Some(360), None, Some(2500L))))
+    // truncated box sizes degrade to unknown-but-parsed prefix, never throw
+    assert(Multimodal.probeMeta(mp4.take(20))._1 == "mp4")
+  }
+
+  test("probeAssets: typed meta parsed from payload bytes across modalities") {
+    val probed = Multimodal.probeAssets(Multimodal.mediaAssets(
+        Seq(3L, 4L, 5L).toDF("id"), "id"))
+      .orderBy("asset_id").collect()
+    assert(probed.map(_.getString(1)).toSeq == Seq("png", "wav", "y4m"))
+    assert(probed(1).getInt(4) == 8000 && probed(1).getLong(5) == 32L)
+    assert(probed(2).getInt(2) == 4 && probed(2).getLong(5) == 80L)
+  }
+
   test("binary column is pruned when only features are selected") {
     val feats = Multimodal.extractFeatures(assets, dim = 8)
     val scan = feats.queryExecution.executedPlan.toString

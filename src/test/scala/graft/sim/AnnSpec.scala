@@ -226,6 +226,26 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: codes bounded, error bounded by half a step, zero vector safe") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // all-zero: scale 0, codes 0
+      (3L, Seq(1e-4f, -3e-4f, 2e-4f, 1e-4f))).toDF("vec_id", "embedding")
+    val r = df.select($"vec_id", Ann.int8Report($"embedding").as("r"))
+      .select($"vec_id", $"r.codes", $"r.scale", $"r.mae")
+      .orderBy("vec_id").collect()
+    val codes1 = r(0).getSeq[Long](1)
+    assert(codes1 == Seq(64L, -127L, 32L, 0L)) // 0.5*254 = 127/2 rounds to 64
+    assert(codes1.forall(c => math.abs(c) <= 127))
+    // per-component error is at most half a quantization step
+    val step1 = 1.0 / r(0).getDouble(2)
+    assert(r(0).getDouble(3) <= step1 / 2 + 1e-12)
+    assert(r(1).getSeq[Long](1).forall(_ == 0L) && r(1).getDouble(2) == 0.0
+      && r(1).getDouble(3) == 0.0)
+    // tiny magnitudes still span the full code range (scale adapts)
+    assert(r(2).getSeq[Long](1).max == 85L || r(2).getSeq[Long](1).contains(-127L))
+  }
+
   test("k-means|| init: near-duplicate seeds cannot collapse two cells onto one cluster") {
     // Two tight clusters; the 8 smallest-md5 rows could all land in one
     // cluster under first-k-by-md5 init. Farthest-first over the 4k-wide
