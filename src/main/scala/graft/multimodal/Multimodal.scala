@@ -464,12 +464,15 @@ object Multimodal {
         ("gif", Some(le16(6)), Some(le16(8)), None, None)
       else if (bytes.length >= 44 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
         var (o, rate, byteRate, dataLen) = (12, 0, 0, -1L)
-        while (o + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
+        var halt = false
+        while (!halt && o + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
           val (id, sz) = (ascii(o, 4), le32(o + 4))
           if (id == "fmt " && o + 16 <= bytes.length) {
             rate = le32(o + 12); byteRate = le32(o + 16)
           } else if (id == "data") dataLen = sz.toLong
-          o += 8 + sz + (sz & 1) // chunks are 2-byte aligned
+          // hostile-size guard: a chunk size over 2^31 reads back as a
+          // negative Int and would walk o backwards — forever
+          if (sz < 0) halt = true else o += 8 + sz + (sz & 1) // 2-byte aligned
         }
         ("wav", None, None, Some(rate).filter(_ > 0),
           if (dataLen >= 0 && byteRate > 0) Some(dataLen * 1000 / byteRate) else None)

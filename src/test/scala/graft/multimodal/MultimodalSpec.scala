@@ -267,6 +267,11 @@ class MultimodalSpec extends SparkSpec {
     val gif = Array[Byte]('G', 'I', 'F', '8', '9', 'a', 16, 0, 9, 0, 0, 0)
     assert(Multimodal.probeMeta(gif) == (("gif", Some(16), Some(9), None, None)))
     assert(Multimodal.probeMeta("junk".getBytes)._1 == "unknown")
+    // hostile RIFF chunk size (> 2^31, reads as negative) must terminate
+    val hostile = Multimodal.wavPcm(1L).clone()
+    hostile(16) = 0xff.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte // fmt size = -1
+    assert(Multimodal.probeMeta(hostile)._1 == "wav") // parsed, no hang
   }
 
   /** Minimal ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
