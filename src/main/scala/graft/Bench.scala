@@ -2,6 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line over SparkEntry.queries (driver contract).
+  *
+  * Each query runs TWICE: the first rep pays codegen/JIT (Janino compiles,
+  * whole-stage fusion, C2 warmup), the second is steady state. The driver
+  * contract field `queries` carries the STEADY numbers (and `value` their
+  * total) because round-over-round comparisons on first-run numbers chase
+  * JIT placement noise (BASELINE.md documents an unchanged q1_agg swinging
+  * 1.28→2.93 s between adjacent solo runs). `queries_first`/`value_first`
+  * preserve the first-run numbers for cold-start analysis.
+  *
+  * The Spark cache is cleared between reps: query builders persist
+  * intermediates (band tables, anchored shingles) and CacheManager matches
+  * by logical plan, so without the clear the second rep would silently
+  * reuse the first rep's cached blocks and measure nothing.
+  *
   * Failures are reported per-query (`"failed":[...]`) instead of silently
   * contributing wall time; a failed query also forces rc 1.
   */
@@ -18,29 +32,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Steady-state warmup: first Spark job pays JIT + codegen + scan-init
+    // Session warmup: the first Spark job pays scan-init + codegen baseline
     // (~5 s) that would otherwise be attributed to whichever query runs
     // first; run one throwaway job per base table shape before timing.
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
       Tables.events(spark, sfDir).limit(100).count()
     } catch { case _: Throwable => () }
+
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
-        failed ::= name
+        if (!failed.contains(name)) failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop plan-matched cache entries so the next rep re-executes; persisted
+      // intermediates otherwise satisfy the second rep's identical subtrees.
+      try { spark.catalog.clearCache() } catch { case _: Throwable => () }
+      dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val first = timeOnce(name, fn)
+      val steady = if (failed.contains(name)) first else timeOnce(name, fn)
+      (name, first, steady)
+    }
+    def jmap(sel: ((String, Double, Double)) => Double): String =
+      results.map { r => "\"" + r._1 + "\":" + sel(r) }.mkString("{", ",", "}")
+    val qsSteady = jmap(_._3)
+    val qsFirst = jmap(_._2)
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val totalSteady = results.map(_._3).sum
+    val totalFirst = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","queries":$qsSteady,"value_first":$totalFirst,"queries_first":$qsFirst,"failed":$fs,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: log captures of the stdout line have truncated
     // the head of long JSON lines, losing the alphabetically-first per-query

@@ -467,7 +467,9 @@ object Multimodal {
         var halt = false
         while (!halt && o + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
           val (id, sz) = (ascii(o, 4), le32(o + 4))
-          if (id == "fmt " && o + 16 <= bytes.length) {
+          // le32(o+16) reads through o+19 — guard the full read, else a
+          // payload truncated inside the fmt chunk AIOOBEs to "unknown"
+          if (id == "fmt " && o + 20 <= bytes.length) {
             rate = le32(o + 12); byteRate = le32(o + 16)
           } else if (id == "data") dataLen = sz.toLong
           // hostile-size guard: a chunk size over 2^31 reads back as a
@@ -500,7 +502,10 @@ object Multimodal {
             if (id == "moov" || id == "trak") walk(o + 8, o + sz, depth + 1)
             else if (id == "mvhd" && sz >= 20) {
               val v = bytes(o + 8) & 0xff
-              if (v == 1 && sz >= 36) {
+              // v1 duration's low word sits at box-relative offset 36..39 —
+              // require the box to actually contain it, else a malformed
+              // v1 mvhd would silently read the sibling box's bytes
+              if (v == 1 && sz >= 40) {
                 val ts = be32(o + 8 + 4 + 16)
                 val d = (be32(o + 8 + 4 + 20).toLong << 32) |
                   (be32(o + 8 + 4 + 24).toLong & 0xffffffffL)
