@@ -925,8 +925,9 @@ object Queries {
     "q_mm_meta" -> ((s, d) =>
       // The deterministic half of the multimodal pipeline — asset
       // construction: modality routing, typed meta, payload sizes — IS
-      // oracle-checkable; only the codec kernel itself stays rows-only
-      // (q_mm_features) with golden-file unit tests on the decoders.
+      // oracle-checkable; the codec kernels meet the DuckDB oracle via
+      // q_mm_features_real, and the stub-fallback routing is golden-file
+      // tested in MultimodalSpec.
       graft.multimodal.Multimodal.syntheticAssets(
           Tables.documents(s, d), "doc_id", "text")
         .select(col("asset_id"), col("modality"),
@@ -936,15 +937,10 @@ object Queries {
           col("meta.duration_ms").as("duration_ms"))
         .orderBy("asset_id")),
 
-    "q_mm_features" -> ((s, d) =>
-      // Multimodal plumbing smoke: synthetic binary assets → stubbed decode →
-      // feature vectors. No oracle (hash-derived features); the hard-oracle
-      // twin is q_mm_features_real below.
-      graft.multimodal.Multimodal.extractFeatures(
-          graft.multimodal.Multimodal.syntheticAssets(
-            Tables.documents(s, d), "doc_id", "text"), dim = 16)
-        .select(col("asset_id"), size(col("features")).as("n_features"))
-        .orderBy("asset_id")),
+    // (q_mm_features — the stubbed-decode plumbing smoke — was retired in
+    // round 6: fully superseded by the hard-oracle q_mm_features_real below,
+    // and the stub routing it exercised is covered by MultimodalSpec's
+    // golden-file tests. Keeping it only added a permanent no_oracle row.)
 
     "q_mm_probe" -> ((s, d) =>
       // Typed metadata parsed FROM the payload bytes (PNG IHDR, WAV RIFF

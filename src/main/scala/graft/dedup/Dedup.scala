@@ -195,8 +195,16 @@ object Dedup {
   /** Duplicated-SPAN detection — substring-level dedup/contamination (the
     * exact-substring pass of modern LLM data pipelines, cf. "Deduplicating
     * Training Data Makes Language Models Better"): for each document pair,
-    * the longest run of tokens they share verbatim, found WITHOUT any
-    * suffix array or all-pairs scan.
+    * the longest maximal run of RARE-ANCHORED shared shingles, found
+    * WITHOUT any suffix array or all-pairs scan.
+    *
+    * Precision caveat: a verbatim shared span whose INTERIOR contains a
+    * hot shingle (df > `maxDf`) is reported as the islands on either side
+    * of it — `max_span_tokens` is therefore a LOWER BOUND on the true
+    * longest-shared-run and `n_spans` an upper bound on distinct spans.
+    * The bound is exact whenever every interior shingle of the span is
+    * rare, which is the operating regime the anchoring targets (hot
+    * shingles are boilerplate; spans made of them are ignored on purpose).
     *
     *  1. explode positional k-gram shingles per doc;
     *  2. RARE-SHINGLE ANCHORING: keep shingles appearing in ≤ `maxDf`

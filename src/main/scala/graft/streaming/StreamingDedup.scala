@@ -29,9 +29,11 @@ import graft.dedup.Dedup
   * Scale shape: per-bucket state is one long, sharded across executors
   * like all keyed state; per-doc work is the signature expression (no
   * shuffle until the keyed exchange on the band key). State grows with
-  * distinct buckets — for bounded retention swap the NoTimeout for a
-  * processing-time TTL at the call site the way production dedup windows
-  * do; the checkpoint story is identical to the scoring stream's (proven
+  * distinct buckets — for bounded retention pass `ttlMs > 0`: buckets
+  * idle longer than the TTL are evicted (processing-time timeout) and the
+  * next arrival re-claims them as a fresh representative, trading exactness
+  * at the TTL horizon for bounded state the way production dedup windows
+  * do. The checkpoint story is identical to the scoring stream's (proven
   * by the recovery test).
   */
 object StreamingDedup {
@@ -63,32 +65,57 @@ object StreamingDedup {
 
   /** Streaming near-dup candidates over a stream of (id, text) documents.
     * Emits one [[Candidate]] per (band bucket, later arrival); distinct
-    * (id1, id2) downstream if band multiplicity is unwanted. */
+    * (id1, id2) downstream if band multiplicity is unwanted.
+    *
+    * `ttlMs = 0` (default) keeps every bucket representative forever
+    * (exact, unbounded state); `ttlMs > 0` evicts representatives idle
+    * longer than the TTL via a processing-time timeout, bounding state to
+    * the buckets touched within one TTL window.
+    *
+    * Caveat for harnesses: with the timeout armed the engine keeps running
+    * empty batches to fire timeouts (`shouldRunAnotherBatch` is always
+    * true), so `processAllAvailable()` never observes a no-new-data batch
+    * and will NOT return — sequence test batches on committed offsets
+    * instead (see StreamingDedupSpec). */
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, numHashes: Int = 32, bands: Int = 16)
-      : Dataset[Candidate] = {
+                        k: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                        ttlMs: Long = 0L): Dataset[Candidate] = {
+    require(ttlMs >= 0, "ttlMs must be >= 0 (0 = no eviction)")
     val spark = docs.sparkSession
     import spark.implicits._
 
     def update(key: (Int, Long), batch: Iterator[(Long, Int, Long)],
                state: GroupState[BucketState]): Iterator[Candidate] = {
-      val out = scala.collection.mutable.ArrayBuffer[Candidate]()
-      var rep = state.getOption.map(_.rep)
-      // within-batch determinism: smallest id claims an empty bucket
-      batch.map(_._1).toSeq.sorted.foreach { id =>
-        rep match {
-          case None          => rep = Some(id)
-          case Some(r) if r != id => out += Candidate(r, id, key._1)
-          case _             => () // replay of the representative itself
+      if (state.hasTimedOut) {
+        // TTL fired with no new arrivals for this bucket: drop the
+        // representative; the next arrival re-claims the bucket fresh
+        state.remove()
+        Iterator.empty
+      } else {
+        val out = scala.collection.mutable.ArrayBuffer[Candidate]()
+        var rep = state.getOption.map(_.rep)
+        // within-batch determinism: smallest id claims an empty bucket
+        batch.map(_._1).toSeq.sorted.foreach { id =>
+          rep match {
+            case None          => rep = Some(id)
+            case Some(r) if r != id => out += Candidate(r, id, key._1)
+            case _             => () // replay of the representative itself
+          }
         }
+        rep.foreach { r =>
+          state.update(BucketState(r))
+          if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+        }
+        out.iterator
       }
-      rep.foreach(r => state.update(BucketState(r)))
-      out.iterator
     }
 
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     bandRows(docs, idCol, textCol, k, numHashes, bands)
       .as[(Long, Int, Long)]
       .groupByKey(r => (r._2, r._3))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(update)
   }
 }

@@ -32,6 +32,9 @@ object Packing {
   /** Global form: one window per group. */
   def packBins(docs: DataFrame, idCol: String, groupCol: String,
                textCol: String, capacity: Long): DataFrame = {
+    // non-ANSI integer div-by-zero yields NULL bin_ids silently; negative
+    // capacity yields negative bins — both are caller bugs, fail fast
+    require(capacity > 0, "capacity must be positive")
     val w = Window.partitionBy(groupCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
@@ -49,6 +52,7 @@ object Packing {
   def packBinsBucketed(docs: DataFrame, idCol: String, groupCol: String,
                        textCol: String, capacity: Long,
                        idsPerBucket: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
     require(idsPerBucket > 0, "idsPerBucket must be positive")
     val t = docs.select(col(idCol), col(groupCol),
       nTokens(col(textCol)).cast("long").as("n_tokens"),

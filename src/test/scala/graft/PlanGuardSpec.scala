@@ -88,6 +88,58 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("round-5 query contracts: plan shapes that must not silently regress") {
+    import org.apache.spark.sql.execution.SparkPlan
+    def nodesOf(q: String): Seq[SparkPlan] =
+      allNodes(Queries.queries(q)(spark, dir).queryExecution.executedPlan)
+    def partitionedWindowsOnly(q: String, nodes: Seq[SparkPlan]): Unit =
+      nodes.foreach {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          assert(w.partitionSpec.nonEmpty, s"$q planned a single-partition window")
+        case _ => ()
+      }
+
+    // q_pack_bins_bucketed: the carry-in join must broadcast its tiny
+    // bucket-summary side, and every window must be partitioned (the whole
+    // point of the twin is removing the single-task ceiling)
+    val packNodes = nodesOf("q_pack_bins_bucketed")
+    partitionedWindowsOnly("q_pack_bins_bucketed", packNodes)
+    assert(packNodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "q_pack_bins_bucketed lost the broadcast carry join")
+
+    // q_dup_spans: anchored-shingle table stays persisted across its
+    // self-join (one upstream pipeline execution, not two) and the span
+    // assembly window is partitioned by (pair, diagonal)
+    val spanNodes = nodesOf("q_dup_spans")
+    partitionedWindowsOnly("q_dup_spans", spanNodes)
+    assert(spanNodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "q_dup_spans no longer reads the persisted anchored-shingle table")
+
+    // q_embed_quant: pure per-row expression pipeline — no join, no
+    // aggregate exchange; the only shuffle allowed is the final sort
+    val quantNodes = nodesOf("q_embed_quant")
+    assert(!quantNodes.exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "q_embed_quant grew a join")
+    assert(!quantNodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+      "q_embed_quant grew an aggregation")
+
+    // q_mm_features_real: payloads are synthesized from doc_id alone — the
+    // documents scan must not read text (binary/feature work is per-row
+    // mapPartitions, so a text read means the pruning regressed)
+    val mmCols = nodesOf("q_mm_features_real").collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.requiredSchema.fieldNames.toSeq
+    }.flatten.toSet
+    assert(mmCols.contains("doc_id") && !mmCols.contains("text"),
+      s"q_mm_features_real scan columns regressed: $mmCols")
+  }
+
   test("hot scan-shaped queries run inside WholeStageCodegen") {
     // codegen stages (`*(n)` markers) only appear once AQE finalizes the
     // plan, so run the query (cheap at sf0.001) and inspect the final plan

@@ -149,6 +149,50 @@ class StagesSpec extends SparkSpec {
     val after = wins.map(x => Lstm.mse(x, Lstm.forward(r.params, x))).sum / wins.size
     assert(after < before, s"before=$before after=$after")
   }
+
+  test("M2 at volume: one distributed minibatch epoch over the sf0.1 window corpus") {
+    // The no-driver-materialization claim exercised at bench scale: the
+    // full sf0.1 per-minute click series → bucketed boundary-replicated
+    // sliding windows → RDD[DenseMatrix] built PER PARTITION → one
+    // minibatch epoch of treeAggregate gradient jobs. No window row ever
+    // reaches the driver; the driver holds only O(model) gradients.
+    // (Small units keep the arithmetic cheap — the volume claim under test
+    // is the data path, not the model size.)
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val series = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(expr("ts_us div 60000000").as("ts_min"))
+      .agg(avg("value").as("v"))
+    val l = 20
+    val rdd = operators.Windows
+      .slidingWindowsPartitioned(series, Seq("ts_min"), Seq("v"), l,
+        bucketSize = 4096)
+      .select("window")
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val rows = r.getSeq[org.apache.spark.sql.Row](0)
+          breeze.linalg.DenseMatrix.tabulate(rows.size, 1) { (i, _) =>
+            val v = rows(i).get(0)
+            if (v == null) 0.0 else v.asInstanceOf[Double]
+          }
+        }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = rdd.count()
+      // sf0.1 spans ~15.9k minutes of click events -> ~15.9k stride-1 windows
+      assert(n > 10000L, s"expected the ~16k-window sf0.1 corpus, got $n")
+      val init = Lstm.glorotInit(1, Seq(16, 8, 8, 16), seed = 7L)
+      val t0 = System.nanoTime()
+      val r = Training.trainDistributed(spark, rdd, init, epochs = 1,
+        lr = 1e-2, patience = 1, batchSize = 512)
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"one epoch over $n windows: $secs%.1f s")
+      assert(r.history.size == 1)
+      assert(java.lang.Double.isFinite(r.history.head._1),
+        s"non-finite epoch loss: ${r.history.head}")
+    } finally rdd.unpersist(false)
+  }
 }
 
 /** Fake Prometheus fetch in a top-level object so executor closures stay

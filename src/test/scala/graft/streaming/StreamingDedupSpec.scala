@@ -59,6 +59,50 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL-expired buckets re-admit: a stale representative stops pairing") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val cands = nearDupCandidates(input.toDF().toDF("id", "text"), "id", "text",
+      ttlMs = 100L)
+    val q = cands.writeStream.format("memory").queryName("sd_ttl")
+      .outputMode(OutputMode.Append()).start()
+    // With ProcessingTimeTimeout armed, `shouldRunAnotherBatch` is always
+    // true (the state op may need a batch just to fire timeouts), so the
+    // stream never reports no-new-data and processAllAvailable NEVER
+    // RETURNS. Sequence batches by polling the processed source offset in
+    // the progress events instead (MemoryStream offsets count addData
+    // calls; endOffset is monotonic across the continuous empty batches).
+    def awaitCommitted(nAdds: Long): Unit = {
+      // MemoryStream offsets are 0-based: after k addData calls the
+      // processed endOffset reaches k-1
+      val deadline = System.currentTimeMillis + 60000
+      def committed = Option(q.lastProgress).exists(p =>
+        p.sources.nonEmpty && Option(p.sources(0).endOffset)
+          .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+          .exists(_ >= nAdds - 1))
+      while (!committed && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(committed, s"addData #$nAdds not processed after 60s; lastProgress=" +
+        Option(q.lastProgress).map(_.json).orNull)
+    }
+    try {
+      input.addData(Seq((1L, dupA)))
+      awaitCommitted(1)
+      // let doc 1's bucket deadlines lapse with wide margin — the
+      // continuous timeout-check batches evict the state along the way
+      Thread.sleep(2500)
+      // docs 2 and 3 are near-dups of doc 1, arriving TOGETHER (one
+      // micro-batch, so no TTL race between them): the expired buckets
+      // re-admit doc 2 as the new representative (no pair with doc 1)
+      // and doc 3 pairs with doc 2, not the long-gone original
+      input.addData(Seq((2L, dupA2), (3L, dupA)))
+      awaitCommitted(2)
+      val pairs = spark.table("sd_ttl").as[Candidate].collect()
+        .map(c => (c.id1, c.id2)).distinct.toSeq
+      assert(pairs == Seq((2L, 3L)), pairs.toString)
+    } finally q.stop()
+  }
+
   test("bucket state survives a checkpointed restart (drop-at-ingest across crashes)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
