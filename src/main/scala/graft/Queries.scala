@@ -488,6 +488,46 @@ object Queries {
         .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
         .orderBy("o_orderpriority", "rk")),
 
+    "q_asof_join" -> ((s, d) => {
+      // As-of join: every view event picks up the latest click-minute
+      // average at or before its timestamp within its user shard — two
+      // series on different clocks aligned in ONE keyed shuffle (union +
+      // partitioned window), no range explosion. DuckDB's native ASOF
+      // LEFT JOIN is the independent oracle.
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), pmod(col("user_id"), lit(16)).as("bucket"),
+          col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(pmod(col("user_id"), lit(16)).as("bucket"),
+          expr("(ts_us div 60000000) * 60000000").as("rts"))
+        .agg(round(avg("value"), 6).as("v_click"))
+      graft.operators.Asof.joinAsOf(views, clicks, Seq("bucket"),
+          "ts_us", "rts", Seq("v_click"))
+        .orderBy("event_id")
+    }),
+
+    "q_range_join" -> ((s, d) => {
+      // Interval containment via the bucketed equi-join (never a
+      // nested-loop): 30-minute windows opened by purchases, error events
+      // as points; every qualifying pair meets in exactly one bucket.
+      // min/max instead of sum keeps the aggregate order-independent
+      // (float-sum order differs cross-engine).
+      val ev = Tables.events(s, d)
+      val intervals = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("win_id"), col("ts_us").as("win_start"),
+          (col("ts_us") + lit(1800000000L)).as("win_end"))
+      val points = ev.filter(col("event_type") === "error")
+        .select(col("ts_us").as("err_ts"), col("value").as("err_v"))
+      graft.operators.RangeJoin.joinRange(points, intervals,
+          "err_ts", "win_start", "win_end", bucketWidth = 1800000000L)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_errors"),
+          round(min("err_v"), 6).as("min_v"),
+          round(max("err_v"), 6).as("max_v"))
+        .orderBy("win_id")
+    }),
+
     // --- LLM-data-pipeline: dedup / text / similarity ---
 
     "q_tfidf_topk" -> ((s, d) =>
@@ -1168,6 +1208,31 @@ object Queries {
       s"""SELECT event_type, count(value) AS cnt, min(value) AS min_v,
          |  max(value) AS max_v, round(sum(value), 4) AS sum_v
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_asof_join" ->
+      s"""WITH ev AS ($EvSql),
+         |l AS (SELECT event_id, user_id % 16 AS bucket, ts_us
+         |  FROM ev WHERE event_type = 'view'),
+         |r AS (SELECT user_id % 16 AS bucket,
+         |    (ts_us // 60000000) * 60000000 AS rts,
+         |    round(avg(value), 6) AS v_click
+         |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT l.bucket, l.event_id, l.ts_us, r.v_click
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.bucket = r.bucket AND r.rts <= l.ts_us
+         |ORDER BY l.event_id""".stripMargin,
+
+    "q_range_join" ->
+      s"""WITH ev AS ($EvSql),
+         |i AS (SELECT event_id AS win_id, ts_us AS win_start,
+         |    ts_us + 1800000000 AS win_end
+         |  FROM ev WHERE event_type = 'purchase'),
+         |p AS (SELECT ts_us AS err_ts, value AS err_v
+         |  FROM ev WHERE event_type = 'error')
+         |SELECT i.win_id, count(*) AS n_errors,
+         |  round(min(p.err_v), 6) AS min_v, round(max(p.err_v), 6) AS max_v
+         |FROM i JOIN p ON i.win_start <= p.err_ts AND p.err_ts < i.win_end
+         |GROUP BY i.win_id ORDER BY i.win_id""".stripMargin,
 
     "q3_shipping" ->
       s"""SELECT c_mktsegment,

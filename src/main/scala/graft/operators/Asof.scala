@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (event-time) join — the time-series alignment primitive the
+  * pivot/align family can't express: each left row picks up the payload of
+  * the single right row with the LARGEST right timestamp ≤ the left row's
+  * timestamp within the same key group (DuckDB/kdb `ASOF JOIN`, pandas
+  * `merge_asof`). The reference's detector aligns metric fetches to step
+  * boundaries by exact key (PromIngest step alignment); as-of is the
+  * general form — align two series sampled on DIFFERENT clocks.
+  *
+  * Spark has no native as-of join, and the naive formulation
+  * (`l JOIN r ON l.k = r.k AND r.ts <= l.ts` + max-per-group) explodes to
+  * a per-key cartesian before the aggregate prunes it. This is the
+  * scalable union-scan shape instead:
+  *
+  *  1. tag both sides and union them on a common schema (right rows carry
+  *     the payload, left rows carry null payload);
+  *  2. ONE hash-partitioned window per key, ordered by (ts, side) with
+  *     right-before-left at equal timestamps (inclusive `≤` semantics),
+  *     `last(payload, ignoreNulls)` forward-fills the latest right payload
+  *     onto every subsequent row;
+  *  3. keep the left rows.
+  *
+  * Cost: one shuffle of |L|+|R| rows on the key — the same exchange a
+  * plain equi-join would pay, no range explosion, no driver state. Skewed
+  * keys follow the same salting/AQE story as any keyed window.
+  *
+  * Right rows must be unique per (key, ts) — pre-aggregate duplicates
+  * (both this plan and native ASOF joins pick an unspecified winner
+  * otherwise). Left rows with no earlier right row keep a null payload
+  * (left-join semantics).
+  */
+object Asof {
+
+  /** `left` keeps all its columns; `payloadCols` from `right` are appended.
+    * `leftTs`/`rightTs` must cast to long (epoch micros, step indices, …);
+    * payload names must not collide with left column names. */
+  def joinAsOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTs: String, rightTs: String,
+               payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty,
+      "keyCols must be non-empty (a keyless as-of would plan a single-partition window)")
+    require(!payloadCols.exists(left.columns.contains),
+      s"payload columns ${payloadCols.mkString(",")} collide with left columns")
+    val carried = left.columns.toSeq.filterNot(keyCols.contains)
+    val l = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTs).cast("long").as("_ts"), lit(1).as("_side")) ++
+        carried.map(col) ++
+        payloadCols.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTs).cast("long").as("_ts"), lit(0).as("_side")) ++
+        carried.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(col): _*)
+    // right sorts before left at equal ts -> inclusive (ts_r <= ts_l) match
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select(keyCols.map(col) ++ Seq(col("_side")) ++ carried.map(col) ++
+        payloadCols.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+}

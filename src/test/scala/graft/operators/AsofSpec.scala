@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class AsofSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq((1L, "a", 5L), (2L, "a", 9L), (3L, "b", 3L),
+    (4L, "a", 4L)).toDF("id", "k", "ts")
+  private def right = Seq(("a", 4L, 100.0), ("a", 7L, 101.0), ("b", 9L, 102.0),
+    ("a", 9L, 103.0)).toDF("k", "rts", "v")
+
+  test("latest right row at or before each left ts, per key; ties inclusive") {
+    val got = Asof.joinAsOf(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"),
+        if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getAs[Double]("v"))))
+      .toSeq
+    // id 1 (a, ts 5) -> rts 4; id 2 (a, ts 9) -> rts 9 INCLUSIVE; id 3
+    // (b, ts 3) -> nothing earlier (b's only right row is at 9); id 4
+    // (a, ts 4) -> rts 4 inclusive. Key isolation: b never sees a's rows.
+    assert(got == Seq((1L, Some(100.0)), (2L, Some(103.0)), (3L, None),
+      (4L, Some(100.0))), got.toString)
+  }
+
+  test("matches the naive max-per-group formulation on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = Seq.tabulate(200)(i =>
+      (i.toLong, rnd.nextInt(4).toString, rnd.nextInt(50).toLong))
+      .toDF("id", "k", "ts")
+    val rRows = for (k <- 0 until 4; t <- 0 until 50 if rnd.nextBoolean())
+      yield (k.toString, t.toLong, rnd.nextDouble())
+    val r = rRows.toDF("k", "rts", "v")
+    val fast = Asof.joinAsOf(l, r, Seq("k"), "ts", "rts", Seq("v"))
+      .collect().map(x => x.getAs[Long]("id") ->
+        (if (x.isNullAt(x.fieldIndex("v"))) None else Some(x.getAs[Double]("v"))))
+      .toMap
+    // quadratic reference: range join + keep the max-rts row per left id
+    val naive = l.join(r, l("k") === r("k") && r("rts") <= l("ts"), "left")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(l("id")).orderBy(r("rts").desc_nulls_last)))
+      .filter(col("rk") === 1)
+      .collect().map(x => x.getAs[Long]("id") ->
+        (if (x.isNullAt(x.fieldIndex("v"))) None else Some(x.getAs[Double]("v"))))
+      .toMap
+    assert(fast.size == 200 && fast == naive)
+  }
+
+  test("plan: one keyed window, never a single-partition WindowExec") {
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.inputPlan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val all = nodes(Asof.joinAsOf(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .queryExecution.executedPlan)
+    val windows = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+    // and the whole thing is union + window: no join node anywhere
+    assert(!all.exists(n => n.nodeName.toLowerCase.contains("join")),
+      all.map(_.nodeName).mkString(","))
+  }
+
+  test("rejects empty keys and payload collisions") {
+    intercept[IllegalArgumentException] {
+      Asof.joinAsOf(left, right, Seq.empty, "ts", "rts", Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      Asof.joinAsOf(left.withColumn("v", lit(1)), right, Seq("k"), "ts",
+        "rts", Seq("v"))
+    }
+  }
+}
