@@ -528,6 +528,16 @@ object Queries {
         .orderBy("win_id")
     }),
 
+    "q_sessionize" -> ((s, d) =>
+      // Gap-based sessionization (30-min inactivity) per user — ONE keyed
+      // window for the gaps-and-islands assignment, one keyed aggregate.
+      // Boundary semantics match native session_window ([start, last+gap)),
+      // asserted in SessionsSpec.
+      graft.operators.Sessions.sessionize(
+          Tables.events(s, d).select("user_id", "ts_us"),
+          Seq("user_id"), "ts_us", gap = 1800000000L)
+        .orderBy("user_id", "session_idx")),
+
     // --- LLM-data-pipeline: dedup / text / similarity ---
 
     "q_tfidf_topk" -> ((s, d) =>
@@ -1208,6 +1218,22 @@ object Queries {
       s"""SELECT event_type, count(value) AS cnt, min(value) AS min_v,
          |  max(value) AS max_v, round(sum(value), 4) AS sum_v
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         |b AS (SELECT user_id, ts_us,
+         |    CASE WHEN ts_us - lag(ts_us) OVER (
+         |        PARTITION BY user_id ORDER BY ts_us) >= 1800000000
+         |      THEN 1 ELSE 0 END AS nb
+         |  FROM ev),
+         |si AS (SELECT user_id, ts_us,
+         |    CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts_us
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |  FROM b)
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |  min(ts_us) AS ts_start, max(ts_us) AS ts_end
+         |FROM si GROUP BY 1, 2
+         |ORDER BY user_id, session_idx""".stripMargin,
 
     "q_asof_join" ->
       s"""WITH ev AS ($EvSql),
