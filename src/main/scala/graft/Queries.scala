@@ -1001,6 +1001,44 @@ object Queries {
             Tables.documents(s, d), "doc_id"))
         .orderBy("asset_id")),
 
+    "q_phash" -> ((s, d) =>
+      // Perceptual hash (dHash) of the REAL image payloads: PNG bytes →
+      // ImageIO decode → 4×4 luma grid → 24 adjacent-cell comparison bits.
+      // The oracle replays the pixel FORMULA in SQL — two fully
+      // independent paths to the same integer.
+      graft.multimodal.Multimodal.dHashImages(
+          graft.multimodal.Multimodal.mediaAssets(
+            Tables.documents(s, d), "doc_id"))
+        .filter(col("dhash").isNotNull)
+        .orderBy("asset_id")),
+
+    "q_phash_pairs" -> ((s, d) => {
+      // Image near-dup pairs by Hamming distance over the dHash — banded
+      // equi-join (6 bands × 4 bits: ≤4 differing bits leave ≥2 intact
+      // bands, so recall is exact by pigeonhole), never all-pairs.
+      val h = graft.multimodal.Multimodal.dHashImages(
+          graft.multimodal.Multimodal.mediaAssets(
+            Tables.documents(s, d), "doc_id"))
+        .filter(col("dhash").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = h.select(col("asset_id"), col("dhash"),
+        explode(sequence(lit(0), lit(5))).as("band"))
+        .withColumn("bv", expr("shiftright(dhash, cast(4 * band as int)) & 15"))
+      val cands = banded.select(col("band"), col("bv"),
+          col("asset_id").as("id1"), col("dhash").as("h1"))
+        .join(banded.select(col("band"), col("bv"),
+          col("asset_id").as("id2"), col("dhash").as("h2")),
+          Seq("band", "bv"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2", "h1", "h2").distinct()
+      cands
+        .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+        .filter(col("hamming") <= 4)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("hamming")
+    }),
+
     "q_mm_features_real" -> ((s, d) =>
       // The hard oracle for the multimodal feature path: REAL container
       // payloads (PNG / WAV / Y4M, pixel+sample values from pure integer
@@ -1613,6 +1651,40 @@ object Queries {
     // → (RMS, zero-crossing-rate) pairs. Each float op mirrors the JVM op
     // order exactly; RMS partial sums are dyadic rationals (x²/2³⁰,
     // |x| ≤ 10⁴) so summation order cannot matter.
+    "q_phash" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         |rb AS (SELECT doc_id, (r*3 + c) AS k,
+         |    CASE WHEN (doc_id*131 + (r*4+c)*17) % 256
+         |           < (doc_id*131 + (r*4+c+1)*17) % 256 THEN 1 ELSE 0 END AS b
+         |  FROM ids, range(4) t1(r), range(3) t2(c)),
+         |cb AS (SELECT doc_id, 12 + (r*4 + c) AS k,
+         |    CASE WHEN (doc_id*131 + (r*4+c)*17) % 256
+         |           < (doc_id*131 + ((r+1)*4+c)*17) % 256 THEN 1 ELSE 0 END AS b
+         |  FROM ids, range(3) t1(r), range(4) t2(c))
+         |SELECT doc_id AS asset_id,
+         |  CAST(sum(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS dhash
+         |FROM (SELECT * FROM rb UNION ALL SELECT * FROM cb)
+         |GROUP BY 1 ORDER BY asset_id""".stripMargin,
+
+    "q_phash_pairs" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         |rb AS (SELECT doc_id, (r*3 + c) AS k,
+         |    CASE WHEN (doc_id*131 + (r*4+c)*17) % 256
+         |           < (doc_id*131 + (r*4+c+1)*17) % 256 THEN 1 ELSE 0 END AS b
+         |  FROM ids, range(4) t1(r), range(3) t2(c)),
+         |cb AS (SELECT doc_id, 12 + (r*4 + c) AS k,
+         |    CASE WHEN (doc_id*131 + (r*4+c)*17) % 256
+         |           < (doc_id*131 + ((r+1)*4+c)*17) % 256 THEN 1 ELSE 0 END AS b
+         |  FROM ids, range(3) t1(r), range(4) t2(c)),
+         |h AS (SELECT doc_id,
+         |    CAST(sum(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS dhash
+         |  FROM (SELECT * FROM rb UNION ALL SELECT * FROM cb) GROUP BY 1)
+         |SELECT CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming,
+         |  count(*) AS n_pairs
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+         |GROUP BY 1 ORDER BY hamming""".stripMargin,
+
     "q_mm_features_real" ->
       s"""WITH p AS (SELECT CAST(i AS INTEGER) AS pos FROM range(16) t(i)),
          |img AS (

@@ -312,6 +312,60 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Perceptual difference hash (dHash) over the decoded 4×4 luminance
+    * grid — the image-dedup primitive: bits 0–11 compare horizontally
+    * adjacent cells (`g[r][c] < g[r][c+1]`), bits 12–23 vertically
+    * (`g[r][c] < g[r+1][c]`), so near-identical images land within a small
+    * Hamming distance and EXACT duplicates collide outright. Works on any
+    * ImageIO-decodable payload (the grid is the box-filtered 4×4 luma, so
+    * resolution doesn't matter); non-image and undecodable payloads get a
+    * null hash rather than a stub — a perceptual hash of garbage would
+    * poison the dedup buckets downstream.
+    *
+    * Per-row mapPartitions, zero shuffle; pair generation over the hashes
+    * is a banded equi-join (see q_phash_pairs), never all-pairs. */
+  def dHashImages(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val idIdx = assets.schema.fieldIndex("asset_id")
+    val cIdx = assets.schema.fieldIndex("content")
+    val mIdx = assets.schema.fieldIndex("modality")
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](cIdx)
+        val hash: java.lang.Long =
+          if (bytes == null || r.getAs[String](mIdx) != "image") null
+          else decodeImageLuma(bytes, 16) match {
+            case Some(g) =>
+              var bits = 0L
+              var k = 0
+              var row = 0
+              while (row < 4) {
+                var c = 0
+                while (c < 3) {
+                  if (g(row * 4 + c) < g(row * 4 + c + 1)) bits |= 1L << k
+                  k += 1; c += 1
+                }
+                row += 1
+              }
+              row = 0
+              while (row < 3) {
+                var c = 0
+                while (c < 4) {
+                  if (g(row * 4 + c) < g((row + 1) * 4 + c)) bits |= 1L << k
+                  k += 1; c += 1
+                }
+                row += 1
+              }
+              java.lang.Long.valueOf(bits)
+            case None => null
+          }
+        Row(r.getLong(idIdx), hash)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** REAL image resize for ImageIO-decodable payloads: deterministic
     * box-filter downsample/upsample (per-channel integer sums, truncating
     * division — no platform-dependent interpolation) re-encoded as PNG

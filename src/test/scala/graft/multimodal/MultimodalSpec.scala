@@ -83,6 +83,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImageLuma("not an image".getBytes, 16).isEmpty)
   }
 
+  test("dHashImages: known gradient bits; null for non-image / corrupt payloads") {
+    // 4×4 gray PNG with pixel value = 60·x: strictly increasing left→right
+    // (horizontal bits 0–11 all set), constant down columns (vertical bits
+    // 12–23 all clear) -> dhash = 0xFFF
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val v = 60 * x
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq(
+      (1L, "image", bos.toByteArray),
+      (2L, "audio", bos.toByteArray),            // wrong modality -> null
+      (3L, "image", "corrupt".getBytes))          // undecodable -> null
+      .toDF("asset_id", "modality", "content")
+    val got = Multimodal.dHashImages(df).orderBy("asset_id").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq
+    assert(got == Seq(Some(0xFFFL), None, None), got.toString)
+  }
+
   /** In-memory 16-bit mono WAV with the given samples in [-1, 1]. */
   private def wavBytes(samples: Array[Double], rate: Float = 8000f): Array[Byte] = {
     val pcm = new Array[Byte](samples.length * 2)
