@@ -528,6 +528,32 @@ object Queries {
         .orderBy("win_id")
     }),
 
+    "q_counter_rate" -> ((s, d) => {
+      // Prometheus-semantics counter increase/rate with RESET handling (the
+      // monotonic-counter rule: a drop means the counter restarted, so the
+      // post-reset value is the increase). The fixture counter is a running
+      // integer sum folded mod 1e5 — deterministic resets both engines
+      // replay exactly. One keyed window + one keyed aggregate.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ts_us", "event_id")
+      val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts_us"), col("event_id"),
+          expr("cast(round(value * 1000) as long)").as("v"))
+        .withColumn("ctr", pmod(sum("v").over(wRun), lit(100000L)))
+        .withColumn("prev", lag("ctr", 1).over(w))
+        .withColumn("inc", when(col("prev").isNull, lit(0L))
+          .when(col("ctr") < col("prev"), col("ctr"))
+          .otherwise(col("ctr") - col("prev")))
+        .groupBy("event_type")
+        .agg(sum("inc").as("increase"),
+          (max("ts_us") - min("ts_us")).as("span_us"),
+          round(sum("inc") * lit(1000000.0) / (max("ts_us") - min("ts_us")), 6)
+            .as("rate_per_sec"))
+        .orderBy("event_type")
+    }),
+
     "q_sessionize" -> ((s, d) =>
       // Gap-based sessionization (30-min inactivity) per user — ONE keyed
       // window for the gaps-and-islands assignment, one keyed aggregate.
@@ -1256,6 +1282,27 @@ object Queries {
       s"""SELECT event_type, count(value) AS cnt, min(value) AS min_v,
          |  max(value) AS max_v, round(sum(value), 4) AS sum_v
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_counter_rate" ->
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+         |    CAST(round(value * 1000) AS BIGINT) AS v FROM events),
+         |c AS (SELECT event_type, ts_us, event_id,
+         |    CAST(((sum(v) OVER (PARTITION BY event_type
+         |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING))
+         |      % 100000 + 100000) % 100000 AS BIGINT) AS ctr
+         |  FROM ev),
+         |d AS (SELECT event_type, ts_us, ctr, lag(ctr) OVER (
+         |    PARTITION BY event_type ORDER BY ts_us, event_id) AS prev
+         |  FROM c),
+         |i AS (SELECT event_type, ts_us,
+         |    CASE WHEN prev IS NULL THEN 0
+         |         WHEN ctr < prev THEN ctr ELSE ctr - prev END AS inc
+         |  FROM d)
+         |SELECT event_type, CAST(sum(inc) AS BIGINT) AS increase,
+         |  max(ts_us) - min(ts_us) AS span_us,
+         |  round(sum(inc) * 1000000.0 / (max(ts_us) - min(ts_us)), 6)
+         |    AS rate_per_sec
+         |FROM i GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
