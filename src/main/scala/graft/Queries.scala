@@ -1039,29 +1039,40 @@ object Queries {
         .orderBy("asset_id")),
 
     "q_phash_pairs" -> ((s, d) => {
-      // Image near-dup pairs by Hamming distance over the dHash — banded
-      // equi-join (6 bands × 4 bits: ≤4 differing bits leave ≥2 intact
-      // bands, so recall is exact by pigeonhole), never all-pairs.
-      val h = graft.multimodal.Multimodal.dHashImages(
+      // Image near-dup pair counts by Hamming distance over the dHash.
+      // Scale shape: collapse to DISTINCT hash values first (counts ride
+      // along as multiplicities — the hash space is 2^24 and real corpora
+      // concentrate on far fewer), band-join only the distinct hashes
+      // (6 bands × 4 bits: ≤4 differing bits leave ≥2 intact bands, exact
+      // recall by pigeonhole), then expand counts arithmetically:
+      // cnt1·cnt2 across distinct hashes, C(cnt,2) within an identical
+      // hash. Asset-level banding would instead send every blank-image
+      // duplicate into one bucket — the classic hot-key quadratic.
+      val grouped = graft.multimodal.Multimodal.dHashImages(
           graft.multimodal.Multimodal.mediaAssets(
             Tables.documents(s, d), "doc_id"))
         .filter(col("dhash").isNotNull)
+        .groupBy("dhash").agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val banded = h.select(col("asset_id"), col("dhash"),
+      val banded = grouped.select(col("dhash"), col("cnt"),
         explode(sequence(lit(0), lit(5))).as("band"))
         .withColumn("bv", expr("shiftright(dhash, cast(4 * band as int)) & 15"))
-      val cands = banded.select(col("band"), col("bv"),
-          col("asset_id").as("id1"), col("dhash").as("h1"))
+      val cross = banded.select(col("band"), col("bv"),
+          col("dhash").as("h1"), col("cnt").as("cnt1"))
         .join(banded.select(col("band"), col("bv"),
-          col("asset_id").as("id2"), col("dhash").as("h2")),
+          col("dhash").as("h2"), col("cnt").as("cnt2")),
           Seq("band", "bv"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2", "h1", "h2").distinct()
-      cands
+        .filter(col("h1") < col("h2"))
+        .select("h1", "h2", "cnt1", "cnt2").distinct()
         .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
         .filter(col("hamming") <= 4)
+        .select(col("hamming"), (col("cnt1") * col("cnt2")).as("pairs"))
+      val within = grouped.filter(col("cnt") >= 2)
+        .select(lit(0).as("hamming"),
+          expr("cnt * (cnt - 1) div 2").as("pairs"))
+      cross.unionByName(within)
         .groupBy("hamming")
-        .agg(count(lit(1)).as("n_pairs"))
+        .agg(sum("pairs").as("n_pairs"))
         .orderBy("hamming")
     }),
 
