@@ -1076,6 +1076,17 @@ object Queries {
         .orderBy("hamming")
     }),
 
+    "q_ahash" -> ((s, d) =>
+      // Audio fingerprint of the REAL WAV payloads: PCM decode → 8 integer
+      // block energies + zero-crossing counts → 14 adjacent-comparison
+      // bits. Integer energies make the bits order-independent, so the
+      // formula-replay oracle is bit-exact (float RMS would not be).
+      graft.multimodal.Multimodal.audioEnergyHash(
+          graft.multimodal.Multimodal.mediaAssets(
+            Tables.documents(s, d), "doc_id"))
+        .filter(col("ahash").isNotNull)
+        .orderBy("asset_id")),
+
     "q_mm_features_real" -> ((s, d) =>
       // The hard oracle for the multimodal feature path: REAL container
       // payloads (PNG / WAV / Y4M, pixel+sample values from pure integer
@@ -1742,6 +1753,26 @@ object Queries {
          |FROM h a JOIN h b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
          |GROUP BY 1 ORDER BY hamming""".stripMargin,
+
+    "q_ahash" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+         |smp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |    ((doc_id*7919 + i*104729) % 20001) - 10000 AS x
+         |  FROM ids, range(256) t(i)),
+         |blk AS (SELECT doc_id, i // 32 AS b,
+         |    sum(x*x) AS e,
+         |    sum(CASE WHEN i % 32 > 0 AND ((x >= 0) <>
+         |      (((doc_id*7919 + (i-1)*104729) % 20001) - 10000 >= 0))
+         |      THEN 1 ELSE 0 END) AS z
+         |  FROM smp GROUP BY 1, 2),
+         |bits AS (SELECT a.doc_id,
+         |    (CASE WHEN a.e < n.e THEN CAST(1 AS BIGINT) << a.b
+         |          ELSE 0 END) +
+         |    (CASE WHEN a.z < n.z THEN CAST(1 AS BIGINT) << (7 + a.b)
+         |          ELSE 0 END) AS v
+         |  FROM blk a JOIN blk n ON a.doc_id = n.doc_id AND n.b = a.b + 1)
+         |SELECT doc_id AS asset_id, CAST(sum(v) AS BIGINT) AS ahash
+         |FROM bits GROUP BY 1 ORDER BY asset_id""".stripMargin,
 
     "q_mm_features_real" ->
       s"""WITH p AS (SELECT CAST(i AS INTEGER) AS pos FROM range(16) t(i)),

@@ -166,6 +166,95 @@ object Multimodal {
       case scala.util.control.NonFatal(_) => None
     }
 
+  /** Raw per-frame INTEGER channel sums from a decodable audio payload
+    * (PCM16 path of [[decodeAudioFeatures]] without the float conversion):
+    * exact int64 arithmetic end-to-end, so downstream comparisons are
+    * bit-reproducible cross-engine (float block energies differ by
+    * accumulation order). Mono frames are the PCM16 values themselves. */
+  private def pcmFrameInts(bytes: Array[Byte]): Option[Array[Long]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val base = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          base.getChannels * 2, base.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = pcm.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = pcm.read(buf) }
+        val data = out.toByteArray
+        val ch = target.getChannels
+        val nFrames = data.length / (2 * ch)
+        if (nFrames == 0) None
+        else Some(Array.tabulate(nFrames) { f =>
+          var s = 0L
+          var c = 0
+          while (c < ch) {
+            val o = (f * ch + c) * 2 // little-endian signed 16-bit
+            s += ((data(o + 1) << 8) | (data(o) & 0xff)).toShort.toLong
+            c += 1
+          }
+          s
+        })
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Audio fingerprint — the [[dHashImages]] analog for sound: the decoded
+    * stream splits into 8 equal time blocks; bit b (0–6) compares adjacent
+    * block ENERGIES (Σ sample², exact int64 — order-independent, so the
+    * cross-engine replay is bit-exact, unlike float RMS), bit 7+b compares
+    * adjacent block zero-crossing counts. 14 bits total: near-identical
+    * recordings land within a small Hamming distance. Null for non-audio /
+    * undecodable payloads (same rationale as the image hash). */
+  def audioEnergyHash(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = true)))
+    val idIdx = assets.schema.fieldIndex("asset_id")
+    val cIdx = assets.schema.fieldIndex("content")
+    val mIdx = assets.schema.fieldIndex("modality")
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](cIdx)
+        val hash: java.lang.Long =
+          if (bytes == null || r.getAs[String](mIdx) != "audio") null
+          else pcmFrameInts(bytes) match {
+            case Some(x) =>
+              val nBlocks = 8
+              val e = new Array[Long](nBlocks)
+              val z = new Array[Int](nBlocks)
+              var b = 0
+              while (b < nBlocks) {
+                val lo = (b.toLong * x.length / nBlocks).toInt
+                val hi = math.max(lo + 1,
+                  ((b + 1).toLong * x.length / nBlocks).toInt)
+                var i = lo
+                while (i < hi) {
+                  e(b) += x(i) * x(i)
+                  if (i > lo && (x(i) >= 0) != (x(i - 1) >= 0)) z(b) += 1
+                  i += 1
+                }
+                b += 1
+              }
+              var bits = 0L
+              b = 0
+              while (b < nBlocks - 1) {
+                if (e(b) < e(b + 1)) bits |= 1L << b
+                if (z(b) < z(b + 1)) bits |= 1L << (7 + b)
+                b += 1
+              }
+              java.lang.Long.valueOf(bits)
+            case None => null
+          }
+        Row(r.getLong(idIdx), hash)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   // ---- REAL video decode: YUV4MPEG2 (uncompressed planar YUV) ----
 
   /** Parsed Y4M stream header: frame dims, bytes per full YUV frame, and

@@ -105,6 +105,23 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Seq(Some(0xFFFL), None, None), got.toString)
   }
 
+  test("audioEnergyHash: silence-then-tone sets exactly the boundary bits") {
+    // 256 samples: first half silence (blocks 0-3: zero energy, zero
+    // crossings), second half alternating ±0.5 (blocks 4-7: equal energy,
+    // 31 crossings each). Only the block 3->4 comparisons fire: energy
+    // bit 3 and zero-crossing bit 7+3.
+    val samples = Array.tabulate(256)(i =>
+      if (i < 128) 0.0 else if (i % 2 == 0) 0.5 else -0.5)
+    val df = Seq(
+      (1L, "audio", wavBytes(samples)),
+      (2L, "image", wavBytes(samples)),           // wrong modality -> null
+      (3L, "audio", "corrupt".getBytes))           // undecodable -> null
+      .toDF("asset_id", "modality", "content")
+    val got = Multimodal.audioEnergyHash(df).orderBy("asset_id").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq
+    assert(got == Seq(Some((1L << 3) | (1L << 10)), None, None), got.toString)
+  }
+
   /** In-memory 16-bit mono WAV with the given samples in [-1, 1]. */
   private def wavBytes(samples: Array[Double], rate: Float = 8000f): Array[Byte] = {
     val pcm = new Array[Byte](samples.length * 2)
