@@ -1087,6 +1087,16 @@ object Queries {
         .filter(col("ahash").isNotNull)
         .orderBy("asset_id")),
 
+    "q_vhash" -> ((s, d) =>
+      // Video fingerprint of the REAL Y4M payloads: frame walk → per-frame
+      // integer luma-cell comparisons (24 bits × 2 frames). Exact integers
+      // end-to-end, so the formula-replay oracle is bit-exact.
+      graft.multimodal.Multimodal.videoTemporalHash(
+          graft.multimodal.Multimodal.mediaAssets(
+            Tables.documents(s, d), "doc_id"))
+        .filter(col("vhash").isNotNull)
+        .orderBy("asset_id")),
+
     "q_mm_features_real" -> ((s, d) =>
       // The hard oracle for the multimodal feature path: REAL container
       // payloads (PNG / WAV / Y4M, pixel+sample values from pure integer
@@ -1773,6 +1783,25 @@ object Queries {
          |  FROM blk a JOIN blk n ON a.doc_id = n.doc_id AND n.b = a.b + 1)
          |SELECT doc_id AS asset_id, CAST(sum(v) AS BIGINT) AS ahash
          |FROM bits GROUP BY 1 ORDER BY asset_id""".stripMargin,
+
+    "q_vhash" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+         |px AS (SELECT doc_id, CAST(f AS BIGINT) AS f, CAST(pos AS BIGINT) AS pos,
+         |    (doc_id*37 + pos*13 + f) % 256 AS v
+         |  FROM ids, range(2) tf(f), range(16) tp(pos)),
+         |hb AS (SELECT a.doc_id,
+         |    a.f*24 + (a.pos // 4)*3 + (a.pos % 4) AS k,
+         |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+         |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.f = b.f
+         |    AND b.pos = a.pos + 1 AND a.pos % 4 < 3),
+         |vb AS (SELECT a.doc_id, a.f*24 + 12 + a.pos AS k,
+         |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+         |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.f = b.f
+         |    AND b.pos = a.pos + 4 AND a.pos < 12)
+         |SELECT doc_id AS asset_id,
+         |  CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS vhash
+         |FROM (SELECT * FROM hb UNION ALL SELECT * FROM vb)
+         |GROUP BY 1 ORDER BY asset_id""".stripMargin,
 
     "q_mm_features_real" ->
       s"""WITH p AS (SELECT CAST(i AS INTEGER) AS pos FROM range(16) t(i)),

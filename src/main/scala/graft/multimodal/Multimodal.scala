@@ -342,6 +342,77 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Video fingerprint — the [[dHashImages]] analog for the first TWO
+    * frames of a Y4M stream: each frame's luma folds into a 4×4 grid of
+    * INTEGER cell sums (cell mapping as [[lumaGrid]]; comparisons
+    * cross-multiplied by cell pixel counts so unequal cells stay exact —
+    * no float anywhere), yielding 24 adjacent-comparison bits per frame,
+    * frame f's bits shifted by 24·f (48 bits total). Temporal structure is
+    * captured because both frames hash independently — a reordered or
+    * frozen clip lands at a different Hamming distance. Null for
+    * non-video / undecodable payloads. */
+  def videoTemporalHash(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("vhash", LongType, nullable = true)))
+    val idIdx = assets.schema.fieldIndex("asset_id")
+    val cIdx = assets.schema.fieldIndex("content")
+    val mIdx = assets.schema.fieldIndex("modality")
+    assets.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](cIdx)
+        val hash: java.lang.Long =
+          if (bytes == null || r.getAs[String](mIdx) != "video") null
+          else parseY4mHeader(bytes) match {
+            case Some(hdr) =>
+              val frames = y4mFrameOffsets(bytes, hdr).take(2).toSeq
+              if (frames.isEmpty) null
+              else {
+                var bits = 0L
+                frames.foreach { case (fno, yOff) =>
+                  val base = 24 * fno.toInt
+                  val sums = new Array[Long](16)
+                  val cnts = new Array[Long](16)
+                  var y = 0
+                  while (y < hdr.h) {
+                    val cy = math.min(3, y * 4 / hdr.h)
+                    var x = 0
+                    while (x < hdr.w) {
+                      val cell = cy * 4 + math.min(3, x * 4 / hdr.w)
+                      sums(cell) += bytes(yOff + y * hdr.w + x) & 0xff
+                      cnts(cell) += 1
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  // mean(i) < mean(j) as cross-multiplied integers
+                  def lt(i: Int, j: Int): Boolean =
+                    sums(i) * cnts(j) < sums(j) * cnts(i)
+                  var rr = 0
+                  while (rr < 4) {
+                    var c = 0
+                    while (c < 3) {
+                      if (lt(rr * 4 + c, rr * 4 + c + 1))
+                        bits |= 1L << (base + rr * 3 + c)
+                      c += 1
+                    }
+                    rr += 1
+                  }
+                  var pos = 0
+                  while (pos < 12) {
+                    if (lt(pos, pos + 4)) bits |= 1L << (base + 12 + pos)
+                    pos += 1
+                  }
+                }
+                java.lang.Long.valueOf(bits)
+              }
+            case None => null
+          }
+        Row(r.getLong(idIdx), hash)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Deterministic stand-in for the compressed-codec video path (no codec
     * libraries in this environment): folds the payload bytes into `dim`
     * float features with a rolling 64-bit hash. Also the fallback for

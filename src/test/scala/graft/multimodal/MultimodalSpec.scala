@@ -122,6 +122,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Seq(Some((1L << 3) | (1L << 10)), None, None), got.toString)
   }
 
+  test("videoTemporalHash: per-frame gradients set exactly the expected bit planes") {
+    // frame 0: v = 60·x (horizontal bits 0-11 set, vertical clear);
+    // frame 1: v = 60·y (vertical bits 36-47 set, horizontal clear)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+    for (f <- 0 until 2) {
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      for (y <- 0 until 4; x <- 0 until 4)
+        bos.write(if (f == 0) 60 * x else 60 * y)
+      bos.write(Array.fill[Byte](8)(128.toByte))
+    }
+    val df = Seq(
+      (1L, "video", bos.toByteArray),
+      (2L, "image", bos.toByteArray),             // wrong modality -> null
+      (3L, "video", "corrupt".getBytes))           // undecodable -> null
+      .toDF("asset_id", "modality", "content")
+    val got = Multimodal.videoTemporalHash(df).orderBy("asset_id").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq
+    assert(got == Seq(Some(0xFFFL | (0xFFFL << 36)), None, None), got.toString)
+  }
+
   /** In-memory 16-bit mono WAV with the given samples in [-1, 1]. */
   private def wavBytes(samples: Array[Double], rate: Float = 8000f): Array[Byte] = {
     val pcm = new Array[Byte](samples.length * 2)
