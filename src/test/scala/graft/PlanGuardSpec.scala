@@ -140,6 +140,44 @@ class PlanGuardSpec extends SparkSpec {
       s"q_mm_features_real scan columns regressed: $mmCols")
   }
 
+  test("round-6 query contracts: plan shapes that must not silently regress") {
+    import org.apache.spark.sql.execution.SparkPlan
+    def nodesOf(q: String): Seq[SparkPlan] =
+      allNodes(Queries.queries(q)(spark, dir).queryExecution.executedPlan)
+
+    // q_asof_join: union + keyed window — the whole point is NO join node
+    // (the naive formulation would plan a per-key range join)
+    val asof = nodesOf("q_asof_join")
+    assert(!asof.exists(_.nodeName.toLowerCase.contains("join")),
+      s"q_asof_join grew a join: ${asof.map(_.nodeName).distinct}")
+    asof.foreach {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        assert(w.partitionSpec.nonEmpty, "q_asof_join single-partition window")
+      case _ => ()
+    }
+
+    // q_range_join: bucketed equi-join — never a nested loop / cartesian
+    val rng = nodesOf("q_range_join")
+    assert(!rng.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      n.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"q_range_join nested loop: ${rng.map(_.nodeName).distinct}")
+
+    // q_sessionize: keyed window only
+    nodesOf("q_sessionize").foreach {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        assert(w.partitionSpec.nonEmpty, "q_sessionize single-partition window")
+      case _ => ()
+    }
+
+    // q_phash_pairs: the distinct-hash table is persisted across the
+    // banded self-join (decode runs once, not twice)
+    assert(nodesOf("q_phash_pairs").exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "q_phash_pairs no longer reads the persisted distinct-hash table")
+  }
+
   test("hot scan-shaped queries run inside WholeStageCodegen") {
     // codegen stages (`*(n)` markers) only appear once AQE finalizes the
     // plan, so run the query (cheap at sf0.001) and inspect the final plan
