@@ -528,6 +528,51 @@ object Queries {
         .orderBy("win_id")
     }),
 
+    "q_rollup" -> ((s, d) =>
+      // Grouping-sets surface: ROLLUP subtotals + grand total in one pass
+      // (Catalyst expands to a single Expand + aggregate — no N scans).
+      // '~' sorts after every flag/status value, so subtotal NULL rows
+      // order identically cross-engine without NULLS FIRST/LAST gymnastics.
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        .orderBy(coalesce(col("l_returnflag"), lit("~")),
+          coalesce(col("l_linestatus"), lit("~")))),
+
+    "q_moving_range" -> ((s, d) => {
+      // RANGE-frame moving aggregate: trailing 10-minute event count and
+      // integer value sum per type — the time-window form ROWS frames
+      // can't express (ties at one timestamp all join the frame, so the
+      // result is deterministic under any tie order).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts_us"))
+        .rangeBetween(-600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts_us"), col("event_id"),
+          expr("cast(round(value * 1000) as long)").as("v"))
+        .withColumn("cnt_10m", count(lit(1)).over(w))
+        .withColumn("sum_10m", sum("v").over(w))
+        .select("event_type", "ts_us", "event_id", "cnt_10m", "sum_10m")
+        .orderBy("event_id")
+    }),
+
+    "q_setops" -> ((s, d) => {
+      // INTERSECT / EXCEPT set semantics over (lang, source) profiles of
+      // the even- vs odd-id halves of the corpus; per-op counts always
+      // emit (0 included) so the shape is stable.
+      val docs = Tables.documents(s, d)
+      val e = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select("lang", "source")
+      val o = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select("lang", "source")
+      def cnt(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("cnt")).select(lit(tag).as("op"), col("cnt"))
+      cnt(e.intersect(o), "intersect")
+        .unionByName(cnt(e.except(o), "except_even"))
+        .unionByName(cnt(o.except(e), "except_odd"))
+        .orderBy("op")
+    }),
+
     "q_counter_rate" -> ((s, d) => {
       // Prometheus-semantics counter increase/rate with RESET handling (the
       // monotonic-counter rule: a drop means the counter restarted, so the
@@ -1314,6 +1359,38 @@ object Queries {
       s"""SELECT event_type, count(value) AS cnt, min(value) AS min_v,
          |  max(value) AS max_v, round(sum(value), 4) AS sum_v
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         |  sum(l_quantity) AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY coalesce(l_returnflag, '~'),
+         |  coalesce(l_linestatus, '~')""".stripMargin,
+
+    "q_moving_range" ->
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+         |    CAST(round(value * 1000) AS BIGINT) AS v FROM events)
+         |SELECT event_type, ts_us, event_id,
+         |  count(*) OVER w AS cnt_10m,
+         |  CAST(sum(v) OVER w AS BIGINT) AS sum_10m
+         |FROM ev
+         |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+         |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+
+    "q_setops" ->
+      s"""WITH e AS (SELECT lang, source FROM documents WHERE doc_id % 2 = 0),
+         |o AS (SELECT lang, source FROM documents WHERE doc_id % 2 = 1)
+         |SELECT 'except_even' AS op, count(*) AS cnt
+         |  FROM (SELECT * FROM e EXCEPT SELECT * FROM o)
+         |UNION ALL
+         |SELECT 'except_odd' AS op, count(*) AS cnt
+         |  FROM (SELECT * FROM o EXCEPT SELECT * FROM e)
+         |UNION ALL
+         |SELECT 'intersect' AS op, count(*) AS cnt
+         |  FROM (SELECT * FROM e INTERSECT SELECT * FROM o)
+         |ORDER BY op""".stripMargin,
 
     "q_counter_rate" ->
       s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
