@@ -136,6 +136,69 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("asof join: every left row appears once with the max right ts <= its ts") {
+    val rowsGen = Gen.chooseNum(0, 30)
+    for (seed <- 1L to 5L) {
+      val nL = sample(rowsGen, seed * 3) + 1
+      val nR = sample(rowsGen, seed * 5)
+      val l = (0 until nL).map(i =>
+        (i.toLong, sample(Gen.chooseNum(0, 3), seed * 7 + i).toString,
+          sample(Gen.chooseNum(0L, 40L), seed * 11 + i))).toDF("id", "k", "ts")
+      // right unique per (k, rts) by construction
+      val rRows = (0 until nR).map(i =>
+        (sample(Gen.chooseNum(0, 3), seed * 13 + i).toString,
+          sample(Gen.chooseNum(0L, 40L), seed * 17 + i),
+          i.toDouble)).distinctBy(x => (x._1, x._2))
+      val r = rRows.toDF("k", "rts", "v")
+      val got = Asof.joinAsOf(l, r, Seq("k"), "ts", "rts", Seq("v"))
+        .collect().map(x => (x.getAs[Long]("id"),
+          if (x.isNullAt(x.fieldIndex("v"))) None
+          else Some(x.getAs[Double]("v")))).toMap
+      assert(got.size == nL, s"seed=$seed left rows lost or duplicated")
+      val lRows = l.collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      lRows.foreach { case (id, k, ts) =>
+        val best = rRows.filter(x => x._1 == k && x._2 <= ts)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(got(id) == best, s"seed=$seed id=$id")
+      }
+    }
+  }
+
+  test("sessionize partitions every row into exactly one session; gaps respected") {
+    for (seed <- 1L to 5L) {
+      val n = sample(Gen.chooseNum(1, 40), seed * 23)
+      val gap = sample(Gen.chooseNum(1L, 15L), seed * 29)
+      val rows = (0 until n).map(i =>
+        (sample(Gen.chooseNum(0, 2), seed * 31 + i).toLong,
+          sample(Gen.chooseNum(0L, 100L), seed * 37 + i)))
+      val df = rows.toDF("k", "ts")
+      val sess = Sessions.sessionize(df, Seq("k"), "ts", gap).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+          x.getLong(4)))
+      // row conservation
+      assert(sess.map(_._3).sum == n, s"seed=$seed")
+      sess.groupBy(_._1).foreach { case (k, ss) =>
+        val sorted = ss.sortBy(_._2).toSeq
+        // ordinals are 0..m-1, spans ordered and separated by >= gap
+        assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+        sorted.sliding(2).foreach {
+          case Seq(a, b) =>
+            assert(b._4 - a._5 >= gap, s"seed=$seed k=$k adjacent sessions closer than gap")
+          case _ => ()
+        }
+        // within a session: max internal silence < gap (check via raw rows)
+        val byKey = rows.filter(_._1 == k).map(_._2).sorted
+        sorted.foreach { case (_, _, _, lo, hi) =>
+          val inSess = byKey.filter(t => t >= lo && t <= hi).distinct.sorted
+          inSess.sliding(2).foreach {
+            case Seq(a, b) => assert(b - a < gap, s"seed=$seed split missed")
+            case _ => ()
+          }
+        }
+      }
+    }
+  }
+
   test("windowMse ≥ 0, = 0 on identical windows, symmetric in arguments") {
     for (seed <- 1L to 4L) {
       val xs = sample(Gen.listOfN(6, Gen.chooseNum(-5.0, 5.0)), seed * 17)
