@@ -528,6 +528,30 @@ object Queries {
         .orderBy("win_id")
     }),
 
+    "q_semi_anti" -> ((s, d) => {
+      // LEFT SEMI / LEFT ANTI surface: customers with vs without 1998+
+      // orders. Semi/anti joins never duplicate or widen the left side —
+      // the planner's existence-join fast path (no row explosion on
+      // many-order customers, unlike inner-join-then-distinct).
+      val c = Tables.customer(s, d)
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01"))
+      val semi = c.join(recent, col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select(lit("with_order").as("grp"), col("c_acctbal"))
+      val anti = c.join(recent, col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(lit("no_order").as("grp"), col("c_acctbal"))
+      semi.unionByName(anti)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("cnt"),
+          // exact-cent mean: integer sum -> two deterministic double ops
+          // (a float avg would be accumulation-order-dependent)
+          round(sum(expr("cast(round(c_acctbal * 100) as long)"))
+            .cast("double") / 100.0 / count(lit(1)), 4).as("avg_bal"))
+        .orderBy("grp")
+    }),
+
     "q_rollup" -> ((s, d) =>
       // Grouping-sets surface: ROLLUP subtotals + grand total in one pass
       // (Catalyst expands to a single Expand + aggregate — no N scans).
@@ -1359,6 +1383,19 @@ object Queries {
       s"""SELECT event_type, count(value) AS cnt, min(value) AS min_v,
          |  max(value) AS max_v, round(sum(value), 4) AS sum_v
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_semi_anti" ->
+      s"""WITH r AS (SELECT o_custkey FROM orders
+         |  WHERE o_orderdate >= '1998-01-01'),
+         |tagged AS (
+         |  SELECT CASE WHEN EXISTS (SELECT 1 FROM r WHERE r.o_custkey =
+         |      c.c_custkey) THEN 'with_order' ELSE 'no_order' END AS grp,
+         |    c_acctbal
+         |  FROM customer c)
+         |SELECT grp, count(*) AS cnt,
+         |  round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+         |    / 100.0 / count(*), 4) AS avg_bal
+         |FROM tagged GROUP BY grp ORDER BY grp""".stripMargin,
 
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
