@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measured scaling evidence for the 100×-claims in SCALE.md.
+  * Replicates the sf0.1 tables m ∈ {1, 4, 8} times with key/time offsets
+  * (so group counts and join fan-outs scale, but per-key densities stay
+  * realistic — naive duplication would instead synthesize a worst-case
+  * near-dup corpus) and times the core shuffle/window shapes. Near-linear
+  * wall-time growth at fixed parallelism is the pass signal.
+  * Usage: {{{ sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1" }}} */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(df: DataFrame, m: Int, idCols: Seq[String],
+                  idStride: Long, tsCol: Option[(String, Long)]): DataFrame =
+      (0 until m).map { i =>
+        val shifted = idCols.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(i * idStride)))
+        tsCol.fold(shifted) { case (c, span) =>
+          shifted.withColumn(c, col(c) + lit(i * span)) }
+      }.reduce(_ unionByName _)
+
+    def time(label: String, m: Int)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$label","scale":$m,"rows":$rows,"sec":$dt%.3f}""")
+    }
+
+    val events = graft.Tables.events(spark, dir)
+    val tsSpan = 1L << 44 // >> the fixture's time span: replicas never merge
+    val docs = graft.Tables.documents(spark, dir)
+    val li = graft.Tables.lineitem(spark, dir)
+    val ord = graft.Tables.orders(spark, dir)
+
+    for (m <- Seq(1, 4, 8)) {
+      val ev = replicate(events, m, Seq("event_id", "user_id"), 1L << 40,
+        Some(("ts_us", tsSpan))).persist()
+      ev.count() // materialize outside the timers
+      time("shuffle_join_agg", m) {
+        replicate(li, m, Seq("l_orderkey"), 1L << 40, None)
+          .join(replicate(ord, m, Seq("o_orderkey"), 1L << 40, None),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            count(lit(1))).count()
+      }
+      time("sessionize", m) {
+        graft.operators.Sessions.sessionize(
+          ev.select("user_id", "ts_us"), Seq("user_id"), "ts_us",
+          1800000000L).count()
+      }
+      time("moving_range_window", m) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("ts_us"))
+          .rangeBetween(-600000000L, 0L)
+        ev.select(col("event_type"), col("ts_us"),
+            expr("cast(round(value * 1000) as long)").as("v"))
+          .withColumn("c", count(lit(1)).over(w))
+          .withColumn("s", sum("v").over(w)).count()
+      }
+      time("exact_dedup", m) {
+        graft.dedup.Dedup.exactDedupSurvivors(
+          replicate(docs, m, Seq("doc_id"), 1L << 40, None),
+          "doc_id", "text").count()
+      }
+      time("windows_partitioned", m) {
+        val series = ev.filter(col("event_type") === "click")
+          .groupBy(expr("ts_us div 60000000").as("ts_min"))
+          .agg(avg("value").as("v"))
+        graft.operators.Windows.slidingWindowsPartitioned(
+          series, Seq("ts_min"), Seq("v"), 20, bucketSize = 4096).count()
+      }
+      ev.unpersist(false)
+    }
+    spark.stop()
+  }
+}
