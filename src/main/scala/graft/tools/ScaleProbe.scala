@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * realistic — naive duplication would instead synthesize a worst-case
   * near-dup corpus) and times the core shuffle/window shapes. Near-linear
   * wall-time growth at fixed parallelism is the pass signal.
-  * Usage: {{{ sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1" }}} */
+  * Usage: {{{ sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 1,4,8" }}} */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scales = args.lift(1).map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(1, 4, 8))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,7 +48,7 @@ object ScaleProbe {
     val li = graft.Tables.lineitem(spark, dir)
     val ord = graft.Tables.orders(spark, dir)
 
-    for (m <- Seq(1, 4, 8)) {
+    for (m <- scales) {
       val ev = replicate(events, m, Seq("event_id", "user_id"), 1L << 40,
         Some(("ts_us", tsSpan))).persist()
       ev.count() // materialize outside the timers
