@@ -324,6 +324,18 @@ object Queries {
       Score.histogram(Tables.events(s, d), "value", 50)
         .orderBy("bucket")),
 
+    "q_hist_quantile" -> ((s, d) => {
+      // PromQL histogram_quantile over the A7 histogram: interpolated
+      // p50/p90/p99 from bucket counts — the quantile read that works on
+      // pre-aggregated data (exact percentile needs raw values).
+      val ev = Tables.events(s, d)
+      val r = ev.agg(min(col("value")).cast("double"),
+        max(col("value")).cast("double")).head()
+      Score.histogramQuantile(Score.histogram(ev, "value", 50),
+          r.getDouble(0), r.getDouble(1), 50, Seq(0.5, 0.9, 0.99))
+        .orderBy("q")
+    }),
+
     "q_threshold_p8" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"), col("value"),
@@ -1332,6 +1344,25 @@ object Queries {
          |SELECT least(CAST(floor(((value - lo) * 50) / (hi - lo)) AS BIGINT) + 1, 50) AS bucket,
          |  count(*) AS cnt
          |FROM events, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_hist_quantile" ->
+      s"""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+         |h AS (SELECT least(CAST(floor(((value - lo) * 50) / (hi - lo))
+         |      AS BIGINT) + 1, 50) AS bucket, count(*) AS cnt
+         |  FROM events, b GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h),
+         |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+         |c AS (SELECT q, bucket, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY q ORDER BY bucket
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    q * total AS target
+         |  FROM h, qs, t),
+         |f AS (SELECT q, bucket, cnt, cum, target,
+         |    row_number() OVER (PARTITION BY q ORDER BY bucket) AS rk
+         |  FROM c WHERE cum >= target)
+         |SELECT q, round(lo + (bucket - 1) * ((hi - lo) / 50) +
+         |    ((target - (cum - cnt)) / cnt) * ((hi - lo) / 50), 6) AS value
+         |FROM f, b WHERE rk = 1 ORDER BY q""".stripMargin,
 
     "q_threshold_p8" ->
       s"""SELECT event_id, value, value > 150.0 AS is_anomaly FROM events

@@ -61,6 +61,42 @@ object Score {
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** PromQL-style `histogram_quantile` over an equal-width [[histogram]]
+    * table: for each requested quantile, walk the cumulative bucket counts
+    * to the first bucket covering q·total and interpolate linearly inside
+    * it — the sketch-side quantile read every metrics stack performs on
+    * pre-bucketed data (exact quantiles need the raw values; histograms
+    * are what survives aggregation at fleet scale).
+    *
+    * Plan shape: the histogram is ≤`bins` rows, so the quantile table
+    * broadcasts into a nested-loop cross (fine at this size) and the
+    * cumulative window partitions by q — no single-partition WindowExec.
+    * All arithmetic is a fixed formula over integer counts, so the DuckDB
+    * replay is deterministic. */
+  def histogramQuantile(hist: DataFrame, lo: Double, hi: Double, bins: Int,
+                        qs: Seq[Double]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val width = (hi - lo) / bins
+    val total = hist.agg(sum("cnt")).head().getLong(0)
+    val qdf = qs.toDF("q")
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy("bucket")
+    hist.crossJoin(broadcast(qdf))
+      .withColumn("cum", sum("cnt").over(
+        wCum.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .withColumn("target", col("q") * lit(total.toDouble))
+      .filter(col("cum") >= col("target"))
+      .withColumn("rk", row_number().over(wCum))
+      .filter(col("rk") === 1)
+      .select(col("q"),
+        round(lit(lo) + (col("bucket") - 1) * lit(width) +
+          ((col("target") - (col("cum") - col("cnt"))) / col("cnt")) *
+            lit(width), 6).as("value"))
+  }
+
   /** P8: anomaly flag. */
   def classify(mse: Column, threshold: Double): Column = mse > lit(threshold)
 
