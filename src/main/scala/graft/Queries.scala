@@ -851,6 +851,19 @@ object Queries {
           "doc_id", "text", k = 3, maxDf = 5, minSpan = 5)
         .orderBy("id1", "id2")),
 
+    "q_bpe_merges" -> ((s, d) => {
+      // Distributed BPE merge training (8 rounds): per round one
+      // pair-count aggregation over the deduplicated word table + a
+      // map-only merge; only the argmax pair reaches the driver. The
+      // oracle replays every round as a generated CTE chain.
+      import s.implicits._
+      graft.text.Bpe.train(
+          graft.text.Bpe.wordTable(Tables.documents(s, d), "text"), 8)
+        .map(m => (m.step, m.pair, m.cnt))
+        .toDF("step", "pair", "cnt")
+        .orderBy("step")
+    }),
+
     "q_vocab_topk" -> ((s, d) =>
       // Vocabulary building: token frequency top-k (explode → count → top
       // 100 with deterministic tiebreak) — the classic first pass of any
@@ -1200,6 +1213,41 @@ object Queries {
   // ==========================================================================
   // Oracle SQL (DuckDB) — keys must mirror `queries` names and column names.
   // ==========================================================================
+
+  /** N-round BPE oracle: each round is a generated CTE trio — pair counts
+    * from the comma-form words, argmax with the (count desc, pair asc)
+    * tiebreak, merge application via the boundary-safe replace — replaying
+    * [[graft.text.Bpe.train]] round for round. */
+  private def bpeMergesSql(n: Int): String = {
+    val base =
+      s"""WITH words AS (
+         |  SELECT t AS w, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |        FROM documents)
+         |  WHERE regexp_matches(t, '^[a-z]+$$') GROUP BY 1),
+         |w0 AS (SELECT ',' || regexp_replace(w, '(.)', '\\1,,', 'g') || '_,' AS s,
+         |    cnt
+         |  FROM words)""".stripMargin
+    val rounds = (1 to n).map { i =>
+      s"""px$i AS (SELECT cnt, unnest(list_transform(list_zip(l, l[2:]),
+         |    x -> CASE WHEN x[2] IS NULL THEN NULL
+         |              ELSE x[1] || ' ' || x[2] END)) AS p
+         |  FROM (SELECT cnt, list_filter(string_split(s, ','), y -> y <> '') AS l
+         |        FROM w${i - 1})),
+         |m$i AS (SELECT p, CAST(sum(cnt) AS BIGINT) AS c FROM px$i
+         |  WHERE p IS NOT NULL
+         |  GROUP BY p ORDER BY c DESC, p ASC LIMIT 1),
+         |w$i AS (SELECT replace(s,
+         |    ',' || string_split(m.p, ' ')[1] || ',,' ||
+         |      string_split(m.p, ' ')[2] || ',',
+         |    ',' || replace(m.p, ' ', '') || ',') AS s, cnt
+         |  FROM w${i - 1}, m$i m)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to n)
+      .map(i => s"SELECT $i AS step, p AS pair, c AS cnt FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"$base,\n$rounds\n$sel\nORDER BY step"
+  }
 
   private def fillAllSql(inner: String): String =
     s"""SELECT ts_min, ${Types.map(fillSql).mkString(",\n  ")}
@@ -1772,6 +1820,8 @@ object Queries {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" -> langIdSql,
+
+    "q_bpe_merges" -> bpeMergesSql(8),
 
     "q_vocab_topk" ->
       // t <> '' mirrors Spark's empty-array semantics for whitespace-only

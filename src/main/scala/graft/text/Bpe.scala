@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge training — the tokenizer-training kernel: repeat
+  * "count adjacent symbol pairs, merge the most frequent" over the word
+  * table. Classic BPE trains on (distinct word, frequency), so the state
+  * is the deduplicated word table — millions of rows at 100 TB, never the
+  * corpus — and each round is one distributed pair-count aggregation plus
+  * a map-only merge application; the driver holds only the argmax pair
+  * (one-row collect per round, the k-means loop pattern).
+  *
+  * Words are carried as COMMA-FORM strings: symbols joined with ",,",
+  * the whole word wrapped in single commas (`cat` → `",c,,a,,t,,_,"`,
+  * `_` the end-of-word marker). A merge of pair (a, b) is then the plain
+  * substring replace of `",a,,b,"` with `",ab,"` — the single outer
+  * commas borrow one comma from each ",," boundary, so non-overlapping
+  * occurrences ALL merge in one left-to-right pass (greedy BPE exactly),
+  * while a symbol whose text merely ends with `a` can never false-match
+  * (its boundary has two commas). Plain `replace` semantics are identical
+  * across engines, which is what makes the DuckDB round-by-round replay
+  * bit-exact.
+  */
+object Bpe {
+
+  final case class Merge(step: Int, pair: String, cnt: Long)
+
+  /** Comma-form word-frequency table (s, cnt) over lowercase `[a-z]+`
+    * tokens (pure-ASCII filter keeps char splitting engine-agnostic). */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextStats.tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(","),
+        regexp_replace(col("w"), "(.)", "$1,,"), lit("_,")).as("s"),
+        col("cnt"))
+
+  /** Adjacent symbol pairs of a comma-form word as "a b" labels. */
+  private def pairsCol = {
+    val l = filter(split(col("s"), ","), y => y =!= lit(""))
+    zip_with(l, slice(l, lit(2), greatest(size(l) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Run up to `n` merge rounds; stops early when no pair remains. */
+  def train(words0: DataFrame, n: Int): Seq[Merge] = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var words = words0.persist(sl)
+    val out = scala.collection.mutable.ArrayBuffer[Merge]()
+    var step = 1
+    var done = false
+    while (step <= n && !done) {
+      val top = words.select(col("cnt"), explode(pairsCol).as("p"))
+        .filter(col("p").isNotNull)
+        .groupBy("p").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("p").asc)
+        .limit(1).collect() // exactly one row reaches the driver
+      if (top.isEmpty) done = true
+      else {
+        val (p, c) = (top(0).getString(0), top(0).getLong(1))
+        out += Merge(step, p, c)
+        val Array(a, b) = p.split(" ")
+        val next = words
+          .select(expr(s"replace(s, ',$a,,$b,', ',$a$b,')").as("s"),
+            col("cnt"))
+          .persist(sl)
+        next.count()
+        words.unpersist(false)
+        words = next
+        step += 1
+      }
+    }
+    words.unpersist(false)
+    out.toSeq
+  }
+}

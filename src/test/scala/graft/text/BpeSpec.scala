@@ -1,0 +1,37 @@
+package graft.text
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    "the cat sat on the mat",
+    "the cat ate the rat",
+    "low lower lowest").toDF("text")
+
+  test("merge rounds pick the most frequent pair with deterministic tiebreak") {
+    val merges = Bpe.train(Bpe.wordTable(corpus, "text"), 4)
+      .map(m => (m.step, m.pair, m.cnt))
+    // hand-checked: 'a t' (cat/sat/mat/ate/rat = 6) beats 't _' (6) on the
+    // lexicographic tiebreak; then 'at _' ×5, 'e _' ×5 (ate/the), and once
+    // e_ exists, 'h e_' ×4 from the four 'the's
+    assert(merges == Seq((1, "a t", 6L), (2, "at _", 5L), (3, "e _", 5L),
+      (4, "h e_", 4L)), merges.toString)
+  }
+
+  test("merges apply greedily left-to-right without crossing symbol boundaries") {
+    // 'a a a a' -> merging 'a a' must pair greedily: (aa)(aa), not overlap;
+    // and a word containing 'ta' must NOT be split by a 't a' merge applied
+    // inside the merged symbol 'at' (boundary safety)
+    val docs = Seq("aaaa aaaa aaa").toDF("text")
+    val merges = Bpe.train(Bpe.wordTable(docs, "text"), 2)
+      .map(m => (m.step, m.pair, m.cnt))
+    // round 1: pairs of 'a a' in aaaa×2 (3 each) + aaa (2) = 8
+    assert(merges.head == (1, "a a", 8L), merges.toString)
+    // round 2 proves greedy non-overlap: aaaa -> (aa)(aa) ['aa aa','aa _'],
+    // aaa -> (aa)a ['aa a','a _']; 'aa _' (2) ties 'aa aa' (2) and wins
+    // the lexicographic tiebreak ('_' < 'a')
+    assert(merges(1) == (2, "aa _", 2L), merges.toString)
+  }
+}
