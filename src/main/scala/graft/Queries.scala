@@ -864,6 +864,17 @@ object Queries {
         .orderBy("step")
     }),
 
+    "q_bpe_encode" -> ((s, d) => {
+      // The encode half of the tokenizer: train 8 merges on the corpus,
+      // then apply them (in training order, one greedy pass each) to every
+      // document and count the resulting BPE tokens. Merges ride as
+      // literals in chained replace expressions — scan-shaped.
+      val merges = graft.text.Bpe.train(
+        graft.text.Bpe.wordTable(Tables.documents(s, d), "text"), 8)
+      graft.text.Bpe.encode(Tables.documents(s, d), "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     "q_vocab_topk" -> ((s, d) =>
       // Vocabulary building: token frequency top-k (explode → count → top
       // 100 with deterministic tiebreak) — the classic first pass of any
@@ -1247,6 +1258,36 @@ object Queries {
       .map(i => s"SELECT $i AS step, p AS pair, c AS cnt FROM m$i")
       .mkString("\nUNION ALL ")
     s"$base,\n$rounds\n$sel\nORDER BY step"
+  }
+
+  /** Encode oracle: reuse the merge-training CTEs (w0..wN, m1..mN), then
+    * re-derive per-document words and chain one replace per round with the
+    * merge pulled from its m-CTE as a scalar subquery. */
+  private def bpeEncodeSql(n: Int): String = {
+    val merged = bpeMergesSql(n)
+    // keep only the WITH-chain of the merges oracle (drop its SELECT tail)
+    val ctes = merged.substring(0, merged.indexOf("\nSELECT 1 AS step"))
+    val encodeRounds = (1 to n).map { i =>
+      s"""e$i AS (SELECT doc_id, replace(s,
+         |    (SELECT ',' || string_split(p, ' ')[1] || ',,' ||
+         |       string_split(p, ' ')[2] || ',' FROM m$i),
+         |    (SELECT ',' || replace(p, ' ', '') || ',' FROM m$i)) AS s
+         |  FROM e${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""$ctes,
+       |dt AS (SELECT doc_id, t AS w
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+       |      '\\s+')) AS t FROM documents)
+       |  WHERE regexp_matches(t, '^[a-z]+$$')),
+       |e0 AS (SELECT doc_id,
+       |    ',' || regexp_replace(w, '(.)', '\\1,,', 'g') || '_,' AS s
+       |  FROM dt),
+       |$encodeRounds
+       |SELECT doc_id,
+       |  CAST(sum(len(list_filter(string_split(s, ','), y -> y <> '')))
+       |    AS BIGINT) AS bpe_tokens,
+       |  count(*) AS n_words
+       |FROM e$n GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private def fillAllSql(inner: String): String =
@@ -1822,6 +1863,7 @@ object Queries {
     "q_lang_id" -> langIdSql,
 
     "q_bpe_merges" -> bpeMergesSql(8),
+    "q_bpe_encode" -> bpeEncodeSql(8),
 
     "q_vocab_topk" ->
       // t <> '' mirrors Spark's empty-array semantics for whitespace-only

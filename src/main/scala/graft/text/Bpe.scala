@@ -43,6 +43,31 @@ object Bpe {
       (a, b) => concat(a, lit(" "), b))
   }
 
+  /** Encode: per-document BPE token counts after applying `merges` once
+    * each, in training order (the deterministic encoding the trainer's own
+    * merge applications define — each merge is one global greedy pass).
+    * Output: (idCol, bpe_tokens, n_words); merges ride as literals in the
+    * chained replace expressions, so the plan is scan + per-row string
+    * work + one aggregate. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    var df = docs
+      .select(col(idCol), explode(TextStats.tokens(lower(col(textCol))))
+        .as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .select(col(idCol), concat(lit(","),
+        regexp_replace(col("w"), "(.)", "$1,,"), lit("_,")).as("s"))
+    merges.foreach { m =>
+      val Array(a, b) = m.pair.split(" ")
+      df = df.select(col(idCol),
+        expr(s"replace(s, ',$a,,$b,', ',$a$b,')").as("s"))
+    }
+    df.select(col(idCol),
+        size(filter(split(col("s"), ","), y => y =!= lit(""))).as("n_sym"))
+      .groupBy(idCol)
+      .agg(sum("n_sym").as("bpe_tokens"), count(lit(1)).as("n_words"))
+  }
+
   /** Run up to `n` merge rounds; stops early when no pair remains. */
   def train(words0: DataFrame, n: Int): Seq[Merge] = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
