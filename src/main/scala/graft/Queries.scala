@@ -564,6 +564,35 @@ object Queries {
         .orderBy("grp")
     }),
 
+    "q_cube" -> ((s, d) =>
+      // Full grouping-sets lattice: all four (flag, status) subtotal
+      // levels in one Expand + aggregate pass.
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        .orderBy(coalesce(col("l_returnflag"), lit("~")),
+          coalesce(col("l_linestatus"), lit("~")))),
+
+    "q_percent_rank" -> ((s, d) =>
+      // Rank-family windows: percent_rank + cume_dist + dense_rank per
+      // priority group over order totals — deterministic because the
+      // functions depend only on the ORDER BY key values, not tie order.
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          round(percent_rank().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("o_orderpriority").orderBy("o_totalprice")), 6)
+            .as("pct_rank"),
+          round(cume_dist().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("o_orderpriority").orderBy("o_totalprice")), 6)
+            .as("cume"),
+          dense_rank().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("o_orderpriority").orderBy("o_totalprice"))
+            .cast("long").as("drank"))
+        .orderBy("o_orderkey")),
+
     "q_rollup" -> ((s, d) =>
       // Grouping-sets surface: ROLLUP subtotals + grand total in one pass
       // (Catalyst expands to a single Expand + aggregate — no N scans).
@@ -1516,6 +1545,23 @@ object Queries {
          |  round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
          |    / 100.0 / count(*), 4) AS avg_bal
          |FROM tagged GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         |  sum(l_quantity) AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY coalesce(l_returnflag, '~'),
+         |  coalesce(l_linestatus, '~')""".stripMargin,
+
+    "q_percent_rank" ->
+      s"""SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |  round(percent_rank() OVER w, 6) AS pct_rank,
+         |  round(cume_dist() OVER w, 6) AS cume,
+         |  CAST(dense_rank() OVER w AS BIGINT) AS drank
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+         |ORDER BY o_orderkey""".stripMargin,
 
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
