@@ -87,6 +87,26 @@ object ScaleProbe {
           series, Seq("ts_min"), Seq("v"), 20, bucketSize = 4096).count()
       }
       ev.unpersist(false)
+
+      // Dedup/LSH family: naive doc replication would synthesize a
+      // worst-case near-dup corpus (every replica a clone), so each
+      // replica's TOKENS are salted with a replica tag instead — the
+      // within-replica similarity structure is preserved exactly while
+      // replicas share no shingles: candidate counts scale m×, not m².
+      val salted = (0 until m).map { i =>
+        docs.select((col("doc_id") + lit(i.toLong << 40)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$i$$1").as("text"))
+      }.reduce(_ unionByName _).persist()
+      salted.count()
+      time("minhash_lsh_md5", m) {
+        graft.dedup.Dedup.minhashCandidatesMd5(
+          salted, "doc_id", "text").count()
+      }
+      time("dup_spans", m) {
+        graft.dedup.Dedup.duplicatedSpans(
+          salted, "doc_id", "text", k = 3, maxDf = 5, minSpan = 5).count()
+      }
+      salted.unpersist(false)
     }
     spark.stop()
   }
