@@ -56,7 +56,14 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = timeOnce(name, fn)
-      val steady = if (failed.contains(name)) first else timeOnce(name, fn)
+      val steady =
+        if (failed.contains(name)) first
+        else {
+          val t = timeOnce(name, fn)
+          // a rep-2 failure would otherwise record its time-to-crash as the
+          // "steady" number — fall back to the valid first-rep measurement
+          if (failed.contains(name)) first else t
+        }
       (name, first, steady)
     }
     def jmap(sel: ((String, Double, Double)) => Double): String =

@@ -331,8 +331,10 @@ object Queries {
       val ev = Tables.events(s, d)
       val r = ev.agg(min(col("value")).cast("double"),
         max(col("value")).cast("double")).head()
-      Score.histogramQuantile(Score.histogram(ev, "value", 50),
-          r.getDouble(0), r.getDouble(1), 50, Seq(0.5, 0.9, 0.99))
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      // bounds computed once and shared with the bucketing (histogramWith)
+      Score.histogramQuantile(Score.histogramWith(ev, "value", lo, hi, 50),
+          lo, hi, 50, Seq(0.5, 0.9, 0.99))
         .orderBy("q")
     }),
 
@@ -573,25 +575,19 @@ object Queries {
         .orderBy(coalesce(col("l_returnflag"), lit("~")),
           coalesce(col("l_linestatus"), lit("~")))),
 
-    "q_percent_rank" -> ((s, d) =>
+    "q_percent_rank" -> ((s, d) => {
       // Rank-family windows: percent_rank + cume_dist + dense_rank per
       // priority group over order totals — deterministic because the
       // functions depend only on the ORDER BY key values, not tie order.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy("o_totalprice")
       Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-          round(percent_rank().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("o_orderpriority").orderBy("o_totalprice")), 6)
-            .as("pct_rank"),
-          round(cume_dist().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("o_orderpriority").orderBy("o_totalprice")), 6)
-            .as("cume"),
-          dense_rank().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("o_orderpriority").orderBy("o_totalprice"))
-            .cast("long").as("drank"))
-        .orderBy("o_orderkey")),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          dense_rank().over(w).cast("long").as("drank"))
+        .orderBy("o_orderkey")
+    }),
 
     "q_rollup" -> ((s, d) =>
       // Grouping-sets surface: ROLLUP subtotals + grand total in one pass
@@ -1259,6 +1255,16 @@ object Queries {
     * tiebreak, merge application via the boundary-safe replace — replaying
     * [[graft.text.Bpe.train]] round for round. */
   private def bpeMergesSql(n: Int): String = {
+    val sel = (1 to n)
+      .map(i => s"SELECT $i AS step, p AS pair, c AS cnt FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"${bpeCtes(n)}\n$sel\nORDER BY step"
+  }
+
+  /** The shared WITH-chain (words, w0..wN, px/m per round) both BPE oracles
+    * build on — exposed separately so the encode oracle appends its own
+    * CTEs instead of string-slicing the merges oracle. */
+  private def bpeCtes(n: Int): String = {
     val base =
       s"""WITH words AS (
          |  SELECT t AS w, count(*) AS cnt
@@ -1283,19 +1289,14 @@ object Queries {
          |    ',' || replace(m.p, ' ', '') || ',') AS s, cnt
          |  FROM w${i - 1}, m$i m)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to n)
-      .map(i => s"SELECT $i AS step, p AS pair, c AS cnt FROM m$i")
-      .mkString("\nUNION ALL ")
-    s"$base,\n$rounds\n$sel\nORDER BY step"
+    s"$base,\n$rounds"
   }
 
   /** Encode oracle: reuse the merge-training CTEs (w0..wN, m1..mN), then
     * re-derive per-document words and chain one replace per round with the
     * merge pulled from its m-CTE as a scalar subquery. */
   private def bpeEncodeSql(n: Int): String = {
-    val merged = bpeMergesSql(n)
-    // keep only the WITH-chain of the merges oracle (drop its SELECT tail)
-    val ctes = merged.substring(0, merged.indexOf("\nSELECT 1 AS step"))
+    val ctes = bpeCtes(n)
     val encodeRounds = (1 to n).map { i =>
       s"""e$i AS (SELECT doc_id, replace(s,
          |    (SELECT ',' || string_split(p, ' ')[1] || ',,' ||

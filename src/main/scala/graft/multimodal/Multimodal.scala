@@ -105,103 +105,89 @@ object Multimodal {
     * (or has zero frames) — callers fall back to the hash stub, keeping
     * non-audio corpora deterministic, and corrupt payloads task-safe. */
   def decodeAudioFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val base = in.getFormat
-        val target = new javax.sound.sampled.AudioFormat(
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          base.getSampleRate, 16, base.getChannels,
-          base.getChannels * 2, base.getSampleRate, false)
-        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = pcm.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = pcm.read(buf) }
-        val data = out.toByteArray
-        val ch = target.getChannels
-        val nFrames = data.length / (2 * ch)
-        if (nFrames == 0) None
-        else {
-          val samples = new Array[Double](nFrames)
-          var f = 0
-          while (f < nFrames) {
-            var s = 0.0
-            var c = 0
-            while (c < ch) {
-              val o = (f * ch + c) * 2 // little-endian signed 16-bit
-              s += ((data(o + 1) << 8) | (data(o) & 0xff)).toShort / 32768.0
-              c += 1
-            }
-            samples(f) = s / ch
-            f += 1
-          }
-          val nBlocks = math.max(1, dim / 2)
-          val feats = new Array[Float](dim)
-          var b = 0
-          while (b < nBlocks) {
-            val lo = (b.toLong * nFrames / nBlocks).toInt
-            val hi = math.max(lo + 1, ((b + 1).toLong * nFrames / nBlocks).toInt)
-            var e = 0.0
-            var z = 0
-            var i = lo
-            while (i < hi) {
-              e += samples(i) * samples(i)
-              if (i > lo && (samples(i) >= 0) != (samples(i - 1) >= 0)) z += 1
-              i += 1
-            }
-            val len = hi - lo
-            if (2 * b < dim) feats(2 * b) = math.sqrt(e / len).toFloat
-            if (2 * b + 1 < dim) feats(2 * b + 1) = z.toFloat / len
-            b += 1
-          }
-          Some(feats)
-        }
-      } finally in.close()
-    } catch {
-      // same rationale as decodeImageLuma: the JDK parsers throw unchecked
-      // exceptions on valid-magic/corrupt-body payloads — fall back, don't
-      // kill the task
-      case scala.util.control.NonFatal(_) => None
-    }
-
-  /** Raw per-frame INTEGER channel sums from a decodable audio payload
-    * (PCM16 path of [[decodeAudioFeatures]] without the float conversion):
-    * exact int64 arithmetic end-to-end, so downstream comparisons are
-    * bit-reproducible cross-engine (float block energies differ by
-    * accumulation order). Mono frames are the PCM16 values themselves. */
-  private def pcmFrameInts(bytes: Array[Byte]): Option[Array[Long]] =
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val base = in.getFormat
-        val target = new javax.sound.sampled.AudioFormat(
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          base.getSampleRate, 16, base.getChannels,
-          base.getChannels * 2, base.getSampleRate, false)
-        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = pcm.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = pcm.read(buf) }
-        val data = out.toByteArray
-        val ch = target.getChannels
-        val nFrames = data.length / (2 * ch)
-        if (nFrames == 0) None
-        else Some(Array.tabulate(nFrames) { f =>
-          var s = 0L
+    decodePcm16(bytes).flatMap { case (data, ch) =>
+      val nFrames = data.length / (2 * ch)
+      if (nFrames == 0) None
+      else {
+        val samples = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var s = 0.0
           var c = 0
           while (c < ch) {
             val o = (f * ch + c) * 2 // little-endian signed 16-bit
-            s += ((data(o + 1) << 8) | (data(o) & 0xff)).toShort.toLong
+            s += ((data(o + 1) << 8) | (data(o) & 0xff)).toShort / 32768.0
             c += 1
           }
-          s
-        })
+          samples(f) = s / ch
+          f += 1
+        }
+        val nBlocks = math.max(1, dim / 2)
+        val feats = new Array[Float](dim)
+        var b = 0
+        while (b < nBlocks) {
+          val lo = (b.toLong * nFrames / nBlocks).toInt
+          val hi = math.max(lo + 1, ((b + 1).toLong * nFrames / nBlocks).toInt)
+          var e = 0.0
+          var z = 0
+          var i = lo
+          while (i < hi) {
+            e += samples(i) * samples(i)
+            if (i > lo && (samples(i) >= 0) != (samples(i - 1) >= 0)) z += 1
+            i += 1
+          }
+          val len = hi - lo
+          if (2 * b < dim) feats(2 * b) = math.sqrt(e / len).toFloat
+          if (2 * b + 1 < dim) feats(2 * b + 1) = z.toFloat / len
+          b += 1
+        }
+        Some(feats)
+      }
+    }
+
+  /** Shared decode plumbing: any supported audio container → (little-endian
+    * signed PCM16 bytes, channel count). None on undecodable payloads —
+    * the JDK parsers throw unchecked exceptions on valid-magic/corrupt-body
+    * bytes, which must hit the fallback, not kill the task. */
+  private def decodePcm16(bytes: Array[Byte]): Option[(Array[Byte], Int)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val base = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          base.getChannels * 2, base.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = pcm.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = pcm.read(buf) }
+        Some((out.toByteArray, target.getChannels))
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Raw per-frame INTEGER channel sums from a decodable audio payload
+    * ([[decodePcm16]] without the float conversion): exact int64
+    * arithmetic end-to-end, so downstream comparisons are bit-reproducible
+    * cross-engine (float block energies differ by accumulation order).
+    * Mono frames are the PCM16 values themselves. */
+  private def pcmFrameInts(bytes: Array[Byte]): Option[Array[Long]] =
+    decodePcm16(bytes).flatMap { case (data, ch) =>
+      val nFrames = data.length / (2 * ch)
+      if (nFrames == 0) None
+      else Some(Array.tabulate(nFrames) { f =>
+        var s = 0L
+        var c = 0
+        while (c < ch) {
+          val o = (f * ch + c) * 2 // little-endian signed 16-bit
+          s += ((data(o + 1) << 8) | (data(o) & 0xff)).toShort.toLong
+          c += 1
+        }
+        s
+      })
+    }
 
   /** Audio fingerprint — the [[dHashImages]] analog for sound: the decoded
     * stream splits into 8 equal time blocks; bit b (0–6) compares adjacent

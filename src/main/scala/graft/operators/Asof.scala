@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
   * Right rows must be unique per (key, ts) — pre-aggregate duplicates
   * (both this plan and native ASOF joins pick an unspecified winner
   * otherwise). Left rows with no earlier right row keep a null payload
-  * (left-join semantics).
+  * (left-join semantics); a MATCHED right row whose payload value is
+  * itself NULL comes through as NULL (the match is row-level, not
+  * value-level — ASOF JOIN semantics exactly).
   */
 object Asof {
 
@@ -47,24 +49,31 @@ object Asof {
     require(!payloadCols.exists(left.columns.contains),
       s"payload columns ${payloadCols.mkString(",")} collide with left columns")
     val carried = left.columns.toSeq.filterNot(keyCols.contains)
+    // the payload rides as ONE struct so the fill picks up the latest right
+    // ROW atomically: a right row whose payload value is genuinely NULL
+    // still matches (its struct is non-null), and multiple payload columns
+    // can never stitch values from different right rows
+    val plType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(p => right.schema(p).copy(name = p)))
     val l = left.select(
       keyCols.map(col) ++
         Seq(col(leftTs).cast("long").as("_ts"), lit(1).as("_side")) ++
-        carried.map(col) ++
-        payloadCols.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+        carried.map(col) :+
+        lit(null).cast(plType).as("_pl"): _*)
     val r = right.select(
       keyCols.map(col) ++
         Seq(col(rightTs).cast("long").as("_ts"), lit(0).as("_side")) ++
-        carried.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(col): _*)
+        carried.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col): _*).as("_pl"): _*)
     // right sorts before left at equal ts -> inclusive (ts_r <= ts_l) match
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select(keyCols.map(col) ++ Seq(col("_side")) ++ carried.map(col) ++
-        payloadCols.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .select(keyCols.map(col) ++ Seq(col("_side")) ++ carried.map(col) :+
+        last(col("_pl"), ignoreNulls = true).over(w).as("_pl"): _*)
       .filter(col("_side") === 1)
-      .drop("_side")
+      .select(keyCols.map(col) ++ carried.map(col) ++
+        payloadCols.map(p => col(s"_pl.$p").as(p)): _*)
   }
 }

@@ -39,8 +39,13 @@ object RangeJoin {
     require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
       "point and interval column names must be disjoint")
     // div truncates toward zero (floor for the non-negative epochs used
-    // here); half-open end -> last covered bucket is (e-1) div w
+    // here); half-open end -> last covered bucket is (e-1) div w.
+    // Empty/inverted intervals ([s, e) with e <= s) contain nothing by
+    // definition — drop them BEFORE the explode: Spark's sequence() would
+    // otherwise silently step -1 and blow one malformed row up into
+    // |s-e|/width bucket replicas that the refine then discards at full cost
     val iv = intervals
+      .filter(col(endCol).cast("long") > col(startCol).cast("long"))
       .withColumn("_bkt", explode(sequence(
         expr(s"cast($startCol as long) div $bucketWidth"),
         expr(s"(cast($endCol as long) - 1) div $bucketWidth"))))

@@ -56,10 +56,16 @@ object Score {
   def histogram(df: DataFrame, valueCol: String, bins: Int = 50): DataFrame = {
     val r = df.agg(min(col(valueCol)).cast("double").as("lo"),
                    max(col(valueCol)).cast("double").as("hi")).head()
-    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    histogramWith(df, valueCol, r.getDouble(0), r.getDouble(1), bins)
+  }
+
+  /** [[histogram]] with caller-supplied bounds — lets a caller that already
+    * computed min/max (e.g. to feed [[histogramQuantile]]) skip the second
+    * bounds scan. */
+  def histogramWith(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                    bins: Int = 50): DataFrame =
     df.withColumn("bucket", histogramBucket(col(valueCol), lit(lo), lit(hi), bins))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
-  }
 
   /** PromQL-style `histogram_quantile` over an equal-width [[histogram]]
     * table: for each requested quantile, walk the cumulative bucket counts
@@ -78,11 +84,14 @@ object Score {
     val spark = hist.sparkSession
     import spark.implicits._
     val width = (hi - lo) / bins
-    val total = hist.agg(sum("cnt")).head().getLong(0)
+    // the ≤bins-row histogram feeds both the total and the returned plan —
+    // persist so the upstream aggregation runs once, not twice
+    val h = hist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = h.agg(sum("cnt")).head().getLong(0)
     val qdf = qs.toDF("q")
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy("q").orderBy("bucket")
-    hist.crossJoin(broadcast(qdf))
+    h.crossJoin(broadcast(qdf))
       .withColumn("cum", sum("cnt").over(
         wCum.rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, org.apache.spark.sql.expressions.Window

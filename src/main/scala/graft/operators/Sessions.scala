@@ -34,6 +34,11 @@ object Sessions {
     require(keyCols.nonEmpty,
       "keyCols must be non-empty (keyless sessionization would plan a single-partition window)")
     require(gap > 0, "gap must be positive")
+    // withColumn silently REPLACES existing columns — fail fast instead of
+    // clobbering a caller's previous assignment
+    require(!df.columns.contains("session_idx") &&
+      !df.columns.contains("_new_session"),
+      "input already carries session_idx/_new_session")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).cast("long"))
     val boundary = when(

@@ -69,6 +69,19 @@ class AsofSpec extends SparkSpec {
       all.map(_.nodeName).mkString(","))
   }
 
+  test("a matched right row's NULL payload comes through, not an older value") {
+    // right at ts=9 has v=NULL: left ts=12 must get NULL (the ts=9 ROW
+    // matches), not leak ts=4's 100.0 through the fill
+    val r = Seq(("a", 4L, Some(100.0)), ("a", 9L, None))
+      .toDF("k", "rts", "v")
+    val l = Seq((1L, "a", 12L), (2L, "a", 5L)).toDF("id", "k", "ts")
+    val got = Asof.joinAsOf(l, r, Seq("k"), "ts", "rts", Seq("v"))
+      .orderBy("id").collect()
+      .map(x => if (x.isNullAt(x.fieldIndex("v"))) None
+                else Some(x.getAs[Double]("v"))).toSeq
+    assert(got == Seq(None, Some(100.0)), got.toString)
+  }
+
   test("rejects empty keys and payload collisions") {
     intercept[IllegalArgumentException] {
       Asof.joinAsOf(left, right, Seq.empty, "ts", "rts", Seq("v"))
