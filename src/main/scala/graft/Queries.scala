@@ -1168,43 +1168,35 @@ object Queries {
         .filter(col("dhash").isNotNull)
         .orderBy("asset_id")),
 
-    "q_phash_pairs" -> ((s, d) => {
-      // Image near-dup pair counts by Hamming distance over the dHash.
-      // Scale shape: collapse to DISTINCT hash values first (counts ride
-      // along as multiplicities — the hash space is 2^24 and real corpora
-      // concentrate on far fewer), band-join only the distinct hashes
-      // (6 bands × 4 bits: ≤4 differing bits leave ≥2 intact bands, exact
-      // recall by pigeonhole), then expand counts arithmetically:
-      // cnt1·cnt2 across distinct hashes, C(cnt,2) within an identical
-      // hash. Asset-level banding would instead send every blank-image
-      // duplicate into one bucket — the classic hot-key quadratic.
-      val grouped = graft.multimodal.Multimodal.dHashImages(
+    "q_phash_pairs" -> ((s, d) =>
+      // Image near-dup pair counts by Hamming distance over the dHash —
+      // the shared Hamming.pairCounts shape: distinct-hash collapse with
+      // multiplicities, banded equi-join (6×4-bit bands: ≤4 differing
+      // bits leave ≥2 intact bands, exact recall by pigeonhole),
+      // arithmetic count expansion.
+      graft.sim.Hamming.pairCounts(
+        graft.multimodal.Multimodal.dHashImages(
           graft.multimodal.Multimodal.mediaAssets(
-            Tables.documents(s, d), "doc_id"))
-        .filter(col("dhash").isNotNull)
-        .groupBy("dhash").agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val banded = grouped.select(col("dhash"), col("cnt"),
-        explode(sequence(lit(0), lit(5))).as("band"))
-        .withColumn("bv", expr("shiftright(dhash, cast(4 * band as int)) & 15"))
-      val cross = banded.select(col("band"), col("bv"),
-          col("dhash").as("h1"), col("cnt").as("cnt1"))
-        .join(banded.select(col("band"), col("bv"),
-          col("dhash").as("h2"), col("cnt").as("cnt2")),
-          Seq("band", "bv"))
-        .filter(col("h1") < col("h2"))
-        .select("h1", "h2", "cnt1", "cnt2").distinct()
-        .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
-        .filter(col("hamming") <= 4)
-        .select(col("hamming"), (col("cnt1") * col("cnt2")).as("pairs"))
-      val within = grouped.filter(col("cnt") >= 2)
-        .select(lit(0).as("hamming"),
-          expr("cnt * (cnt - 1) div 2").as("pairs"))
-      cross.unionByName(within)
-        .groupBy("hamming")
-        .agg(sum("pairs").as("n_pairs"))
-        .orderBy("hamming")
-    }),
+            Tables.documents(s, d), "doc_id")),
+        "dhash", nBands = 6, bandBits = 4, maxDist = 4)),
+
+    "q_ahash_pairs" -> ((s, d) =>
+      // Audio near-dup pairs over the 14-bit energy hash (7 bands × 2
+      // bits, distance ≤ 2 — exact recall by pigeonhole).
+      graft.sim.Hamming.pairCounts(
+        graft.multimodal.Multimodal.audioEnergyHash(
+          graft.multimodal.Multimodal.mediaAssets(
+            Tables.documents(s, d), "doc_id")),
+        "ahash", nBands = 7, bandBits = 2, maxDist = 2)),
+
+    "q_vhash_pairs" -> ((s, d) =>
+      // Video near-dup pairs over the 48-bit two-frame hash (6 bands × 8
+      // bits, distance ≤ 4).
+      graft.sim.Hamming.pairCounts(
+        graft.multimodal.Multimodal.videoTemporalHash(
+          graft.multimodal.Multimodal.mediaAssets(
+            Tables.documents(s, d), "doc_id")),
+        "vhash", nBands = 6, bandBits = 8, maxDist = 4)),
 
     "q_ahash" -> ((s, d) =>
       // Audio fingerprint of the REAL WAV payloads: PCM decode → 8 integer
@@ -1249,6 +1241,48 @@ object Queries {
   // ==========================================================================
   // Oracle SQL (DuckDB) — keys must mirror `queries` names and column names.
   // ==========================================================================
+
+  /** Shared CTE chains for the audio / video fingerprint oracles (formula
+    * replay of the real-decoder hashes); the hash and pair-count queries
+    * both build on them. */
+  private val AhashCtes: String =
+    s"""ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+       |smp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |    ((doc_id*7919 + i*104729) % 20001) - 10000 AS x
+       |  FROM ids, range(256) t(i)),
+       |blk AS (SELECT doc_id, i // 32 AS b,
+       |    sum(x*x) AS e,
+       |    sum(CASE WHEN i % 32 > 0 AND ((x >= 0) <>
+       |      (((doc_id*7919 + (i-1)*104729) % 20001) - 10000 >= 0))
+       |      THEN 1 ELSE 0 END) AS z
+       |  FROM smp GROUP BY 1, 2),
+       |bits AS (SELECT a.doc_id,
+       |    (CASE WHEN a.e < n.e THEN CAST(1 AS BIGINT) << a.b
+       |          ELSE 0 END) +
+       |    (CASE WHEN a.z < n.z THEN CAST(1 AS BIGINT) << (7 + a.b)
+       |          ELSE 0 END) AS v
+       |  FROM blk a JOIN blk n ON a.doc_id = n.doc_id AND n.b = a.b + 1),
+       |ah AS (SELECT doc_id AS asset_id, CAST(sum(v) AS BIGINT) AS ahash
+       |  FROM bits GROUP BY 1)""".stripMargin
+
+  private val VhashCtes: String =
+    s"""ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+       |px AS (SELECT doc_id, CAST(f AS BIGINT) AS f, CAST(pos AS BIGINT) AS pos,
+       |    (doc_id*37 + pos*13 + f) % 256 AS v
+       |  FROM ids, range(2) tf(f), range(16) tp(pos)),
+       |hb AS (SELECT a.doc_id,
+       |    a.f*24 + (a.pos // 4)*3 + (a.pos % 4) AS k,
+       |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+       |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.f = b.f
+       |    AND b.pos = a.pos + 1 AND a.pos % 4 < 3),
+       |vb AS (SELECT a.doc_id, a.f*24 + 12 + a.pos AS k,
+       |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+       |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.f = b.f
+       |    AND b.pos = a.pos + 4 AND a.pos < 12),
+       |vh AS (SELECT doc_id AS asset_id,
+       |    CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS vhash
+       |  FROM (SELECT * FROM hb UNION ALL SELECT * FROM vb)
+       |  GROUP BY 1)""".stripMargin
 
   /** N-round BPE oracle: each round is a generated CTE trio — pair counts
     * from the comma-form words, argmax with the (count desc, pair asc)
@@ -2049,43 +2083,28 @@ object Queries {
          |GROUP BY 1 ORDER BY hamming""".stripMargin,
 
     "q_ahash" ->
-      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
-         |smp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
-         |    ((doc_id*7919 + i*104729) % 20001) - 10000 AS x
-         |  FROM ids, range(256) t(i)),
-         |blk AS (SELECT doc_id, i // 32 AS b,
-         |    sum(x*x) AS e,
-         |    sum(CASE WHEN i % 32 > 0 AND ((x >= 0) <>
-         |      (((doc_id*7919 + (i-1)*104729) % 20001) - 10000 >= 0))
-         |      THEN 1 ELSE 0 END) AS z
-         |  FROM smp GROUP BY 1, 2),
-         |bits AS (SELECT a.doc_id,
-         |    (CASE WHEN a.e < n.e THEN CAST(1 AS BIGINT) << a.b
-         |          ELSE 0 END) +
-         |    (CASE WHEN a.z < n.z THEN CAST(1 AS BIGINT) << (7 + a.b)
-         |          ELSE 0 END) AS v
-         |  FROM blk a JOIN blk n ON a.doc_id = n.doc_id AND n.b = a.b + 1)
-         |SELECT doc_id AS asset_id, CAST(sum(v) AS BIGINT) AS ahash
-         |FROM bits GROUP BY 1 ORDER BY asset_id""".stripMargin,
+      s"""WITH $AhashCtes
+         |SELECT asset_id, ahash FROM ah ORDER BY asset_id""".stripMargin,
+
+    "q_ahash_pairs" ->
+      s"""WITH $AhashCtes
+         |SELECT CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming,
+         |  count(*) AS n_pairs
+         |FROM ah a JOIN ah b ON a.asset_id < b.asset_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+         |GROUP BY 1 ORDER BY hamming""".stripMargin,
 
     "q_vhash" ->
-      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
-         |px AS (SELECT doc_id, CAST(f AS BIGINT) AS f, CAST(pos AS BIGINT) AS pos,
-         |    (doc_id*37 + pos*13 + f) % 256 AS v
-         |  FROM ids, range(2) tf(f), range(16) tp(pos)),
-         |hb AS (SELECT a.doc_id,
-         |    a.f*24 + (a.pos // 4)*3 + (a.pos % 4) AS k,
-         |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
-         |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.f = b.f
-         |    AND b.pos = a.pos + 1 AND a.pos % 4 < 3),
-         |vb AS (SELECT a.doc_id, a.f*24 + 12 + a.pos AS k,
-         |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
-         |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.f = b.f
-         |    AND b.pos = a.pos + 4 AND a.pos < 12)
-         |SELECT doc_id AS asset_id,
-         |  CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS vhash
-         |FROM (SELECT * FROM hb UNION ALL SELECT * FROM vb)
-         |GROUP BY 1 ORDER BY asset_id""".stripMargin,
+      s"""WITH $VhashCtes
+         |SELECT asset_id, vhash FROM vh ORDER BY asset_id""".stripMargin,
+
+    "q_vhash_pairs" ->
+      s"""WITH $VhashCtes
+         |SELECT CAST(bit_count(xor(a.vhash, b.vhash)) AS INTEGER) AS hamming,
+         |  count(*) AS n_pairs
+         |FROM vh a JOIN vh b ON a.asset_id < b.asset_id
+         |WHERE bit_count(xor(a.vhash, b.vhash)) <= 4
+         |GROUP BY 1 ORDER BY hamming""".stripMargin,
 
     "q_mm_features_real" ->
       s"""WITH p AS (SELECT CAST(i AS INTEGER) AS pos FROM range(16) t(i)),
