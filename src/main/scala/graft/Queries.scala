@@ -1025,6 +1025,17 @@ object Queries {
           graft.dedup.Dedup.simhash32Md5(col("_m")).as("simhash32"))
         .orderBy("doc_id")),
 
+    "q_simhash_pairs" -> ((s, d) =>
+      // Text near-dup pair counts over SimHash-32 through the SAME shared
+      // Hamming operator as the image/audio/video fingerprints (8×4-bit
+      // bands, distance ≤ 3 — exact recall by pigeonhole).
+      graft.sim.Hamming.pairCounts(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
+          .select(graft.dedup.Dedup.simhash32Md5(col("_m")).as("simhash32")),
+        "simhash32", nBands = 8, bandBits = 4, maxDist = 3)),
+
     "q_bpe_vocab" -> ((s, d) =>
       // Subword pre-tokenization vocabulary (BPE-ish) — formulated as regex
       // EXTRACTION (no lookarounds) so the identical pattern runs in DuckDB.
@@ -2209,6 +2220,14 @@ object Queries {
       s"""SELECT doc_id, ${Simhash32Terms} AS simhash32
          |FROM ($TokenMd5Sql)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_pairs" ->
+      s"""WITH fp AS (SELECT doc_id, ${Simhash32Terms} AS sh FROM ($TokenMd5Sql))
+         |SELECT CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming,
+         |  count(*) AS n_pairs
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |GROUP BY 1 ORDER BY hamming""".stripMargin,
 
     "q_simhash_hamming" ->
       s"""WITH fp AS (SELECT doc_id, ${Simhash32Terms} AS sh FROM ($TokenMd5Sql))
