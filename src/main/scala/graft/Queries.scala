@@ -1027,14 +1027,18 @@ object Queries {
 
     "q_simhash_pairs" -> ((s, d) =>
       // Text near-dup pair counts over SimHash-32 through the SAME shared
-      // Hamming operator as the image/audio/video fingerprints (8×4-bit
-      // bands, distance ≤ 3 — exact recall by pigeonhole).
+      // Hamming operator as the image/audio/video fingerprints. 4 bands ×
+      // 8 bits: maxDist 3 < 4 bands keeps recall exact by pigeonhole, and
+      // 8-bit bands are the widest a 32-bit hash allows — 16× fewer random
+      // band collisions than the former 8×4 banding (candidates ≈
+      // nBands·D²/2^bandBits/2 for D distinct hashes, so width is the
+      // whole selectivity game at scale).
       graft.sim.Hamming.pairCounts(
         Tables.documents(s, d)
           .select(col("doc_id"),
             graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
           .select(graft.dedup.Dedup.simhash32Md5(col("_m")).as("simhash32")),
-        "simhash32", nBands = 8, bandBits = 4, maxDist = 3)),
+        "simhash32", nBands = 4, bandBits = 8, maxDist = 3)),
 
     "q_bpe_vocab" -> ((s, d) =>
       // Subword pre-tokenization vocabulary (BPE-ish) — formulated as regex
@@ -1180,25 +1184,29 @@ object Queries {
         .orderBy("asset_id")),
 
     "q_phash_pairs" -> ((s, d) =>
-      // Image near-dup pair counts by Hamming distance over the dHash —
-      // the shared Hamming.pairCounts shape: distinct-hash collapse with
-      // multiplicities, banded equi-join (6×4-bit bands: ≤4 differing
-      // bits leave ≥2 intact bands, exact recall by pigeonhole),
-      // arithmetic count expansion.
+      // Image near-dup pair counts by Hamming distance over the 24-bit
+      // dHash — the shared Hamming.pairCounts shape: distinct-hash
+      // collapse with multiplicities, banded equi-join, arithmetic count
+      // expansion. 5 bands is the minimum maxDist 4 allows (pigeonhole),
+      // so {5,5,5,5,4} bits are the widest bands that tile 24 bits —
+      // strictly more selective than the former 6×4 equal banding.
       graft.sim.Hamming.pairCounts(
         graft.multimodal.Multimodal.dHashImages(
           graft.multimodal.Multimodal.mediaAssets(
             Tables.documents(s, d), "doc_id")),
-        "dhash", nBands = 6, bandBits = 4, maxDist = 4)),
+        "dhash", bandWidths = Seq(5, 5, 5, 5, 4), maxDist = 4)),
 
     "q_ahash_pairs" -> ((s, d) =>
-      // Audio near-dup pairs over the 14-bit energy hash (7 bands × 2
-      // bits, distance ≤ 2 — exact recall by pigeonhole).
+      // Audio near-dup pairs over the 14-bit energy hash. maxDist 2 needs
+      // only 3 bands for exact pigeonhole recall, so {5,5,4} bits are the
+      // widest bands that tile 14 bits — 8–16× more selective per band
+      // than the former 7×2 banding (2-bit bands collide 1-in-4 on random
+      // hashes; near-useless pruning at high distinct-hash cardinality).
       graft.sim.Hamming.pairCounts(
         graft.multimodal.Multimodal.audioEnergyHash(
           graft.multimodal.Multimodal.mediaAssets(
             Tables.documents(s, d), "doc_id")),
-        "ahash", nBands = 7, bandBits = 2, maxDist = 2)),
+        "ahash", bandWidths = Seq(5, 5, 4), maxDist = 2)),
 
     "q_vhash_pairs" -> ((s, d) =>
       // Video near-dup pairs over the 48-bit two-frame hash (6 bands × 8

@@ -101,13 +101,16 @@ object Dedup {
     * Plan check: this is a shuffle hash/sort-merge join on
     * (band_id, band_hash) — NO cartesian product anywhere.
     *
-    * The band table is persisted before the self-join: Spark evaluates each
-    * side of a self-join independently, which would run the whole
+    * The band table is materialized before the self-join: Spark evaluates
+    * each side of a self-join independently, which would run the whole
     * tokenize→shingle→minhash pipeline twice. The materialized band table is
     * tiny ((id, band, hash) rows) relative to the corpus, so this is the
-    * right trade at any scale. */
+    * right trade at any scale. localCheckpoint (eager, reference-tracked —
+    * blocks reclaimed when the frame is garbage) rather than persist: a
+    * persist here would pin a CacheManager entry no caller of this one-shot
+    * helper could ever drop (the Windows.scala rule). */
   def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val bands = bandsDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsDf.localCheckpoint(true)
     val a = bands.select(col(idCol).as("id1"), col("band_id"), col("band_hash"))
     val b = bands.select(col(idCol).as("id2"), col("band_id"), col("band_hash"))
     a.join(b, Seq("band_id", "band_hash"))
@@ -226,8 +229,9 @@ object Dedup {
     * and pair join are shingle-keyed equi-joins (hash-distributed, never
     * all-pairs); span assembly is one window + aggregate partitioned by
     * (id1, id2, diag) — naturally parallel, no single-partition stage. The
-    * anchored shingle table is persisted across its self-join (same trade
-    * as [[candidatePairs]]). */
+    * anchored shingle table is localCheckpointed across its self-join (same
+    * trade — and same no-unpersistable-persist rule — as
+    * [[candidatePairs]]). */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, maxDf: Int = 5, minSpan: Int = 5): DataFrame = {
     val sh = docs
@@ -239,7 +243,7 @@ object Dedup {
       .agg(countDistinct(col("_id")).as("_df"))
       .filter(col("_df") <= maxDf).select("shingle")
     val anchored = sh.join(rare, Seq("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val pairs = anchored
       .select(col("shingle"), col("_id").as("id1"), col("pos").as("pos1"))
       .join(anchored.select(col("shingle"), col("_id").as("id2"), col("pos").as("pos2")),

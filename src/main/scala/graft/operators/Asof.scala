@@ -48,6 +48,12 @@ object Asof {
       "keyCols must be non-empty (a keyless as-of would plan a single-partition window)")
     require(!payloadCols.exists(left.columns.contains),
       s"payload columns ${payloadCols.mkString(",")} collide with left columns")
+    // the union-scan rides on three working columns — an input already
+    // carrying one would plan duplicate/ambiguous names (same guard shape
+    // as Sessions.assign's session_idx/_new_session require)
+    val internal = Seq("_ts", "_side", "_pl")
+    require(!(left.columns ++ right.columns).exists(internal.contains),
+      s"inputs must not contain internal working columns ${internal.mkString(",")}")
     val carried = left.columns.toSeq.filterNot(keyCols.contains)
     // the payload rides as ONE struct so the fill picks up the latest right
     // ROW atomically: a right row whose payload value is genuinely NULL

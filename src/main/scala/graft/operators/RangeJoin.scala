@@ -43,9 +43,16 @@ object RangeJoin {
     // Empty/inverted intervals ([s, e) with e <= s) contain nothing by
     // definition — drop them BEFORE the explode: Spark's sequence() would
     // otherwise silently step -1 and blow one malformed row up into
-    // |s-e|/width bucket replicas that the refine then discards at full cost
+    // |s-e|/width bucket replicas that the refine then discards at full cost.
+    // MALFORMED bounds are dropped the same way, and explicitly: a null or
+    // non-numeric start/end casts to null, and an interval with an unknown
+    // bound cannot be proven to contain any point. Callers that need to
+    // DISTINGUISH bad rows from empty intervals should validate upstream —
+    // this operator's contract is "match points to well-formed intervals".
     val iv = intervals
-      .filter(col(endCol).cast("long") > col(startCol).cast("long"))
+      .filter(col(startCol).cast("long").isNotNull &&
+        col(endCol).cast("long").isNotNull &&
+        col(endCol).cast("long") > col(startCol).cast("long"))
       .withColumn("_bkt", explode(sequence(
         expr(s"cast($startCol as long) div $bucketWidth"),
         expr(s"(cast($endCol as long) - 1) div $bucketWidth"))))

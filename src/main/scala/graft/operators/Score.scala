@@ -85,10 +85,17 @@ object Score {
     import spark.implicits._
     val width = (hi - lo) / bins
     // the ≤bins-row histogram feeds both the total and the returned plan —
-    // persist so the upstream aggregation runs once, not twice
-    val h = hist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = h.agg(sum("cnt")).head().getLong(0)
+    // localCheckpoint (eager, reference-tracked) so the upstream aggregation
+    // runs once, not twice, without pinning a CacheManager entry no caller
+    // could ever drop
+    val h = hist.localCheckpoint(true)
     val qdf = qs.toDF("q")
+    // an EMPTY histogram sums to NULL, not 0 — return the empty (q, value)
+    // frame instead of NPEing on the null unboxing
+    val totalRow = h.agg(sum("cnt")).head()
+    if (totalRow.isNullAt(0))
+      return qdf.limit(0).select(col("q"), lit(null).cast("double").as("value"))
+    val total = totalRow.getLong(0)
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy("q").orderBy("bucket")
     h.crossJoin(broadcast(qdf))

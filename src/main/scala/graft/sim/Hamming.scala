@@ -12,32 +12,59 @@ import org.apache.spark.sql.functions._
   *     fingerprints (blank images, silence clips), and asset-level
   *     banding would send all their duplicates into one bucket — the
   *     classic hot-key quadratic;
-  *  2. banded equi-join over the distinct hashes only: with `nBands`
-  *     bands of `bandBits` bits, any pair within Hamming distance
-  *     `maxDist < nBands` shares at least one intact band (pigeonhole),
-  *     so recall is EXACT;
+  *  2. banded equi-join over the distinct hashes only: with `b` bands
+  *     covering disjoint bit ranges, any pair within Hamming distance
+  *     `maxDist < b` shares at least one intact band (pigeonhole), so
+  *     recall is EXACT;
   *  3. expand the multiplicities arithmetically — cnt₁·cnt₂ across
   *     distinct hashes, C(cnt,2) within one (distance 0).
   *
-  * Join cost scales with distinct-hash cardinality (≤ 2^bits), never
-  * corpus size. Null hashes (undecodable payloads) are excluded.
+  * Candidate-pair cost (the scale question): D distinct hashes spread
+  * uniformly over a `w`-bit band collide with probability 2^−w, so the
+  * banded join generates ≈ Σ_bands D²/2^(w_band)/2 random candidates plus
+  * the true near-pairs. Selectivity is exponential in BAND WIDTH while
+  * exact recall only needs `maxDist < nBands` — so always band with the
+  * WIDEST bands the distance bound allows: for a 32-bit hash at
+  * maxDist 3, 4×8-bit bands generate 16× fewer random candidates than
+  * 8×4-bit bands at identical (exact) recall. `bandWidths` supports
+  * unequal widths so hash sizes that don't divide evenly (e.g. 14 bits at
+  * maxDist 2 → 5+5+4) can still use maximal bands. Null hashes
+  * (undecodable payloads) are excluded.
+  *
+  * The distinct-hash table feeds both sides of the self-join and the
+  * within-hash expansion; it is localCheckpointed (eager, reference-
+  * tracked — reclaimed when the frame is garbage) rather than persisted,
+  * because a persist would pin a CacheManager entry no caller of this
+  * one-shot helper could ever drop.
   */
 object Hamming {
 
-  /** (hamming, n_pairs) for all unordered pairs at distance ≤ `maxDist`. */
-  def pairCounts(hashes: DataFrame, hashCol: String, nBands: Int,
-                 bandBits: Int, maxDist: Int): DataFrame = {
-    require(nBands > 0 && bandBits > 0, "bands and bits must be positive")
-    require(maxDist < nBands,
-      s"pigeonhole recall needs maxDist < nBands ($maxDist >= $nBands)")
-    val mask = (1L << bandBits) - 1
+  /** (hamming, n_pairs) for all unordered pairs at distance ≤ `maxDist`.
+    * Band i covers bits [offset_i, offset_i + bandWidths(i)) where offsets
+    * are the cumulative widths from bit 0 upward; recall is exact for any
+    * `maxDist < bandWidths.length` even if the bands don't cover every
+    * hash bit (uncovered differing bits never break a band — they only
+    * cost selectivity, so cover the full hash when you can). */
+  def pairCounts(hashes: DataFrame, hashCol: String, bandWidths: Seq[Int],
+                 maxDist: Int): DataFrame = {
+    require(bandWidths.nonEmpty && bandWidths.forall(w => w > 0 && w <= 62),
+      "band widths must be in 1..62")
+    require(bandWidths.sum <= 63, "bands must fit a signed 64-bit hash")
+    require(maxDist < bandWidths.length,
+      s"pigeonhole recall needs maxDist < nBands ($maxDist >= ${bandWidths.length})")
+    val offsets = bandWidths.scanLeft(0)(_ + _).init
     val grouped = hashes.filter(col(hashCol).isNotNull)
       .groupBy(col(hashCol).as("h")).agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = grouped.select(col("h"), col("cnt"),
-      explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .withColumn("bv",
-        expr(s"shiftright(h, cast($bandBits * band as int)) & $mask"))
+      .localCheckpoint(true)
+    val bandCols = bandWidths.zip(offsets).zipWithIndex.map {
+      case ((w, off), i) =>
+        struct(lit(i).as("band"),
+          expr(s"shiftright(h, $off) & ${(1L << w) - 1}").as("bv"))
+    }
+    val banded = grouped
+      .select(col("h"), col("cnt"), explode(array(bandCols: _*)).as("b"))
+      .select(col("h"), col("cnt"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
     val cross = banded.select(col("band"), col("bv"),
         col("h").as("h1"), col("cnt").as("cnt1"))
       .join(banded.select(col("band"), col("bv"),
@@ -55,4 +82,9 @@ object Hamming {
       .agg(sum("pairs").as("n_pairs"))
       .orderBy("hamming")
   }
+
+  /** Equal-width convenience overload. */
+  def pairCounts(hashes: DataFrame, hashCol: String, nBands: Int,
+                 bandBits: Int, maxDist: Int): DataFrame =
+    pairCounts(hashes, hashCol, Seq.fill(nBands)(bandBits), maxDist)
 }

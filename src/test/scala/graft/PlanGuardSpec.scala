@@ -108,14 +108,15 @@ class PlanGuardSpec extends SparkSpec {
         org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
       "q_pack_bins_bucketed lost the broadcast carry join")
 
-    // q_dup_spans: anchored-shingle table stays persisted across its
-    // self-join (one upstream pipeline execution, not two) and the span
+    // q_dup_spans: anchored-shingle table stays materialized across its
+    // self-join (one upstream pipeline execution, not two — a
+    // localCheckpoint, so both join sides scan the same RDD) and the span
     // assembly window is partitioned by (pair, diagonal)
     val spanNodes = nodesOf("q_dup_spans")
     partitionedWindowsOnly("q_dup_spans", spanNodes)
     assert(spanNodes.exists(_.isInstanceOf[
-        org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
-      "q_dup_spans no longer reads the persisted anchored-shingle table")
+        org.apache.spark.sql.execution.RDDScanExec]),
+      "q_dup_spans no longer reads the checkpointed anchored-shingle table")
 
     // q_embed_quant: pure per-row expression pipeline — no join, no
     // aggregate exchange; the only shuffle allowed is the final sort
@@ -171,11 +172,45 @@ class PlanGuardSpec extends SparkSpec {
       case _ => ()
     }
 
-    // q_phash_pairs: the distinct-hash table is persisted across the
-    // banded self-join (decode runs once, not twice)
+    // q_phash_pairs: the distinct-hash table is materialized (checkpointed)
+    // across the banded self-join (decode runs once, not twice)
     assert(nodesOf("q_phash_pairs").exists(_.isInstanceOf[
-        org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
-      "q_phash_pairs no longer reads the persisted distinct-hash table")
+        org.apache.spark.sql.execution.RDDScanExec]),
+      "q_phash_pairs no longer reads the checkpointed distinct-hash table")
+  }
+
+  test("round-7 query contracts: the full Hamming pair family keeps its shape") {
+    import org.apache.spark.sql.execution.SparkPlan
+    def nodesOf(q: String): Seq[SparkPlan] =
+      allNodes(Queries.queries(q)(spark, dir).queryExecution.executedPlan)
+
+    // every q_*hash_pairs query: (a) reads the materialized distinct-hash
+    // table on both sides of the self-join instead of re-running the
+    // decode/fingerprint pipeline, (b) meets on a (band, band-value)
+    // EQUI-join — never a nested loop over the hash pairs
+    Seq("q_phash_pairs", "q_ahash_pairs", "q_vhash_pairs", "q_simhash_pairs")
+      .foreach { q =>
+        val nodes = nodesOf(q)
+        assert(nodes.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.RDDScanExec]),
+          s"$q no longer reads the checkpointed distinct-hash table")
+        assert(!nodes.exists(n =>
+          n.isInstanceOf[
+            org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+          n.isInstanceOf[
+            org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+          s"$q banded join degraded to a nested loop: " +
+            nodes.map(_.nodeName).distinct.mkString(","))
+        assert(nodes.exists(n =>
+          n.isInstanceOf[
+            org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+          n.isInstanceOf[
+            org.apache.spark.sql.execution.joins.ShuffledHashJoinExec] ||
+          n.isInstanceOf[
+            org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+          s"$q lost its banded equi-join: " +
+            nodes.map(_.nodeName).distinct.mkString(","))
+      }
   }
 
   test("hot scan-shaped queries run inside WholeStageCodegen") {
