@@ -542,6 +542,65 @@ object Queries {
         .orderBy("win_id")
     }),
 
+    "q_interval_join" -> ((s, d) => {
+      // Batch-auditable twin of the stream-stream interval join: each
+      // purchase pairs with the same user's clicks within ±10 minutes,
+      // through StreamingJoins.intervalJoinBatch — the IDENTICAL predicate
+      // the watermarked streaming join evaluates (shared condition
+      // builder), planned as a user-keyed equi-join with the range refine
+      // in the condition. delta_us rides on the cross-engine-stable µs
+      // longs; the predicate itself runs on the µs-derived timestamps.
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("ts_us").as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"), col("ts_us").as("c_us"))
+      graft.streaming.StreamingJoins.intervalJoinBatch(p, c,
+          "p_user", "c_user", "p_ts", "c_ts",
+          beforeSec = 600, afterSec = 600)
+        .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+          (col("c_us") - col("p_us")).as("delta_us"))
+        .orderBy("p_id", "c_id")
+    }),
+
+    "q_sketch_bounds" -> ((s, d) => {
+      // The approximate aggregates a 100 TB user reaches for first —
+      // HLL++ distinct counts (approx_count_distinct) and the quantile
+      // sketch (percentile_approx) — certified against their exact twins
+      // INSIDE the query. Sketch values aren't cross-engine replayable, so
+      // the oracle-visible contract is the ERROR BOUND, emitted as 0/1
+      // flags the DuckDB twin states as literal 1: a sketch drifting
+      // outside its bound flips the flag and fails the round's hash
+      // compare like any other wrong answer. The quantile check is the
+      // ties-robust rank-window form: the count of values strictly below /
+      // at-or-below the sketch's p50 must bracket N/2 within tolerance
+      // (a value-distance check would break on tied or gappy data).
+      val docs = Tables.documents(s, d)
+      val agg = docs.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("text")).as("exact_distinct"),
+        approx_count_distinct(col("text"), 0.02).as("approx_distinct"),
+        expr("percentile_approx(n_chars, 0.5, 10000)").as("p50_approx"))
+      val rk = docs.crossJoin(broadcast(agg.select(col("p50_approx"))))
+        .agg(
+          sum(when(col("n_chars") < col("p50_approx"), 1L).otherwise(0L))
+            .as("rk_lt"),
+          sum(when(col("n_chars") <= col("p50_approx"), 1L).otherwise(0L))
+            .as("rk_le"))
+      agg.crossJoin(broadcast(rk)).select(
+        col("n_rows"), col("exact_distinct"),
+        when(abs(col("approx_distinct") - col("exact_distinct"))
+            .cast("double") / col("exact_distinct") < 0.05, 1L).otherwise(0L)
+          .as("hll_ok"),
+        when(col("rk_lt") <= col("n_rows").cast("double") / 2 +
+            greatest(lit(2.0), col("n_rows") * lit(0.01)) &&
+          col("rk_le") >= col("n_rows").cast("double") / 2 -
+            greatest(lit(2.0), col("n_rows") * lit(0.01)), 1L).otherwise(0L)
+          .as("p50_rank_ok"))
+    }),
+
     "q_semi_anti" -> ((s, d) => {
       // LEFT SEMI / LEFT ANTI surface: customers with vs without 1998+
       // orders. Semi/anti joins never duplicate or widen the left side —
@@ -1710,6 +1769,22 @@ object Queries {
          |  round(min(p.err_v), 6) AS min_v, round(max(p.err_v), 6) AS max_v
          |FROM i JOIN p ON i.win_start <= p.err_ts AND p.err_ts < i.win_end
          |GROUP BY i.win_id ORDER BY i.win_id""".stripMargin,
+
+    "q_sketch_bounds" ->
+      s"""SELECT count(*) AS n_rows, count(DISTINCT text) AS exact_distinct,
+         |  CAST(1 AS BIGINT) AS hll_ok, CAST(1 AS BIGINT) AS p50_rank_ok
+         |FROM documents""".stripMargin,
+
+    "q_interval_join" ->
+      s"""WITH ev AS ($EvSql),
+         |p AS (SELECT event_id AS p_id, user_id, ts_us AS p_us
+         |  FROM ev WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id AS c_id, user_id, ts_us AS c_us
+         |  FROM ev WHERE event_type = 'click')
+         |SELECT p.p_id, c.c_id, p.user_id, c.c_us - p.p_us AS delta_us
+         |FROM p JOIN c ON p.user_id = c.user_id
+         |  AND c.c_us >= p.p_us - 600000000 AND c.c_us <= p.p_us + 600000000
+         |ORDER BY p_id, c_id""".stripMargin,
 
     "q3_shipping" ->
       s"""SELECT c_mktsegment,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Stream-stream interval join — the two-moving-datasets case the batch
@@ -35,8 +35,31 @@ object StreamingJoins {
       "left and right column names must be disjoint")
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
-        col(leftKey) === col(rightKey) &&
-          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $beforeSec SECONDS") &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $afterSec SECONDS"))
+        condition(leftKey, rightKey, leftTs, rightTs, beforeSec, afterSec))
   }
+
+  /** Batch twin of [[intervalJoin]]: the IDENTICAL key+range predicate
+    * (shared [[condition]] builder) evaluated over static frames — a keyed
+    * hash/sort-merge equi-join with the range refine inside the join
+    * condition, never a nested loop. This is what makes the streaming
+    * operator's semantics auditable: the twin is registered as
+    * `q_interval_join` under a DuckDB oracle, and StreamingJoinsSpec
+    * asserts the streaming emit set equals THIS join over the same rows
+    * (minus late arrivals past the watermark — the documented trade). */
+  def intervalJoinBatch(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTs: String, rightTs: String,
+                        beforeSec: Long, afterSec: Long): DataFrame = {
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "left and right column names must be disjoint")
+    left.join(right,
+      condition(leftKey, rightKey, leftTs, rightTs, beforeSec, afterSec))
+  }
+
+  private def condition(leftKey: String, rightKey: String,
+                        leftTs: String, rightTs: String,
+                        beforeSec: Long, afterSec: Long): Column =
+    col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $beforeSec SECONDS") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $afterSec SECONDS")
 }

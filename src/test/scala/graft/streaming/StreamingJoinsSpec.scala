@@ -34,13 +34,15 @@ class StreamingJoinsSpec extends SparkSpec {
       val expected = Set((1L, 1000L, 980L), (1L, 1000L, 1020L),
         (2L, 5000L, 5025L))
       assert(got == expected, got.toString)
-      // batch parity: identical predicate over the same rows
+      // batch parity against the SAME predicate builder the streaming join
+      // uses — intervalJoinBatch is the oracle-checked twin (q_interval_join)
       val bc = Seq((1L, 1000L), (2L, 5000L)).toDF("c_user", "c_ts_s")
+        .withColumn("c_ts", timestamp_seconds(col("c_ts_s")))
       val bv = Seq((1L, 980L), (1L, 1020L), (1L, 1031L), (2L, 5025L),
         (3L, 1000L)).toDF("v_user", "v_ts_s")
-      val batch = bc.join(bv, col("c_user") === col("v_user") &&
-          col("v_ts_s") >= col("c_ts_s") - 30 &&
-          col("v_ts_s") <= col("c_ts_s") + 30)
+        .withColumn("v_ts", timestamp_seconds(col("v_ts_s")))
+      val batch = StreamingJoins.intervalJoinBatch(bc, bv,
+          "c_user", "v_user", "c_ts", "v_ts", beforeSec = 30L, afterSec = 30L)
         .select("c_user", "c_ts_s", "v_ts_s")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == batch)
