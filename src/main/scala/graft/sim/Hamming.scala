@@ -47,31 +47,10 @@ object Hamming {
     * cost selectivity, so cover the full hash when you can). */
   def pairCounts(hashes: DataFrame, hashCol: String, bandWidths: Seq[Int],
                  maxDist: Int): DataFrame = {
-    require(bandWidths.nonEmpty && bandWidths.forall(w => w > 0 && w <= 62),
-      "band widths must be in 1..62")
-    require(bandWidths.sum <= 63, "bands must fit a signed 64-bit hash")
     require(maxDist < bandWidths.length,
       s"pigeonhole recall needs maxDist < nBands ($maxDist >= ${bandWidths.length})")
-    val offsets = bandWidths.scanLeft(0)(_ + _).init
-    val grouped = hashes.filter(col(hashCol).isNotNull)
-      .groupBy(col(hashCol).as("h")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val bandCols = bandWidths.zip(offsets).zipWithIndex.map {
-      case ((w, off), i) =>
-        struct(lit(i).as("band"),
-          expr(s"shiftright(h, $off) & ${(1L << w) - 1}").as("bv"))
-    }
-    val banded = grouped
-      .select(col("h"), col("cnt"), explode(array(bandCols: _*)).as("b"))
-      .select(col("h"), col("cnt"),
-        col("b.band").as("band"), col("b.bv").as("bv"))
-    val cross = banded.select(col("band"), col("bv"),
-        col("h").as("h1"), col("cnt").as("cnt1"))
-      .join(banded.select(col("band"), col("bv"),
-        col("h").as("h2"), col("cnt").as("cnt2")),
-        Seq("band", "bv"))
-      .filter(col("h1") < col("h2"))
-      .select("h1", "h2", "cnt1", "cnt2").distinct()
+    val grouped = distinctHashes(hashes, hashCol)
+    val cross = bandedCandidates(grouped, bandWidths)
       .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
       .filter(col("hamming") <= maxDist)
       .select(col("hamming"), (col("cnt1") * col("cnt2")).as("pairs"))
@@ -81,6 +60,43 @@ object Hamming {
       .groupBy("hamming")
       .agg(sum("pairs").as("n_pairs"))
       .orderBy("hamming")
+  }
+
+  /** The distinct-hash table (h, cnt), eagerly materialized — stage 1 of
+    * [[pairCounts]], exposed with [[bandedCandidates]] so scale probes can
+    * measure the two claims separately: candidates depend on DISTINCT hash
+    * cardinality (never corpus size), and on band width exponentially. */
+  def distinctHashes(hashes: DataFrame, hashCol: String): DataFrame =
+    hashes.filter(col(hashCol).isNotNull)
+      .groupBy(col(hashCol).as("h")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+
+  /** Distinct candidate pairs (h1 < h2, multiplicities riding along) from
+    * the banded equi-join over a (h, cnt) distinct-hash table — THE scale
+    * metric of a banding choice: D uniform hashes collide on a w-bit band
+    * with probability 2^−w, so expected random candidates ≈
+    * Σ_bands D²/2^(w_band)/2 (+ the true near-pairs). */
+  def bandedCandidates(grouped: DataFrame, bandWidths: Seq[Int]): DataFrame = {
+    require(bandWidths.nonEmpty && bandWidths.forall(w => w > 0 && w <= 62),
+      "band widths must be in 1..62")
+    require(bandWidths.sum <= 63, "bands must fit a signed 64-bit hash")
+    val offsets = bandWidths.scanLeft(0)(_ + _).init
+    val bandCols = bandWidths.zip(offsets).zipWithIndex.map {
+      case ((w, off), i) =>
+        struct(lit(i).as("band"),
+          expr(s"shiftright(h, $off) & ${(1L << w) - 1}").as("bv"))
+    }
+    val banded = grouped
+      .select(col("h"), col("cnt"), explode(array(bandCols: _*)).as("b"))
+      .select(col("h"), col("cnt"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    banded.select(col("band"), col("bv"),
+        col("h").as("h1"), col("cnt").as("cnt1"))
+      .join(banded.select(col("band"), col("bv"),
+        col("h").as("h2"), col("cnt").as("cnt2")),
+        Seq("band", "bv"))
+      .filter(col("h1") < col("h2"))
+      .select("h1", "h2", "cnt1", "cnt2").distinct()
   }
 
   /** Equal-width convenience overload. */

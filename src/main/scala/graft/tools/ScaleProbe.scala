@@ -106,6 +106,47 @@ object ScaleProbe {
         graft.dedup.Dedup.duplicatedSpans(
           salted, "doc_id", "text", k = 3, maxDf = 5, minSpan = 5).count()
       }
+
+      // Hamming pair family, claim 1 (corpus independence): UNSALTED
+      // replication multiplies the corpus m× while the distinct-hash set
+      // stays FIXED — the distinct-collapse must keep candidate count flat
+      // (multiplicities ride along; a near-dup corpus concentrating on few
+      // fingerprints is exactly the real operating regime).
+      val dupTexts = (0 until m).map { i =>
+        docs.select((col("doc_id") + lit(i.toLong << 40)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+      val dupHashes = dupTexts
+        .select(graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
+        .select(graft.dedup.Dedup.simhash32Md5(col("_m")).as("sh"))
+      time("hamming_pairs_dup_corpus", m) {
+        // "rows" = total near-pairs found (grows ~m² from the duplicate
+        // multiplicities — that's arithmetic expansion, not join work)
+        graft.sim.Hamming.pairCounts(dupHashes, "sh", Seq(8, 8, 8, 8), 3)
+          .agg(coalesce(sum("n_pairs"), lit(0L))).head().getLong(0)
+      }
+      // Claim 2 (band-width selectivity): SALTED replicas have disjoint
+      // fingerprints, so D grows m× and random candidates follow
+      // Σ_b D²/2^w_b/2 — measured for the shipped 4×8 banding vs the
+      // former 8×4 to show the 16× constant, and vs the formula.
+      val saltedHashes = salted
+        .select(graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
+        .select(graft.dedup.Dedup.simhash32Md5(col("_m")).as("sh"))
+      val grouped = graft.sim.Hamming.distinctHashes(saltedHashes, "sh")
+      val dCount = grouped.count()
+      // the 8×4 row exists only to demonstrate the former banding's
+      // constant — at m>4 it would count hundreds of millions of junk
+      // candidates (the very behavior the re-band removed), so cap it;
+      // the salted 4×8 row caps at m≤8 (quadratic in D by construction)
+      for ((label, widths) <- Seq(
+          ("hamming_cand_4x8", Seq(8, 8, 8, 8)),
+          ("hamming_cand_8x4", Seq(4, 4, 4, 4, 4, 4, 4, 4)))
+          if (widths.head == 8 && m <= 8) || (widths.head == 4 && m <= 4)) {
+        val predicted = widths.map(w => dCount.toDouble * dCount / (1L << w) / 2).sum
+        time(s"$label(D=$dCount,predicted=${predicted.toLong})", m) {
+          graft.sim.Hamming.bandedCandidates(grouped, widths).count()
+        }
+      }
       salted.unpersist(false)
     }
     spark.stop()
