@@ -865,6 +865,49 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q_boilerplate" -> ((s, d) =>
+      // Global-frequency boilerplate coverage (the CCNet/RefinedWeb hot
+      // k-gram pass): bigrams in ≥35 docs are boilerplate; each doc scored
+      // by the covered fraction of its bigram positions. k=2/minDf=35 are
+      // tuned so the fixture splits non-trivially (130 of 916 bigrams hot
+      // at sf0.01 — neither all nor none: a vacuous-oracle guard).
+      graft.text.TextStats.boilerplate(Tables.documents(s, d), "doc_id",
+          "text", k = 2, minDf = 35)
+        .orderBy("doc_id")),
+
+    "q_source_mix" -> ((s, d) => {
+      // Corpus-mix curation report per source over a corpus with REAL
+      // cross-source duplication (every doc_id % 7 == 0 re-syndicated
+      // under a 'syndicated' source — the split_leakage trick: the fixture
+      // is duplicate-free, so without the overlay the dup columns would
+      // verify the empty set). Per source: doc count, corpus-wide
+      // duplicated-doc count (fingerprint seen ≥2×), dup ratio, char
+      // volume, corpus char share. One fingerprint-keyed aggregate + one
+      // source-keyed aggregate + a 1-row broadcast total.
+      val docs = Tables.documents(s, d)
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("source", lit("syndicated")))
+      val fp = corpus.select(col("source"), col("n_chars"),
+        graft.text.TextStats.fingerprintMd5(col("text")).as("fp"))
+      val dupFp = fp.groupBy("fp").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= 2).select(col("fp"), lit(1L).as("_dup"))
+      val perSource = fp.join(dupFp, Seq("fp"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("_dup"), lit(0L)).as("n_dup_docs"),
+          sum("n_chars").as("total_chars"))
+      val total = fp.agg(sum("n_chars").as("_tc"))
+      perSource.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          round(col("n_dup_docs").cast("double") / col("n_docs"), 6)
+            .as("dup_ratio"),
+          col("total_chars"),
+          round(col("total_chars").cast("double") / col("_tc"), 6)
+            .as("char_share"))
+        .orderBy("source")
+    }),
+
     "q_text_stats" -> ((s, d) =>
       graft.text.TextStats.withQualitySignals(Tables.documents(s, d), "text")
         .select("doc_id", "n_chars_calc", "n_tokens", "mean_token_len",
@@ -2019,6 +2062,47 @@ object Queries {
          |    OVER (ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster
          |FROM documents d LEFT JOIN linked l ON l.id = d.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+         |  FROM documents),
+         |sh AS (SELECT doc_id,
+         |    unnest(list_transform(range(0, greatest(len(tk) - 1, 0)),
+         |      i -> concat_ws(' ', tk[i+1], tk[i+2]))) AS shingle
+         |  FROM tk),
+         |hot AS (SELECT shingle FROM (
+         |    SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+         |  WHERE df >= 35),
+         |an AS (SELECT s.doc_id,
+         |    CASE WHEN h.shingle IS NULL THEN 0 ELSE 1 END AS hot
+         |  FROM sh s LEFT JOIN hot h USING (shingle))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(hot) AS BIGINT) AS n_hot,
+         |  round(CAST(sum(hot) AS DOUBLE) / count(*), 6) AS hot_ratio
+         |FROM an GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_source_mix" ->
+      s"""WITH corpus AS (
+         |  SELECT source, n_chars,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'syndicated' AS source, n_chars,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |dup AS (SELECT fp FROM (
+         |    SELECT fp, count(*) AS n FROM corpus GROUP BY 1) WHERE n >= 2),
+         |j AS (SELECT c.source, c.n_chars,
+         |    CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END AS is_dup
+         |  FROM corpus c LEFT JOIN dup d USING (fp))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+         |  round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_ratio,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  round(CAST(sum(n_chars) AS DOUBLE)
+         |    / (SELECT sum(n_chars) FROM corpus), 6) AS char_share
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT doc_id,

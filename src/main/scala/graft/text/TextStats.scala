@@ -298,4 +298,46 @@ object TextStats {
         size(piece(col("_i"))).as("n_tokens"))
       .filter(col("n_tokens") > 0)
   }
+
+  /** Boilerplate coverage per document — the global-frequency pass of
+    * CCNet/RefinedWeb-style curation: a k-gram appearing in ≥ `minDf`
+    * documents is boilerplate (navigation chrome, license blurbs, share
+    * buttons), and a document is scored by the fraction of its k-gram
+    * POSITIONS covered by hot k-grams. Complements [[graft.dedup.Dedup
+    * .duplicatedSpans]], which deliberately IGNORES hot shingles — this is
+    * the operator that measures what that one skips.
+    *
+    * Scale shape: shingle explode is per-row; the document-frequency count
+    * is one shingle-keyed aggregate; the hot table joins back onto the
+    * positional shingles — its size is data-dependent (≤ positions/minDf),
+    * so the join is left to AQE, which broadcasts when the filtered
+    * aggregate lands small and falls back to a shingle-keyed shuffle when
+    * it doesn't; the per-doc ratio is one id-keyed aggregate. The corpus-scale
+    * positional-shingle table is deliberately NOT materialized — it is
+    * recomputed on each side (two document scans), because checkpointing
+    * O(corpus tokens) rows costs more than the second map-only scan at
+    * any scale.
+    *
+    * Documents with fewer than k tokens have no k-grams and are absent
+    * from the output (mirrored by the oracle). */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 2, minDf: Int = 35): DataFrame = {
+    require(k > 0 && minDf > 1, s"need k > 0 and minDf > 1, got k=$k minDf=$minDf")
+    val sh = docs
+      .select(col(idCol), graft.dedup.Dedup.normTokens(col(textCol)).as("_tk"))
+      .select(col(idCol),
+        posexplode(graft.dedup.Dedup.positionalShingles(col("_tk"), k))
+          .as(Seq("pos", "shingle")))
+      .filter(col("shingle").isNotNull)
+    val hot = sh.groupBy("shingle")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("shingle"), lit(1L).as("_hot"))
+    sh.join(hot, Seq("shingle"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("_hot")), lit(0L)).as("n_hot"))
+      .withColumn("hot_ratio",
+        round(col("n_hot").cast("double") / col("n_shingles"), 6))
+  }
 }

@@ -188,6 +188,21 @@ class PlanGuardSpec extends SparkSpec {
     // table on both sides of the self-join instead of re-running the
     // decode/fingerprint pipeline, (b) meets on a (band, band-value)
     // EQUI-join — never a nested loop over the hash pairs
+    // q_interval_join: the time-range predicate must ride INSIDE a keyed
+    // equi-join on user — a planner that lost the equi-key would fall back
+    // to a nested loop over purchases × clicks
+    val ij = nodesOf("q_interval_join")
+    assert(!ij.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      n.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"q_interval_join nested loop: ${ij.map(_.nodeName).distinct}")
+    assert(ij.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"q_interval_join lost its equi-join: ${ij.map(_.nodeName).distinct}")
+
     Seq("q_phash_pairs", "q_ahash_pairs", "q_vhash_pairs", "q_simhash_pairs")
       .foreach { q =>
         val nodes = nodesOf(q)

@@ -157,4 +157,23 @@ class TextStatsSpec extends SparkSpec {
     // empty text -> NO chunks (no phantom 1-token "" chunk)
     assert(!out.exists(_.getLong(0) == 3L))
   }
+
+  test("boilerplate: hot-bigram coverage per doc; sub-k docs absent") {
+    import spark.implicits._
+    // bigram "click here" appears in docs 1-3 (df=3 >= minDf=3); every
+    // other bigram is unique to its doc
+    val df = Seq(
+      (1L, "click here alpha beta"),    // bigrams: click-here, here-alpha, alpha-beta
+      (2L, "click here gamma"),         // click-here, here-gamma
+      (3L, "delta click here"),         // delta-click, click-here
+      (4L, "epsilon zeta"),             // no hot bigram
+      (5L, "solo")                      // <2 tokens: no bigrams at all
+    ).toDF("id", "text")
+    val out = TextStats.boilerplate(df, "id", "text", k = 2, minDf = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 0.333333), (2L, 2L, 1L, 0.5),
+      (3L, 2L, 1L, 0.5), (4L, 1L, 0L, 0.0)))
+  }
 }
