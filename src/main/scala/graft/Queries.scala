@@ -1142,6 +1142,35 @@ object Queries {
           .select(graft.dedup.Dedup.simhash32Md5(col("_m")).as("simhash32")),
         "simhash32", nBands = 4, bandBits = 8, maxDist = 3)),
 
+    "q_simhash64" -> ((s, d) =>
+      // SimHash-64 on the md5-ascii-bit basis — the wider-fingerprint
+      // lever for large distinct-hash cardinalities (SCALE.md): every
+      // primitive replays bit-for-bit in the DuckDB oracle.
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
+        .select(col("doc_id"),
+          graft.dedup.Dedup.simhash64Md5(col("_m")).as("simhash64"))
+        .orderBy("doc_id")),
+
+    "q_simhash64_pairs" -> ((s, d) => {
+      // 64-bit SimHash pair counts through the shared Hamming operator:
+      // 5 bands {13,13,13,13,12} tile all 64 bits — maxDist 4 < 5 bands
+      // keeps recall exact, and 13-bit bands collide 32× less than the
+      // 8-bit bands SimHash-32 permits (the measured D²/2^w law). The
+      // doc_id % 7 re-syndication overlay plants exact duplicates so the
+      // oracle verifies a non-empty pair set on the duplicate-free
+      // fixture (random 64-bit fingerprints alone never land within
+      // distance 4 — the vacuous-oracle guard).
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.sim.Hamming.pairCounts(
+        corpus.select(graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
+          .select(graft.dedup.Dedup.simhash64Md5(col("_m")).as("sh")),
+        "sh", bandWidths = Seq(13, 13, 13, 13, 12), maxDist = 4)
+    }),
+
     "q_bpe_vocab" -> ((s, d) =>
       // Subword pre-tokenization vocabulary (BPE-ish) — formulated as regex
       // EXTRACTION (no lookarounds) so the identical pattern runs in DuckDB.
@@ -2403,6 +2432,28 @@ object Queries {
          |FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1
          |ORDER BY id1""".stripMargin,
 
+    "q_simhash64" ->
+      s"""SELECT doc_id, ${Simhash64Terms} AS simhash64
+         |FROM ($TokenMd5Sql)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_simhash64_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |tm AS (SELECT doc_id,
+         |  list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+         |    t -> md5(t)) AS m
+         |  FROM corpus),
+         |fp AS (SELECT doc_id, ${Simhash64Terms} AS sh FROM tm)
+         |SELECT CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming,
+         |  count(*) AS n_pairs
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 4
+         |GROUP BY 1 ORDER BY hamming""".stripMargin,
+
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
@@ -2534,6 +2585,21 @@ object Queries {
   private lazy val Simhash32Terms: String = (0 until 32).map { j =>
     s"""CASE WHEN 2 * len(list_filter(m, x -> (ascii(substr(x, ${j + 1}, 1)) % 2) = 1))
        |  > len(m) THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END""".stripMargin
+  }.mkString(" + ")
+
+  /** The 64 SimHash-64 bit terms (Dedup.simhash64Md5 replay): bit j votes
+    * on ascii bit (j % 2) of hex char (j / 2). DuckDB rejects
+    * `1::BIGINT << 63` as overflow, so bit 63 uses the min-BIGINT literal
+    * (the same two's-complement value the Spark side's `1L << 63` is). */
+  private lazy val Simhash64Terms: String = (0 until 64).map { j =>
+    val c = j / 2
+    val div = 1 << (j % 2)
+    val bit =
+      if (j == 63) "CAST(-9223372036854775808 AS BIGINT)"
+      else s"(CAST(1 AS BIGINT) << $j)"
+    s"""CASE WHEN 2 * len(list_filter(m,
+       |    x -> ((ascii(substr(x, ${c + 1}, 1)) // $div) % 2) = 1))
+       |  > len(m) THEN $bit ELSE 0 END""".stripMargin
   }.mkString(" + ")
 
   /** md5-parity MinHash+LSH candidate oracle — mirrors minhashCandidatesMd5

@@ -331,7 +331,28 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** Per-token md5 array for [[simhash32Md5]] — materialize under an alias. */
+  /** SimHash-64 on the same md5 basis as [[simhash32Md5]] — the
+    * wider-fingerprint lever SCALE.md documents for large distinct-hash
+    * cardinalities: doubling fingerprint bits lets Hamming bands double in
+    * width at the same band count, dividing random band collisions by
+    * another 2^w. Bit j votes on ascii bit (j % 2) of hex char (j / 2) of
+    * each token's md5 (32 hex chars × 2 low ascii bits = 64 votes),
+    * majority-set — every primitive (md5/ascii/substring/÷2) replays
+    * bit-for-bit in a SQL oracle. */
+  def simhash64Md5(md5s: Column): Column = {
+    val n = size(md5s)
+    val bits = (0 until 64).map { j =>
+      val c = j / 2
+      val b = j % 2
+      val ones = size(filter(md5s, m =>
+        pmod(shiftright(ascii(substring(m, c + 1, 1)), b), lit(2)) === 1))
+      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Per-token md5 array for [[simhash32Md5]] / [[simhash64Md5]] —
+    * materialize under an alias. */
   def tokenMd5s(text: Column): Column =
     transform(graft.text.TextStats.tokens(lower(text)), t => md5(t.cast("binary")))
 

@@ -79,7 +79,10 @@ object Hamming {
   def bandedCandidates(grouped: DataFrame, bandWidths: Seq[Int]): DataFrame = {
     require(bandWidths.nonEmpty && bandWidths.forall(w => w > 0 && w <= 62),
       "band widths must be in 1..62")
-    require(bandWidths.sum <= 63, "bands must fit a signed 64-bit hash")
+    // 64 is safe on the signed long: the top band reads sign-extended bits
+    // through an arithmetic shiftright, and the mask truncates the
+    // extension back to the true bit pattern
+    require(bandWidths.sum <= 64, "bands must fit a 64-bit hash")
     val offsets = bandWidths.scanLeft(0)(_ + _).init
     val bandCols = bandWidths.zip(offsets).zipWithIndex.map {
       case ((w, off), i) =>

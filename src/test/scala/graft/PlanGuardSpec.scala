@@ -203,7 +203,8 @@ class PlanGuardSpec extends SparkSpec {
       n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
       s"q_interval_join lost its equi-join: ${ij.map(_.nodeName).distinct}")
 
-    Seq("q_phash_pairs", "q_ahash_pairs", "q_vhash_pairs", "q_simhash_pairs")
+    Seq("q_phash_pairs", "q_ahash_pairs", "q_vhash_pairs", "q_simhash_pairs",
+        "q_simhash64_pairs")
       .foreach { q =>
         val nodes = nodesOf(q)
         assert(nodes.exists(_.isInstanceOf[
