@@ -24,6 +24,16 @@ object Queries {
   private val Types = Tables.EventTypes // click, error, purchase, signup, view
   private val L = 20 // reference sequence_length (config.yaml:97)
 
+  /** Kernel-or-fallback SimHash dispatch: `graft_simhash_md5` is
+    * bit-identical to the Dedup HOF fallbacks (one codegen'd token-array
+    * pass vs nBits interpreted filter passes), so the fast path never
+    * weakens the oracle check — the same contract as the MinHash kernels. */
+  private def simhashMd5Col(s: SparkSession, m: Column, bits: Int): Column =
+    if (s.catalog.functionExists("graft_simhash_md5"))
+      call_function("graft_simhash_md5", m, lit(bits))
+    else if (bits == 32) graft.dedup.Dedup.simhash32Md5(m)
+    else graft.dedup.Dedup.simhash64Md5(m)
+
   // --- shared Spark-side building blocks ---
 
   /** Long-form per-minute series: (ts_min, event_type, v) with v = rounded
@@ -1124,7 +1134,7 @@ object Queries {
       Tables.documents(s, d)
         .select(col("doc_id"), graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
         .select(col("doc_id"),
-          graft.dedup.Dedup.simhash32Md5(col("_m")).as("simhash32"))
+          simhashMd5Col(s, col("_m"), 32).as("simhash32"))
         .orderBy("doc_id")),
 
     "q_simhash_pairs" -> ((s, d) =>
@@ -1139,7 +1149,7 @@ object Queries {
         Tables.documents(s, d)
           .select(col("doc_id"),
             graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
-          .select(graft.dedup.Dedup.simhash32Md5(col("_m")).as("simhash32")),
+          .select(simhashMd5Col(s, col("_m"), 32).as("simhash32")),
         "simhash32", nBands = 4, bandBits = 8, maxDist = 3)),
 
     "q_simhash64" -> ((s, d) =>
@@ -1149,7 +1159,7 @@ object Queries {
       Tables.documents(s, d)
         .select(col("doc_id"), graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
         .select(col("doc_id"),
-          graft.dedup.Dedup.simhash64Md5(col("_m")).as("simhash64"))
+          simhashMd5Col(s, col("_m"), 64).as("simhash64"))
         .orderBy("doc_id")),
 
     "q_simhash64_pairs" -> ((s, d) => {
@@ -1167,7 +1177,7 @@ object Queries {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       graft.sim.Hamming.pairCounts(
         corpus.select(graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
-          .select(graft.dedup.Dedup.simhash64Md5(col("_m")).as("sh")),
+          .select(simhashMd5Col(s, col("_m"), 64).as("sh")),
         "sh", bandWidths = Seq(13, 13, 13, 13, 12), maxDist = 4)
     }),
 
@@ -1186,7 +1196,7 @@ object Queries {
       val fp = Tables.documents(s, d)
         .select(col("doc_id"), graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
         .select(col("doc_id"),
-          graft.dedup.Dedup.simhash32Md5(col("_m")).as("sh"))
+          simhashMd5Col(s, col("_m"), 32).as("sh"))
       val a = fp.select(col("doc_id").as("id1"), col("sh").as("sh1"))
       val b = fp.select(col("doc_id").as("id2"), col("sh").as("sh2"))
       a.join(b, col("id2") === col("id1") + 1)

@@ -318,7 +318,15 @@ object Dedup {
     * char j of md5(token). Functionally identical to [[simhash]] but built
     * ONLY from cross-engine-stable primitives (md5/ascii/substring), so a
     * SQL oracle can verify the sign-sum fingerprint math bit-for-bit.
-    * `md5s` must be a materialized array<string> of per-token md5 hex. */
+    * `md5s` must be a materialized array<string> of per-token md5 hex.
+    *
+    * This is the pure-builtin FALLBACK path; sessions with GraftExtensions
+    * use the bit-identical `graft_simhash_md5` codegen kernel instead (one
+    * token-array pass vs 32 interpreted filter passes — and a measured
+    * warning to future editors: a "single-pass" rewrite with an
+    * `aggregate`/`zip_with` HOF accumulator is 3–5× SLOWER than these
+    * filter passes, because interpreted lambdas allocate a fresh
+    * nBits-array per token; only the native kernel actually wins). */
   def simhash32Md5(md5s: Column): Column = {
     val n = size(md5s)
     val bits = (0 until 32).map { j =>

@@ -248,6 +248,78 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel for [[SimHashMd5]]: all bit votes of a token-md5 array
+  * in ONE pass. Bit-identical to the pure-builtin fallbacks
+  * (`Dedup.simhash32Md5`: vote j = ascii parity of hex char j;
+  * `Dedup.simhash64Md5`: vote j = ascii bit (j%2) of hex char (j/2)) and
+  * therefore to the DuckDB oracle replay — the fast path does not weaken
+  * the check. A null array element casts no votes but still counts toward
+  * the majority denominator, matching `filter`'s null semantics. */
+object SimHashUtil {
+  def simhash(md5s: ArrayData, nBits: Int): Long = {
+    val n = md5s.numElements()
+    val votes = new Array[Int](nBits)
+    var i = 0
+    while (i < n) {
+      val m = md5s.getUTF8String(i)
+      if (m != null) {
+        val ascii = m.getBytes // 32 one-byte hex chars
+        var j = 0
+        while (j < nBits) {
+          val c = if (nBits == 64) j >> 1 else j
+          val b = if (nBits == 64) j & 1 else 0
+          if (c < ascii.length && ((ascii(c) >> b) & 1) == 1) votes(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < nBits) {
+      if (votes(j) * 2 > n) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+}
+
+/** `graft_simhash_md5(md5s, nBits)` — native codegen'd SimHash over a
+  * per-token md5-hex array, nBits ∈ {32, 64}. The HOF fallback runs nBits
+  * interpreted `filter` passes over the array; this is one loop inside
+  * whole-stage codegen. */
+case class SimHashMd5(md5s: Expression, nBitsExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = md5s
+  override def right: Expression = nBitsExpr
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (md5s.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }) && nBitsExpr.dataType == IntegerType &&
+      (nBitsExpr.foldable && (nBitsExpr.eval() == 32 || nBitsExpr.eval() == 64))
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_md5 expects (array<string>, literal int 32|64), got " +
+        s"(${md5s.dataType.simpleString}, ${nBitsExpr.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_md5"
+
+  override protected def nullSafeEval(m: Any, n: Any): Any =
+    SimHashUtil.simhash(m.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (m, n) =>
+      s"graft.expressions.SimHashUtil.simhash($m, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(md5s = newLeft, nBitsExpr = newRight)
+}
+
 /** Session extension injecting the graft native functions — enable with
   * `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`.
   */
@@ -268,6 +340,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) =>
         CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_md5"),
+      new ExpressionInfo(classOf[SimHashMd5].getName, "graft_simhash_md5"),
+      (children: Seq[Expression]) =>
+        SimHashMd5(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
