@@ -531,6 +531,44 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    "q_asof_forward" -> ((s, d) => {
+      // direction="forward" as-of (pandas merge_asof parity): every view
+      // picks up the EARLIEST click-minute average at or after its
+      // timestamp — the negated-timestamp trick reuses the identical
+      // single-shuffle union-window plan. DuckDB's native forward ASOF
+      // (r.rts >= l.ts) is the independent oracle.
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), pmod(col("user_id"), lit(16)).as("bucket"),
+          col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(pmod(col("user_id"), lit(16)).as("bucket"),
+          expr("(ts_us div 60000000) * 60000000").as("rts"))
+        .agg(round(avg("value"), 6).as("v_click"))
+      graft.operators.Asof.joinAsOf(views, clicks, Seq("bucket"),
+          "ts_us", "rts", Seq("v_click"), direction = "forward")
+        .orderBy("event_id")
+    }),
+
+    "q_asof_tolerance" -> ((s, d) => {
+      // Backward as-of with a 5-minute tolerance: a match farther than the
+      // bound keeps the left row with a NULL payload (pandas tolerance
+      // semantics). The oracle replays the bound as a CASE over DuckDB's
+      // native ASOF match.
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), pmod(col("user_id"), lit(16)).as("bucket"),
+          col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(pmod(col("user_id"), lit(16)).as("bucket"),
+          expr("(ts_us div 60000000) * 60000000").as("rts"))
+        .agg(round(avg("value"), 6).as("v_click"))
+      graft.operators.Asof.joinAsOf(views, clicks, Seq("bucket"),
+          "ts_us", "rts", Seq("v_click"),
+          tolerance = Some(300000000L))
+        .orderBy("event_id")
+    }),
+
     "q_range_join" -> ((s, d) => {
       // Interval containment via the bucketed equi-join (never a
       // nested-loop): 30-minute windows opened by purchases, error events
@@ -1836,6 +1874,33 @@ object Queries {
          |    round(avg(value), 6) AS v_click
          |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
          |SELECT l.bucket, l.event_id, l.ts_us, r.v_click
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.bucket = r.bucket AND r.rts <= l.ts_us
+         |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      s"""WITH ev AS ($EvSql),
+         |l AS (SELECT event_id, user_id % 16 AS bucket, ts_us
+         |  FROM ev WHERE event_type = 'view'),
+         |r AS (SELECT user_id % 16 AS bucket,
+         |    (ts_us // 60000000) * 60000000 AS rts,
+         |    round(avg(value), 6) AS v_click
+         |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT l.bucket, l.event_id, l.ts_us, r.v_click
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.bucket = r.bucket AND r.rts >= l.ts_us
+         |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      s"""WITH ev AS ($EvSql),
+         |l AS (SELECT event_id, user_id % 16 AS bucket, ts_us
+         |  FROM ev WHERE event_type = 'view'),
+         |r AS (SELECT user_id % 16 AS bucket,
+         |    (ts_us // 60000000) * 60000000 AS rts,
+         |    round(avg(value), 6) AS v_click
+         |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT l.bucket, l.event_id, l.ts_us,
+         |  CASE WHEN l.ts_us - r.rts <= 300000000 THEN r.v_click END AS v_click
          |FROM l ASOF LEFT JOIN r
          |  ON l.bucket = r.bucket AND r.rts <= l.ts_us
          |ORDER BY l.event_id""".stripMargin,

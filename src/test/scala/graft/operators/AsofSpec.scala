@@ -90,5 +90,50 @@ class AsofSpec extends SparkSpec {
       Asof.joinAsOf(left.withColumn("v", lit(1)), right, Seq("k"), "ts",
         "rts", Seq("v"))
     }
+    intercept[IllegalArgumentException] {
+      Asof.joinAsOf(left, right, Seq("k"), "ts", "rts", Seq("v"),
+        direction = "nearest")
+    }
+  }
+
+  test("direction=forward: earliest right row at or after, ties inclusive") {
+    val got = Asof.joinAsOf(left, right, Seq("k"), "ts", "rts", Seq("v"),
+        direction = "forward")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"),
+        if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getAs[Double]("v"))))
+      .toSeq
+    // id 1 (a, ts 5) -> rts 7; id 2 (a, ts 9) -> rts 9 INCLUSIVE; id 3
+    // (b, ts 3) -> rts 9 (forward finds b's later row the backward join
+    // could not); id 4 (a, ts 4) -> rts 4 inclusive
+    assert(got == Seq((1L, Some(101.0)), (2L, Some(103.0)), (3L, Some(102.0)),
+      (4L, Some(100.0))), got.toString)
+  }
+
+  test("tolerance: out-of-bound matches null the payload, rows are kept") {
+    // backward: id 1 (ts 5, match rts 4, gap 1) in-bound at tol=1;
+    // id 2 (ts 9, match rts 9, gap 0) in; id 3 no match stays None;
+    // id 4 (ts 4, rts 4, gap 0) in. At tol=0 id 1 drops to None.
+    def run(tol: Long) =
+      Asof.joinAsOf(left, right, Seq("k"), "ts", "rts", Seq("v"),
+          tolerance = Some(tol))
+        .orderBy("id").collect()
+        .map(r => (r.getAs[Long]("id"),
+          if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getAs[Double]("v"))))
+        .toSeq
+    assert(run(1L) == Seq((1L, Some(100.0)), (2L, Some(103.0)), (3L, None),
+      (4L, Some(100.0))))
+    assert(run(0L) == Seq((1L, None), (2L, Some(103.0)), (3L, None),
+      (4L, Some(100.0))))
+    // forward + tolerance compose: id 3 (b, ts 3 -> rts 9, gap 6) nulls
+    // at tol=5 but survives at tol=6
+    def fwd(tol: Long) =
+      Asof.joinAsOf(left, right, Seq("k"), "ts", "rts", Seq("v"),
+          direction = "forward", tolerance = Some(tol))
+        .orderBy("id").collect()
+        .map(r => if (r.isNullAt(r.fieldIndex("v"))) None
+                  else Some(r.getAs[Double]("v"))).toSeq
+    assert(fwd(5L) == Seq(Some(101.0), Some(103.0), None, Some(100.0)))
+    assert(fwd(6L) == Seq(Some(101.0), Some(103.0), Some(102.0), Some(100.0)))
   }
 }
