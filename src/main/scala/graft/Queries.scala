@@ -64,11 +64,51 @@ object Queries {
     minuteLong(s, dir).filter(col("event_type") === "click")
       .select("ts_min", "v")
 
+  /** events as an integer milli-unit sample table (event_type, ts_us,
+    * event_id, v) — the shared fixture for the PromQL function family
+    * (exact long values; see Rates' numeric-determinism contract). */
+  private def milliEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_type"), col("ts_us"),
+      col("event_id"), expr("cast(round(value * 1000) as long)").as("v"))
+
   // --- shared oracle-side SQL building blocks ---
 
   /** events with integer-µs key (DuckDB truncates ns→µs identically). */
   private val EvSql =
     "SELECT event_id, user_id, event_type, value, props, epoch_us(ts) AS ts_us FROM events"
+
+  /** Oracle mirror of [[milliEvents]] (exact milli-unit integers). */
+  private val MilliEvSql =
+    "SELECT event_type, epoch_us(ts) AS ts_us, event_id, CAST(round(value * 1000) AS BIGINT) AS v FROM events"
+
+  // q_ewma parameters — shared by the Spark plan and the generated oracle
+  // text so both engines multiply the SAME double weight literals
+  private val EwmaAlpha = 0.3
+  private val EwmaK = 40
+
+  /** Generated q_ewma oracle: the bounded-lag closed form with weight
+    * literals emitted via Double.toString (shortest round-trip repr —
+    * DuckDB parses back the identical double). Term order and association
+    * mirror Rates.ewma's left-fold exactly. */
+  private def ewmaOracleSql: String = {
+    val ws = graft.operators.Rates.ewmaWeights(EwmaAlpha, EwmaK)
+    val lagDefs = (1 until EwmaK)
+      .map(j => s"lag(v, $j) OVER w AS l$j").mkString(",\n    ")
+    def src(j: Int) = if (j == 0) "v" else s"l$j"
+    val numer = ws.zipWithIndex.map { case (wt, j) =>
+      s"CASE WHEN ${src(j)} IS NOT NULL THEN ${src(j)} * $wt ELSE 0.0 END"
+    }.mkString(" + ")
+    val denom = ws.zipWithIndex.map { case (wt, j) =>
+      s"CASE WHEN ${src(j)} IS NOT NULL THEN $wt ELSE 0.0 END"
+    }.mkString(" + ")
+    s"""WITH ev AS ($MilliEvSql),
+       |l AS (SELECT event_type, ts_us, event_id, v,
+       |    $lagDefs
+       |  FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id))
+       |SELECT event_type, ts_us, event_id, v,
+       |  round(($numer) / ($denom) / 1000.0, 6) AS ewma_val
+       |FROM l ORDER BY event_id""".stripMargin
+  }
 
   private val MinuteLongSql =
     s"""SELECT ts_us // 60000000 AS ts_min, event_type, round(avg(value),6) AS v
@@ -751,9 +791,7 @@ object Queries {
         .partitionBy("event_type").orderBy("ts_us", "event_id")
       val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
-      Tables.events(s, d)
-        .select(col("event_type"), col("ts_us"), col("event_id"),
-          expr("cast(round(value * 1000) as long)").as("v"))
+      milliEvents(s, d)
         .withColumn("ctr", pmod(sum("v").over(wRun), lit(100000L)))
         .withColumn("prev", lag("ctr", 1).over(w))
         .withColumn("inc", when(col("prev").isNull, lit(0L))
@@ -765,6 +803,74 @@ object Queries {
           round(sum("inc") * lit(1000000.0) / (max("ts_us") - min("ts_us")), 6)
             .as("rate_per_sec"))
         .orderBy("event_type")
+    }),
+
+    "q_over_time" -> ((s, d) =>
+      // PromQL *_over_time family: trailing 15-minute RANGE frame per
+      // series key — count/sum/avg/stddev/min/max from exact integer frame
+      // sums (Rates.overTime's determinism contract). One keyed window.
+      graft.operators.Rates.overTime(milliEvents(s, d), Seq("event_type"),
+          "ts_us", "v", rangeUs = 900000000L)
+        .select("event_type", "ts_us", "event_id", "cnt_ot", "sum_ot",
+          "avg_ot", "std_ot", "min_ot", "max_ot")
+        .orderBy("event_id")),
+
+    "q_deriv_predict" -> ((s, d) =>
+      // PromQL deriv() + predict_linear(): per-series least-squares slope
+      // (per hour, for 6-dp signal) and the extrapolated value 1 h past the
+      // last sample — textbook sums over exact integers, identical final
+      // double expression both engines (Rates.derivPredict).
+      graft.operators.Rates.derivPredict(milliEvents(s, d),
+          Seq("event_type"), "ts_us", "v", horizonSec = 3600L)
+        .orderBy("event_type")),
+
+    "q_resets_changes" -> ((s, d) => {
+      // PromQL resets() + changes() over the same deterministic mod-1e5
+      // counter fixture as q_counter_rate: counter drops and value changes
+      // per series, integer-exact.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ts_us", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val ctr = milliEvents(s, d)
+        .withColumn("ctr", pmod(sum("v").over(w), lit(100000L)))
+      graft.operators.Rates.resetsChanges(ctr, Seq("event_type"),
+          Seq("ts_us", "event_id"), "ctr")
+        .orderBy("event_type")
+    }),
+
+    "q_delta_irate" -> ((s, d) =>
+      // PromQL delta()/idelta()/irate(): gauge endpoints per series — last
+      // minus first, last minus penultimate, and the last-two-samples
+      // per-second rate. One keyed window + one keyed aggregate.
+      graft.operators.Rates.deltaIrate(milliEvents(s, d), Seq("event_type"),
+          "ts_us", "v", tieCol = "event_id")
+        .orderBy("event_type")),
+
+    "q_ewma" -> ((s, d) =>
+      // EWMA smoothing (holt_winters' smoothing half / pandas ewm
+      // adjust=True) in the bounded-lag closed form: alpha=0.3, k=40 lags
+      // (dropped tail weight 0.7^40 ~ 6e-7, below the 6-dp floor). One
+      // keyed window pass; weight literals shared with the oracle text
+      // via Rates.ewmaWeights.
+      graft.operators.Rates.ewma(milliEvents(s, d), Seq("event_type"),
+          Seq("ts_us", "event_id"), "v", alpha = EwmaAlpha, k = EwmaK)
+        .select("event_type", "ts_us", "event_id", "v", "ewma_val")
+        .orderBy("event_id")),
+
+    "q_quantile_ot" -> ((s, d) => {
+      // PromQL quantile_over_time: exact trailing-50-sample median per
+      // series (ROWS frame over a total order; integer inputs make the
+      // midpoint interpolation bit-identical cross-engine).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ts_us", "event_id")
+        .rowsBetween(-49, 0)
+      milliEvents(s, d)
+        .withColumn("med_ot",
+          round(percentile(col("v"), lit(0.5)).over(w) / 1000.0, 6))
+        .select("event_type", "ts_us", "event_id", "med_ot")
+        .orderBy("event_id")
     }),
 
     "q_sessionize" -> ((s, d) =>
@@ -1848,6 +1954,101 @@ object Queries {
          |  round(sum(inc) * 1000000.0 / (max(ts_us) - min(ts_us)), 6)
          |    AS rate_per_sec
          |FROM i GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_over_time" ->
+      s"""WITH ev AS ($MilliEvSql),
+         |s AS (SELECT event_type, ts_us, event_id,
+         |    count(*) OVER w AS cnt_ot,
+         |    CAST(sum(v) OVER w AS BIGINT) AS sum_ot,
+         |    CAST(sum(v * v) OVER w AS BIGINT) AS sumsq,
+         |    min(v) OVER w AS mn,
+         |    max(v) OVER w AS mx
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+         |    RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, ts_us, event_id, cnt_ot, sum_ot,
+         |  round(CAST(sum_ot AS DOUBLE) / cnt_ot / 1000.0, 6) AS avg_ot,
+         |  round(sqrt(greatest(CAST(sumsq AS DOUBLE) / cnt_ot
+         |    - (CAST(sum_ot AS DOUBLE) / cnt_ot)
+         |      * (CAST(sum_ot AS DOUBLE) / cnt_ot), 0.0)) / 1000.0, 6)
+         |    AS std_ot,
+         |  round(mn / 1000.0, 6) AS min_ot,
+         |  round(mx / 1000.0, 6) AS max_ot
+         |FROM s ORDER BY event_id""".stripMargin,
+
+    "q_deriv_predict" ->
+      s"""WITH ev AS ($MilliEvSql),
+         |t0 AS (SELECT event_type, ts_us, v,
+         |    min(ts_us) OVER (PARTITION BY event_type) AS t0 FROM ev),
+         |x AS (SELECT event_type, (ts_us - t0) // 1000000 AS x, v FROM t0),
+         |a AS (SELECT event_type, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(v) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(x * v) AS BIGINT) AS sxy,
+         |    max(x) AS x_last
+         |  FROM x GROUP BY 1),
+         |sl AS (SELECT event_type, n, x_last, sx, sy,
+         |    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / nullif(n * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS slope
+         |  FROM a)
+         |SELECT event_type, n,
+         |  round(slope * 3.6, 6) AS deriv_per_hour,
+         |  round((CAST(sy AS DOUBLE) / n
+         |    + slope * (x_last + 3600 - CAST(sx AS DOUBLE) / n)) / 1000.0, 6)
+         |    AS predict_val
+         |FROM sl ORDER BY event_type""".stripMargin,
+
+    "q_resets_changes" ->
+      s"""WITH ev AS ($MilliEvSql),
+         |c AS (SELECT event_type, ts_us, event_id,
+         |    CAST(((sum(v) OVER (PARTITION BY event_type
+         |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING))
+         |      % 100000 + 100000) % 100000 AS BIGINT) AS ctr
+         |  FROM ev),
+         |d AS (SELECT event_type, ctr, lag(ctr) OVER (
+         |    PARTITION BY event_type ORDER BY ts_us, event_id) AS prev
+         |  FROM c)
+         |SELECT event_type,
+         |  CAST(sum(CASE WHEN ctr < prev THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS resets,
+         |  CAST(sum(CASE WHEN ctr <> prev THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS changes
+         |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_delta_irate" ->
+      s"""WITH ev AS ($MilliEvSql),
+         |r AS (SELECT event_type, ts_us, v,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY ts_us, event_id) AS rna,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY ts_us DESC, event_id DESC) AS rnd
+         |  FROM ev),
+         |a AS (SELECT event_type,
+         |    max(CASE WHEN rna = 1 THEN v END) AS v_first,
+         |    max(CASE WHEN rnd = 1 THEN v END) AS v_last,
+         |    max(CASE WHEN rnd = 2 THEN v END) AS v_prev,
+         |    max(CASE WHEN rnd = 1 THEN ts_us END) AS ts_last,
+         |    max(CASE WHEN rnd = 2 THEN ts_us END) AS ts_prev
+         |  FROM r GROUP BY 1)
+         |SELECT event_type,
+         |  round((v_last - v_first) / 1000.0, 6) AS delta_val,
+         |  round((v_last - v_prev) / 1000.0, 6) AS idelta_val,
+         |  round((v_last - v_prev) * 1000.0
+         |    / nullif(CAST(ts_last - ts_prev AS DOUBLE), 0.0), 6)
+         |    AS irate_per_sec
+         |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_ewma" -> ewmaOracleSql,
+
+    "q_quantile_ot" ->
+      s"""WITH ev AS ($MilliEvSql)
+         |SELECT event_type, ts_us, event_id,
+         |  round(quantile_cont(v, 0.5) OVER (PARTITION BY event_type
+         |    ORDER BY ts_us, event_id
+         |    ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) / 1000.0, 6)
+         |    AS med_ot
+         |FROM ev ORDER BY event_id""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PromQL range-function family, batch form.
+  *
+  * The reference delegates these to the Prometheus server — its collection
+  * queries embed them directly (`rate(windows_cpu_time_total{...}[1m])`,
+  * reference config.yaml:9-17, fetched via `/api/v1/query_range`,
+  * data_collector.py:41). An engine that replaces that server side must
+  * evaluate them itself over raw samples. Implemented here over any keyed
+  * sample table as single-shuffle keyed windows / aggregates:
+  *
+  *  - [[overTime]]      — `avg/min/max/sum/count/stddev_over_time` (trailing
+  *                        RANGE frame per key)
+  *  - [[derivPredict]]  — `deriv()` + `predict_linear()` (per-key least
+  *                        squares over the sample range)
+  *  - [[resetsChanges]] — `resets()` + `changes()` (counter drop / value
+  *                        change counts)
+  *  - [[deltaIrate]]    — `delta()` / `idelta()` / `irate()` (first/last and
+  *                        last-two sample forms)
+  *  - [[ewma]]          — exponentially-weighted moving average (the
+  *                        smoothing half of `holt_winters()`), bounded-lag
+  *                        closed form
+  *
+  * Numeric determinism contract (what makes these oracle-checkable to the
+  * last bit): every aggregate is computed from EXACT integer sums — values
+  * enter as milli-units (`round(value*1000)::long`), timestamps as integer
+  * seconds relative to the per-key minimum — and only the final, fixed
+  * expression over those sums runs in doubles, identically ordered on both
+  * engines. No engine-level fp accumulation order can leak into the result.
+  *
+  * Scale: each function is ONE hash-partitioned window and/or ONE keyed
+  * aggregate — a single shuffle on the series key, no single-partition
+  * stage, no self-join. At 100 TB the work is embarrassingly parallel in
+  * the series key (Prometheus cardinality: millions of series, each small).
+  * Long sums hold to ~9e18: milli-values × month-long second-offsets keep
+  * Σxy ≤ ~1e16 per series even at 10^7 samples; beyond that, escalate the
+  * sum columns to decimal(38,0) — the expression shape is unchanged.
+  */
+object Rates {
+
+  private def requireAbsent(df: DataFrame, cols: Seq[String]): Unit = {
+    val clash = cols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has internal/output column(s) ${clash.mkString(", ")}")
+  }
+
+  /** Trailing-range `*_over_time` family: for every sample, the
+    * count/sum/avg/stddev(pop)/min/max of `milliCol` (integer milli-units)
+    * over `[ts - rangeUs, ts]` within its key. Emits `cnt_ot` (long),
+    * `sum_ot` (long, milli), and `avg_ot`/`std_ot`/`min_ot`/`max_ot`
+    * (doubles in original units, 6 dp). Ties at one `tsUsCol` value all
+    * join the frame (RANGE semantics), so the result is deterministic
+    * under any tie order. */
+  def overTime(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
+               milliCol: String, rangeUs: Long): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty (keyless range " +
+      "windows would plan a single-partition stage)")
+    require(rangeUs > 0, "rangeUs must be positive")
+    requireAbsent(df, Seq("cnt_ot", "sum_ot", "sumsq_ot", "avg_ot", "std_ot",
+      "min_ot", "max_ot"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsUsCol))
+      .rangeBetween(-rangeUs, 0L)
+    val v = col(milliCol)
+    // exact integer frame sums; the double math over them is a fixed
+    // expression both engines evaluate identically
+    val withSums = df
+      .withColumn("cnt_ot", count(lit(1)).over(w))
+      .withColumn("sum_ot", sum(v).over(w))
+      .withColumn("sumsq_ot", sum(v * v).over(w))
+      .withColumn("min_ot", round(min(v).over(w) / 1000.0, 6))
+      .withColumn("max_ot", round(max(v).over(w) / 1000.0, 6))
+    val mean = col("sum_ot").cast("double") / col("cnt_ot")
+    val varPop = col("sumsq_ot").cast("double") / col("cnt_ot") - mean * mean
+    withSums
+      .withColumn("avg_ot", round(mean / 1000.0, 6))
+      // clamp tiny negative fp residue (single-sample frames) before sqrt
+      .withColumn("std_ot",
+        round(sqrt(greatest(varPop, lit(0.0))) / 1000.0, 6))
+      .drop("sumsq_ot")
+  }
+
+  /** Per-key least-squares line over the full sample range: PromQL
+    * `deriv()` (slope) and `predict_linear()` (extrapolation
+    * `horizonSec` past the last sample). One keyed window (per-key min
+    * timestamp) + one keyed aggregate — Spark satisfies the aggregate's
+    * distribution with the window's exchange, so ONE shuffle total.
+    *
+    * Slope from the textbook sums `(nΣxy − ΣxΣy) / (nΣxx − (Σx)²)` with
+    * x = whole seconds since the key's first sample (exact long),
+    * y = milli-units (exact long): both engines reduce identical integers,
+    * then run the identical final double expression. Emits per-HOUR slope
+    * (`deriv_per_hour`) so 6-dp rounding keeps signal; `predict_val` is in
+    * original units. Keys with < 2 samples or zero time-variance yield
+    * NULLs (slope undefined), matching SQL division-null semantics. */
+  def derivPredict(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
+                   milliCol: String, horizonSec: Long): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    requireAbsent(df, Seq("_t0", "_x", "n", "sx", "sy", "sxx", "sxy",
+      "x_last", "deriv_per_hour", "predict_val"))
+    val wKey = Window.partitionBy(keyCols.map(col): _*)
+    val prepared = df
+      .withColumn("_t0", min(col(tsUsCol)).over(wKey))
+      // `div`, not `/`: Spark's / on longs is double division
+      .withColumn("_x", expr(s"($tsUsCol - _t0) div 1000000"))
+    val agg = prepared.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum("_x").as("sx"),
+      sum(col(milliCol)).as("sy"),
+      sum(col("_x") * col("_x")).as("sxx"),
+      sum(col("_x") * col(milliCol)).as("sxy"),
+      max("_x").as("x_last"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val num = n * col("sxy").cast("double") - sx * sy
+    val den = n * col("sxx").cast("double") - sx * sx
+    // den == 0 (single sample / constant x) -> NULL via nullif
+    val slopeMilliPerSec = num / nullif(den, lit(0.0))
+    val predictMilli =
+      sy / n + slopeMilliPerSec * (col("x_last") + lit(horizonSec) - sx / n)
+    agg
+      .withColumn("deriv_per_hour", round(slopeMilliPerSec * 3.6, 6))
+      .withColumn("predict_val", round(predictMilli / 1000.0, 6))
+      .select(keyCols.map(col) ++ Seq(col("n"), col("deriv_per_hour"),
+        col("predict_val")): _*)
+  }
+
+  /** PromQL `resets()` and `changes()` over an integer series: per key,
+    * how many adjacent-sample drops (counter restarts) and how many
+    * adjacent-sample value changes. `ordCols` must totally order samples
+    * within a key (include a unique tiebreaker). Integer-exact. */
+  def resetsChanges(df: DataFrame, keyCols: Seq[String],
+                    ordCols: Seq[String], intCol: String): DataFrame = {
+    require(keyCols.nonEmpty && ordCols.nonEmpty,
+      "keyCols and ordCols must be non-empty")
+    requireAbsent(df, Seq("_prev", "resets", "changes"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ordCols.map(col): _*)
+    df.withColumn("_prev", lag(col(intCol), 1).over(w))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(col(intCol) < col("_prev"), 1L).otherwise(0L)).as("resets"),
+        sum(when(col(intCol) =!= col("_prev"), 1L).otherwise(0L))
+          .as("changes"))
+  }
+
+  /** PromQL gauge endpoints per key: `delta()` (last − first),
+    * `idelta()` (last − penultimate) and `irate()` (idelta per second,
+    * from the last two samples' timestamps). One keyed window computing
+    * both row numbers, one keyed aggregate — single shuffle. Keys with a
+    * single sample yield NULL idelta/irate (no penultimate sample). */
+  def deltaIrate(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
+                 milliCol: String, tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    requireAbsent(df, Seq("_rna", "_rnd", "_v_first", "_v_last", "_v_prev",
+      "_ts_last", "_ts_prev", "delta_val", "idelta_val", "irate_per_sec"))
+    val wAsc = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsUsCol), col(tieCol))
+    val wDesc = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsUsCol).desc, col(tieCol).desc)
+    val v = col(milliCol)
+    val tagged = df
+      .withColumn("_rna", row_number().over(wAsc))
+      .withColumn("_rnd", row_number().over(wDesc))
+    tagged.groupBy(keyCols.map(col): _*).agg(
+      max(when(col("_rna") === 1, v)).as("_v_first"),
+      max(when(col("_rnd") === 1, v)).as("_v_last"),
+      max(when(col("_rnd") === 2, v)).as("_v_prev"),
+      max(when(col("_rnd") === 1, col(tsUsCol))).as("_ts_last"),
+      max(when(col("_rnd") === 2, col(tsUsCol))).as("_ts_prev"))
+      .withColumn("delta_val",
+        round((col("_v_last") - col("_v_first")) / 1000.0, 6))
+      .withColumn("idelta_val",
+        round((col("_v_last") - col("_v_prev")) / 1000.0, 6))
+      .withColumn("irate_per_sec",
+        round((col("_v_last") - col("_v_prev")) * lit(1000.0) /
+          nullif((col("_ts_last") - col("_ts_prev")).cast("double"),
+            lit(0.0)), 6))
+      .select(keyCols.map(col) ++ Seq(col("delta_val"), col("idelta_val"),
+        col("irate_per_sec")): _*)
+  }
+
+  /** Exponentially-weighted moving average — the smoothing half of PromQL
+    * `holt_winters()` / pandas `ewm(alpha).mean()` — in the bounded-lag
+    * closed form: `Σ_{j=0..k-1} (1−α)^j · x_{t−j} / Σ_j (1−α)^j` over the
+    * lags that exist (normalized like pandas `adjust=True`; truncated at k
+    * terms, where the dropped tail weight is (1−α)^k — pick k so that's
+    * below the 6-dp rounding floor). A recurrence would serialize per key;
+    * this form is ONE keyed window pass with k lag columns, fully
+    * parallel, and its weight literals are fixed doubles both engines
+    * multiply identically.
+    *
+    * Returns the input plus `ewma_val` (original units, 6 dp). `ordCols`
+    * must totally order samples within a key. */
+  def ewma(df: DataFrame, keyCols: Seq[String], ordCols: Seq[String],
+           milliCol: String, alpha: Double, k: Int): DataFrame = {
+    require(keyCols.nonEmpty && ordCols.nonEmpty,
+      "keyCols and ordCols must be non-empty")
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
+    require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    requireAbsent(df, Seq("ewma_val"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ordCols.map(col): _*)
+    val weights = ewmaWeights(alpha, k)
+    val v = col(milliCol)
+    // lag(0) is the row itself — never null; missing earlier lags drop out
+    // of numerator AND denominator (pandas adjust=True head behavior)
+    val terms = weights.zipWithIndex.map { case (wt, j) =>
+      val x = if (j == 0) v else lag(v, j).over(w)
+      (when(x.isNotNull, x.cast("double") * wt).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(wt)).otherwise(lit(0.0)))
+    }
+    val numer = terms.map(_._1).reduce(_ + _)
+    val denom = terms.map(_._2).reduce(_ + _)
+    df.withColumn("ewma_val", round(numer / denom / 1000.0, 6))
+  }
+
+  /** The `(1−α)^j` weight ladder, computed once in Scala so the SAME
+    * double literals reach both the Spark plan and the SQL oracle text. */
+  def ewmaWeights(alpha: Double, k: Int): Seq[Double] =
+    Iterator.iterate(1.0)(_ * (1.0 - alpha)).take(k).toSeq
+}

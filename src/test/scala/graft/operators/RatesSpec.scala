@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PromQL range-function family: each operator checked against a
+  * brute-force reference computed in plain Scala on the driver. */
+class RatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, ts_us, v-milli) fixture: two series with ties and resets
+  private def fixture = Seq(
+    ("a", 1000000L, 0L, 5000L), ("a", 2000000L, 1L, 7000L),
+    ("a", 2000000L, 2L, 3000L), ("a", 4000000L, 3L, 9000L),
+    ("a", 9000000L, 4L, 1000L),
+    ("b", 1000000L, 5L, 10000L), ("b", 5000000L, 6L, 10000L))
+    .toDF("k", "ts_us", "id", "v")
+
+  test("overTime: frame stats match brute force, ties share the frame") {
+    val got = Rates.overTime(fixture, Seq("k"), "ts_us", "v",
+        rangeUs = 3000000L)
+      .orderBy("id")
+      .select("id", "cnt_ot", "sum_ot", "avg_ot", "std_ot", "min_ot",
+        "max_ot")
+      .collect()
+    val rows = fixture.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for (r <- got) {
+      val id = r.getLong(0)
+      val (k, ts, _, _) = rows.find(_._3 == id).get
+      val frame = rows.filter(x => x._1 == k && x._2 >= ts - 3000000L &&
+        x._2 <= ts).map(_._4)
+      assert(r.getLong(1) == frame.length, s"cnt id=$id")
+      assert(r.getLong(2) == frame.sum, s"sum id=$id")
+      val mean = frame.sum.toDouble / frame.length
+      assert(math.abs(r.getDouble(3) - mean / 1000.0) < 1e-6, s"avg id=$id")
+      val varPop =
+        frame.map(x => (x - mean) * (x - mean)).sum / frame.length
+      assert(math.abs(r.getDouble(4) - math.sqrt(varPop) / 1000.0) < 1e-6,
+        s"std id=$id")
+      assert(r.getDouble(5) == frame.min / 1000.0, s"min id=$id")
+      assert(r.getDouble(6) == frame.max / 1000.0, s"max id=$id")
+    }
+    // the two ts=2000000 ties see each other (RANGE peers)
+    val tie = got.filter(r => r.getLong(0) == 1L || r.getLong(0) == 2L)
+    assert(tie.forall(_.getLong(1) == 3L), "ties must share the frame")
+  }
+
+  test("derivPredict matches driver-side least squares") {
+    val got = Rates.derivPredict(fixture, Seq("k"), "ts_us", "v",
+        horizonSec = 10L)
+      .orderBy("k").collect()
+    // series a: x = whole seconds since first sample
+    val xs = Seq(0.0, 1.0, 1.0, 3.0, 8.0)
+    val ys = Seq(5000.0, 7000.0, 3000.0, 9000.0, 1000.0)
+    val n = xs.length
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val predict = sy / n + slope * (8.0 + 10.0 - sx / n)
+    val a = got(0)
+    assert(a.getLong(1) == 5L)
+    assert(math.abs(a.getDouble(2) - slope * 3.6) < 1e-6, "deriv a")
+    assert(math.abs(a.getDouble(3) - predict / 1000.0) < 1e-6, "predict a")
+    // series b: two equal samples -> slope 0, predict = the constant
+    val b = got(1)
+    assert(b.getDouble(2) == 0.0 && b.getDouble(3) == 10.0, b.toString)
+  }
+
+  test("derivPredict: constant-x key yields NULL slope, not a crash") {
+    val one = Seq(("c", 5L, 0L, 100L), ("c", 5L, 1L, 200L))
+      .toDF("k", "ts_us", "id", "v")
+    val r = Rates.derivPredict(one, Seq("k"), "ts_us", "v", 1L).collect()
+    assert(r.length == 1 && r(0).isNullAt(2) && r(0).isNullAt(3))
+  }
+
+  test("resetsChanges counts drops and changes, first row exempt") {
+    // a: 5,3,3,9,1 -> resets 2 (5->3, 9->1), changes 3 (5->3, 3->9, 9->1)
+    val df = Seq(("a", 0L, 5L), ("a", 1L, 3L), ("a", 2L, 3L), ("a", 3L, 9L),
+      ("a", 4L, 1L)).toDF("k", "ord", "c")
+    val r = Rates.resetsChanges(df, Seq("k"), Seq("ord"), "c").collect()
+    assert(r(0).getLong(1) == 2L && r(0).getLong(2) == 3L, r(0).toString)
+  }
+
+  test("deltaIrate: endpoints, last-two rate, single-sample NULLs") {
+    val got = Rates.deltaIrate(fixture, Seq("k"), "ts_us", "v", "id")
+      .orderBy("k").collect()
+    // a: first 5000, last 1000 (ts 9e6), prev 9000 (ts 4e6)
+    val a = got(0)
+    assert(a.getDouble(1) == -4.0, "delta a")     // (1000-5000)/1000
+    assert(a.getDouble(2) == -8.0, "idelta a")    // (1000-9000)/1000
+    // irate: -8000 milli * 1000 / 5e6 us = -1.6 /sec
+    assert(math.abs(a.getDouble(3) + 1.6) < 1e-6, "irate a")
+    val single = Seq(("c", 7L, 0L, 100L)).toDF("k", "ts_us", "id", "v")
+    val r = Rates.deltaIrate(single, Seq("k"), "ts_us", "v", "id").collect()
+    assert(r(0).getDouble(1) == 0.0 && r(0).isNullAt(2) && r(0).isNullAt(3))
+  }
+
+  test("ewma matches the brute-force truncated closed form") {
+    val alpha = 0.3; val k = 5
+    val vs = Seq(5000L, 7000L, 3000L, 9000L, 1000L, 4000L, 8000L)
+    val df = vs.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+      .toDF("k", "ord", "v")
+    val got = Rates.ewma(df, Seq("k"), Seq("ord"), "v", alpha, k)
+      .orderBy("ord").select("ewma_val").collect().map(_.getDouble(0))
+    val ws = Rates.ewmaWeights(alpha, k)
+    val want = vs.indices.map { t =>
+      val terms = (0 until math.min(k, t + 1)).map(j => ws(j) * vs(t - j))
+      val wsum = (0 until math.min(k, t + 1)).map(ws).sum
+      BigDecimal(terms.sum / wsum / 1000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) < 1e-6, s"t=$i got $g want $w")
+    }
+    // head behavior: first value is itself (normalized single term)
+    assert(got.head == 5.0)
+  }
+
+  test("ewmaWeights is the (1-alpha)^j ladder") {
+    val ws = Rates.ewmaWeights(0.5, 4)
+    assert(ws == Seq(1.0, 0.5, 0.25, 0.125))
+  }
+
+  test("column-collision guards fail fast") {
+    val df = Seq(("a", 1L, 2L)).toDF("k", "ts_us", "avg_ot")
+    intercept[IllegalArgumentException] {
+      Rates.overTime(df, Seq("k"), "ts_us", "avg_ot", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Rates.ewma(Seq(("a", 1L, 2.0)).toDF("k", "ord", "ewma_val"),
+        Seq("k"), Seq("ord"), "ewma_val", 0.5, 2)
+    }
+    intercept[IllegalArgumentException] { // alpha out of range
+      Rates.ewma(Seq(("a", 1L, 2L)).toDF("k", "ord", "v"),
+        Seq("k"), Seq("ord"), "v", 1.0, 2)
+    }
+    intercept[IllegalArgumentException] { // keyless window
+      Rates.overTime(Seq(("a", 1L, 2L)).toDF("k", "ts_us", "v"),
+        Seq(), "ts_us", "v", 10L)
+    }
+  }
+}
