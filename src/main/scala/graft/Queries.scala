@@ -258,6 +258,29 @@ object Queries {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     }),
 
+    "q_scale_robust" -> ((s, d) => {
+      // sklearn RobustScaler parity: (x - median) / IQR, exact quantiles
+      // (interpolation matches numpy's default on both engines).
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_quantity", "l_extendedprice")
+      val t = Scalers.fitRobust(li, cols).transform(li)
+      t.select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("l_quantity"),
+          round(col("l_extendedprice"), 6).as("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
+    }),
+
+    "q_winsorize" -> ((s, d) =>
+      // Per-group tail clipping to the [p05, p95] exact quantiles —
+      // two doubles per group broadcast back, no fact-table shuffle.
+      Scalers.winsorize(
+          Tables.events(s, d).select("event_type", "event_id", "value"),
+          Seq("event_type"), "value", pLo = 0.05, pHi = 0.95)
+        .select(col("event_type"), col("event_id"),
+          round(col("value"), 6).as("value"))
+        .orderBy("event_id")),
+
     "q_scale_inverse_m5" -> ((s, d) => {
       // M5's other direction: inverse(transform(x)) ≡ x — the oracle is
       // simply the rounded original columns, so any drift in either the
@@ -1759,6 +1782,25 @@ object Queries {
       s"""SELECT l_orderkey, l_linenumber, ${Seq("l_quantity", "l_extendedprice").map(st).mkString(", ")}
          |FROM lineitem ORDER BY l_orderkey, l_linenumber, "l_quantity", "l_extendedprice"""".stripMargin
     },
+
+    "q_scale_robust" -> {
+      def rb(c: String) =
+        s"""round(("$c" - quantile_cont("$c", 0.5) OVER ())
+           |  / (quantile_cont("$c", 0.75) OVER ()
+           |     - quantile_cont("$c", 0.25) OVER ()), 6) AS "$c"""".stripMargin
+      s"""SELECT l_orderkey, l_linenumber, ${Seq("l_quantity", "l_extendedprice").map(rb).mkString(", ")}
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber, "l_quantity", "l_extendedprice"""".stripMargin
+    },
+
+    "q_winsorize" ->
+      s"""WITH b AS (SELECT event_type,
+         |    quantile_cont(value, 0.05) AS lo,
+         |    quantile_cont(value, 0.95) AS hi
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type, e.event_id,
+         |  round(greatest(least(e.value, b.hi), b.lo), 6) AS value
+         |FROM events e JOIN b USING (event_type)
+         |ORDER BY event_id""".stripMargin,
 
     "q_scale_inverse_m5" ->
       s"""SELECT l_orderkey, l_linenumber,

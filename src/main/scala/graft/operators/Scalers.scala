@@ -66,6 +66,25 @@ object Scalers {
       Map("mean" -> means, "std" -> stds))
   }
 
+  /** sklearn RobustScaler parity: `(x − median) / (q75 − q25)`, with a
+    * zero-IQR column dividing by 1 (the `_handle_zeros_in_scale` rule, same
+    * as the other two scalers). Outlier-resistant centering for the heavy
+    * tails MinMax/Standard are distorted by. */
+  final case class RobustScaler(cols: Seq[String], medians: Seq[Double],
+                                iqrs: Seq[Double]) extends Scaler {
+    private def denom(i: Int) = if (iqrs(i) == 0.0) 1.0 else iqrs(i)
+    def transform(df: DataFrame): DataFrame =
+      cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+        d.withColumn(c, (col(c) - lit(medians(i))) / lit(denom(i)))
+      }
+    def inverse(df: DataFrame): DataFrame =
+      cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+        d.withColumn(c, col(c) * lit(denom(i)) + lit(medians(i)))
+      }
+    def toJson: String = Scalers.paramsJson("robust", cols,
+      Map("median" -> medians, "iqr" -> iqrs))
+  }
+
   /** Null aggregate = all-null column or empty input; `getAs[Double]` would
     * silently unbox it to 0.0 and fit a dead scaler — fail loudly instead
     * (sklearn likewise raises on NaN input). */
@@ -98,14 +117,54 @@ object Scalers {
       cols.map(c => requireFit(row, s"std_$c", c)))
   }
 
+  /** Robust fit: per-column exact q25/median/q75 in one aggregate pass
+    * (the `percentile` aggregate's linear interpolation matches numpy's
+    * default, which sklearn's RobustScaler delegates to). One holistic
+    * aggregate — a per-column sort-based buffer, still a single pass and
+    * a few doubles to the driver; at extreme scale swap in
+    * `approx_percentile` with a documented tolerance. */
+  def fitRobust(df: DataFrame, cols: Seq[String]): RobustScaler = {
+    val aggs = cols.flatMap(c => Seq(
+      percentile(col(c), lit(0.5)).as(s"med_$c"),
+      (percentile(col(c), lit(0.75)) - percentile(col(c), lit(0.25)))
+        .as(s"iqr_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    RobustScaler(cols,
+      cols.map(c => requireFit(row, s"med_$c", c)),
+      cols.map(c => requireFit(row, s"iqr_$c", c)))
+  }
+
   /** Strategy dispatch mirroring `preprocess_data.py:85-91`. */
   def fit(df: DataFrame, kind: String, cols: Seq[String]): Scaler =
     kind match {
       case "minmax"   => fitMinMax(df, cols)
       case "standard" => fitStandard(df, cols)
+      case "robust"   => fitRobust(df, cols)
       case other => throw new IllegalArgumentException(
-        s"unknown scaler type '$other' (expected minmax|standard)")
+        s"unknown scaler type '$other' (expected minmax|standard|robust)")
     }
+
+  /** Per-group winsorization: clip `valCol` to its group's
+    * `[pLo, pHi]` exact quantiles. Tail-tamer for quality scores and
+    * heavy-tailed metrics ahead of mean-based aggregation. ONE keyed
+    * holistic aggregate (two doubles per group) broadcast-joined back —
+    * no row shuffle of the fact table, projection-only transform, scales
+    * with group count not row count. */
+  def winsorize(df: DataFrame, keyCols: Seq[String], valCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    require(!df.columns.contains("_w_lo") && !df.columns.contains("_w_hi"),
+      "input already has internal column _w_lo/_w_hi")
+    val bounds = df.groupBy(keyCols.map(col): _*).agg(
+      percentile(col(valCol), lit(pLo)).as("_w_lo"),
+      percentile(col(valCol), lit(pHi)).as("_w_hi"))
+    df.join(broadcast(bounds), keyCols, "inner")
+      .withColumn(valCol,
+        greatest(least(col(valCol), col("_w_hi")), col("_w_lo")))
+      .drop("_w_lo", "_w_hi")
+  }
 
   // --- S8 persistence (JSON instead of joblib pickle) ---
 
@@ -150,6 +209,8 @@ object Scalers {
     val cols = arr("cols").map(_.stripPrefix("\"").stripSuffix("\""))
     if (txt.contains("\"kind\":\"minmax\""))
       MinMaxScaler(cols, nums("min"), nums("max"))
+    else if (txt.contains("\"kind\":\"robust\""))
+      RobustScaler(cols, nums("median"), nums("iqr"))
     else StandardScaler(cols, nums("mean"), nums("std"))
   }
 }

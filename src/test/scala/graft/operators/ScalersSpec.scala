@@ -50,4 +50,39 @@ class ScalersSpec extends SparkSpec {
   test("unknown scaler kind is rejected") {
     intercept[IllegalArgumentException] { Scalers.fit(df, "banana", Seq("a")) }
   }
+
+  test("robust: (x-median)/IQR with interpolated quantiles; zero-IQR -> /1") {
+    // a = 0,5,10: median 5, q25 = 2.5, q75 = 7.5 (numpy linear interp)
+    val s = Scalers.fitRobust(df, Seq("a", "c"))
+    assert(s.medians == Seq(5.0, 7.0))
+    assert(s.iqrs == Seq(5.0, 0.0))
+    val t = s.transform(df).orderBy("b").collect()
+    assert(t.map(_.getDouble(0)).toSeq == Seq(-1.0, 0.0, 1.0))
+    assert(t.map(_.getDouble(2)).toSeq == Seq(0.0, 0.0, 0.0)) // zero-IQR rule
+    // round-trip + JSON persistence
+    val back = s.inverse(s.transform(df)).orderBy("a").collect()
+    assert(back.map(_.getDouble(0)).toSeq == Seq(0.0, 5.0, 10.0))
+    val p = java.nio.file.Files.createTempFile("robust", ".json").toString
+    Scalers.save(s, p)
+    val l = Scalers.load(p).asInstanceOf[Scalers.RobustScaler]
+    assert(l.cols == s.cols && l.medians == s.medians && l.iqrs == s.iqrs)
+  }
+
+  test("winsorize clips to per-group quantiles, leaves the middle intact") {
+    val g = Seq(("a", 0L, 0.0), ("a", 1L, 10.0), ("a", 2L, 20.0),
+      ("a", 3L, 30.0), ("a", 4L, 1000.0),
+      ("b", 5L, -5.0), ("b", 6L, 5.0)).toDF("k", "id", "v")
+    val got = Scalers.winsorize(g, Seq("k"), "v", 0.25, 0.75)
+      .orderBy("id").collect().map(_.getDouble(2))
+    // group a quantiles (n=5): q25 = 10, q75 = 30 -> 0 clips up, 1000 down
+    assert(got.take(5).toSeq == Seq(10.0, 10.0, 20.0, 30.0, 30.0))
+    // group b (n=2): q25 = -2.5, q75 = 2.5
+    assert(got.drop(5).toSeq == Seq(-2.5, 2.5))
+    intercept[IllegalArgumentException] {
+      Scalers.winsorize(g, Seq("k"), "v", 0.9, 0.1) // pLo >= pHi
+    }
+    intercept[IllegalArgumentException] {
+      Scalers.winsorize(g, Seq(), "v", 0.1, 0.9) // keyless
+    }
+  }
 }
