@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming face of the PromQL range-function family
+  * (`graft.operators.Rates`): per-series counter rate and EWMA computed
+  * INCREMENTALLY over an unbounded sample stream, instead of per re-fetched
+  * window the way the reference's 30 s poll loop does
+  * (`realtime_detector.py:159` re-queries `/api/v1/query_range` each
+  * cycle; here each sample is consumed once).
+  *
+  * Both operators are `flatMapGroupsWithState` over the series key:
+  * per-series state is O(1) (a handful of longs/doubles), sharded across
+  * executors like all keyed state — at 100 TB/day of samples the state
+  * size tracks ACTIVE SERIES COUNT, not stream length, and the only
+  * shuffle is the keyed exchange every stateful op pays. Within a
+  * micro-batch, samples are folded in (tsUs, seq) order, so replays and
+  * out-of-order arrival inside a batch are deterministic; cross-batch
+  * regressions in event time are counted as counter resets, same as a
+  * Prometheus scrape target restarting.
+  */
+object StreamingRates {
+
+  /** One input sample: series key, event-time µs, integer milli value,
+    * and a unique tiebreaker (ingest sequence / event id). */
+  final case class Sample(key: String, tsUs: Long, v: Long, seq: Long)
+
+  /** Counter-rate state: last seen sample + running increase + first ts. */
+  final case class RateState(lastTs: Long, lastV: Long, increase: Long,
+                             firstTs: Long)
+
+  /** One emitted rate point: cumulative reset-aware `increase` and the
+    * overall per-second rate since the series' first sample (NaN-free:
+    * zero-span series emit rate 0.0). */
+  final case class RatePoint(key: String, tsUs: Long, v: Long,
+                             increase: Long, ratePerSec: Double)
+
+  /** Prometheus counter semantics, incrementally: a drop means the counter
+    * restarted, so the post-reset value IS the increase (the same rule as
+    * the batch `q_counter_rate`; parity asserted in StreamingRatesSpec).
+    * Emits one [[RatePoint]] per input sample. */
+  def counterRate(samples: Dataset[Sample]): Dataset[RatePoint] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+
+    def update(key: String, batch: Iterator[Sample],
+               state: GroupState[RateState]): Iterator[RatePoint] = {
+      val out = scala.collection.mutable.ArrayBuffer[RatePoint]()
+      var st = state.getOption.orNull
+      batch.toSeq.sortBy(s => (s.tsUs, s.seq)).foreach { s =>
+        st =
+          if (st == null) RateState(s.tsUs, s.v, 0L, s.tsUs)
+          else {
+            val inc = if (s.v < st.lastV) s.v else s.v - st.lastV
+            RateState(s.tsUs, s.v, st.increase + inc, st.firstTs)
+          }
+        val span = st.lastTs - st.firstTs
+        val rate =
+          if (span <= 0L) 0.0 else st.increase * 1000000.0 / span
+        out += RatePoint(key, s.tsUs, s.v, st.increase, rate)
+      }
+      if (st != null) state.update(st)
+      out.iterator
+    }
+
+    samples.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** EWMA state: the unnormalized numerator/denominator of the
+    * adjust=True form (`num = Σ (1−α)^age · x`, `den = Σ (1−α)^age`). */
+  final case class EwmaState(num: Double, den: Double)
+
+  /** One emitted smoothed point (`ewma` in milli-units, like the input). */
+  final case class EwmaPoint(key: String, tsUs: Long, v: Long, ewma: Double)
+
+  /** Streaming EWMA — the EXACT (untruncated) pandas-adjust=True form as a
+    * two-double recurrence: `num ← (1−α)·num + x`, `den ← (1−α)·den + 1`,
+    * `ewma = num/den`. The batch twin (`Rates.ewma`) truncates the same
+    * series at k lags, so the two agree to within `(1−α)^k · range` —
+    * asserted in the spec. Emits one [[EwmaPoint]] per input sample. */
+  def ewma(samples: Dataset[Sample], alpha: Double): Dataset[EwmaPoint] = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val oneMinus = 1.0 - alpha
+
+    def update(key: String, batch: Iterator[Sample],
+               state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
+      val out = scala.collection.mutable.ArrayBuffer[EwmaPoint]()
+      var st = state.getOption.getOrElse(EwmaState(0.0, 0.0))
+      batch.toSeq.sortBy(s => (s.tsUs, s.seq)).foreach { s =>
+        st = EwmaState(oneMinus * st.num + s.v, oneMinus * st.den + 1.0)
+        out += EwmaPoint(key, s.tsUs, s.v, st.num / st.den)
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    samples.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+}

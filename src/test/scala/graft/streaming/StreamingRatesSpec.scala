@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingRatesSpec extends SparkSpec {
+  import StreamingRates._
+
+  // one series with a reset (9 -> 2) and one flat series
+  private val samples = Seq(
+    Sample("a", 1000000L, 5L, 0L), Sample("a", 2000000L, 9L, 1L),
+    Sample("a", 3000000L, 2L, 2L), Sample("a", 5000000L, 7L, 3L),
+    Sample("b", 1000000L, 4L, 4L), Sample("b", 9000000L, 4L, 5L))
+
+  private def driverRate(ss: Seq[Sample]): Seq[RatePoint] = {
+    // reference fold, same reset rule
+    ss.groupBy(_.key).toSeq.flatMap { case (k, g) =>
+      val ordered = g.sortBy(s => (s.tsUs, s.seq))
+      var inc = 0L
+      ordered.zipWithIndex.map { case (s, i) =>
+        if (i > 0) {
+          val prev = ordered(i - 1).v
+          inc += (if (s.v < prev) s.v else s.v - prev)
+        }
+        val span = s.tsUs - ordered.head.tsUs
+        RatePoint(k, s.tsUs, s.v, inc,
+          if (span <= 0) 0.0 else inc * 1000000.0 / span)
+      }
+    }
+  }
+
+  test("counterRate across micro-batches matches the batch fold exactly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Sample]
+    val q = counterRate(input.toDS()).writeStream.format("memory")
+      .queryName("sr1").outputMode(OutputMode.Append()).start()
+    try {
+      // deliver in three batches, out of order WITHIN each batch
+      input.addData(Seq(samples(1), samples(0))) // a: ts2, ts1 shuffled
+      q.processAllAvailable()
+      input.addData(Seq(samples(4), samples(2))) // b starts, a resets
+      q.processAllAvailable()
+      input.addData(Seq(samples(3), samples(5)))
+      q.processAllAvailable()
+      val got = spark.table("sr1").as[RatePoint].collect()
+        .sortBy(p => (p.key, p.tsUs)).toSeq
+      val want = driverRate(samples).sortBy(p => (p.key, p.tsUs))
+      assert(got == want, s"\ngot  $got\nwant $want")
+      // the reset at ts3 contributed v (2), not a negative delta
+      assert(got.find(p => p.key == "a" && p.tsUs == 3000000L)
+        .get.increase == 6L) // 4 (5->9) + 2 (reset)
+    } finally q.stop()
+  }
+
+  test("ewma recurrence is the exact adjust=True form; batch twin agrees within truncation") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val alpha = 0.3; val k = 40
+    val rnd = new scala.util.Random(7)
+    val series = Seq.tabulate(120)(i =>
+      Sample("s", i.toLong * 1000000L, rnd.nextInt(10000).toLong, i.toLong))
+    val input = MemoryStream[Sample]
+    val q = ewma(input.toDS(), alpha).writeStream.format("memory")
+      .queryName("sr2").outputMode(OutputMode.Append()).start()
+    try {
+      series.grouped(50).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      val got = spark.table("sr2").as[EwmaPoint].collect()
+        .sortBy(_.tsUs).map(_.ewma).toSeq
+      // exact driver-side recurrence: bitwise equality
+      var num = 0.0; var den = 0.0
+      val want = series.map { s =>
+        num = (1 - alpha) * num + s.v; den = (1 - alpha) * den + 1.0
+        num / den
+      }
+      assert(got == want)
+      // batch twin (k-truncated closed form) agrees within (1-alpha)^k*range
+      val batch = graft.operators.Rates.ewma(
+          series.toDF("key", "ord", "v", "seq").select("key", "ord", "v"),
+          Seq("key"), Seq("ord"), "v", alpha, k)
+        .orderBy("ord").select("ewma_val").collect().map(_.getDouble(0))
+      val tol = math.pow(1 - alpha, k) * 10000 / 1000.0 + 1e-6
+      got.map(_ / 1000.0).zip(batch).zipWithIndex.foreach {
+        case ((s, b), i) =>
+          assert(math.abs(s - b) <= tol, s"i=$i stream=$s batch=$b tol=$tol")
+      }
+    } finally q.stop()
+  }
+
+  test("alpha domain guard") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Sample]
+    intercept[IllegalArgumentException] { ewma(input.toDS(), 1.0) }
+  }
+}
