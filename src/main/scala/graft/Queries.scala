@@ -896,6 +896,45 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    "q_topk_series" -> ((s, d) => {
+      // PromQL topk(2, sum by (type) (...)) per 1-hour bucket: keyed
+      // aggregate + rank window, deterministic tiebreak on the label.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("hour_bkt").orderBy(col("sum_v").desc,
+          col("event_type"))
+      milliEvents(s, d)
+        .groupBy(expr("ts_us div 3600000000").as("hour_bkt"),
+          col("event_type"))
+        .agg(sum("v").as("sum_v"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .orderBy("hour_bkt", "rk")
+    }),
+
+    "q_label_ops" -> ((s, d) =>
+      // PromQL label_replace / label_join: anchored-regex label rewrite,
+      // label concatenation, and capture-group extraction — pure
+      // projections (codegen'd; zero shuffle at any scale).
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+          regexp_replace(col("event_type"), "^(click|view)$",
+            "interaction").as("kind"),
+          concat_ws("/", lit("events"), col("event_type")).as("series"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).as("k_raw"))
+        .orderBy("event_id")),
+
+    "q_source_cap" -> ((s, d) => {
+      // Curation per-domain cap: keep the top-3 documents per source by
+      // size (quality proxy), deterministic tiebreak — the standard
+      // "no domain dominates the corpus" pipeline stage.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("source", "rk")
+    }),
+
     "q_sessionize" -> ((s, d) =>
       // Gap-based sessionization (30-min inactivity) per user — ONE keyed
       // window for the gaps-and-islands assignment, one keyed aggregate.
@@ -2082,6 +2121,33 @@ object Queries {
          |FROM a ORDER BY event_type""".stripMargin,
 
     "q_ewma" -> ewmaOracleSql,
+
+    "q_topk_series" ->
+      s"""WITH ev AS ($MilliEvSql),
+         |g AS (SELECT ts_us // 3600000000 AS hour_bkt, event_type,
+         |    CAST(sum(v) AS BIGINT) AS sum_v FROM ev GROUP BY 1, 2),
+         |r AS (SELECT hour_bkt, event_type, sum_v, row_number() OVER (
+         |    PARTITION BY hour_bkt ORDER BY sum_v DESC, event_type) AS rk
+         |  FROM g)
+         |SELECT hour_bkt, event_type, sum_v, CAST(rk AS INTEGER) AS rk
+         |FROM r WHERE rk <= 2
+         |ORDER BY hour_bkt, rk""".stripMargin,
+
+    "q_label_ops" ->
+      s"""SELECT event_id, event_type,
+         |  regexp_replace(event_type, '^(click|view)$$', 'interaction')
+         |    AS kind,
+         |  concat_ws('/', 'events', event_type) AS series,
+         |  regexp_extract(props, '"k":\\s*(\\d+)', 1) AS k_raw
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_source_cap" ->
+      s"""WITH r AS (SELECT doc_id, source, n_chars, row_number() OVER (
+         |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, source, n_chars, CAST(rk AS INTEGER) AS rk
+         |FROM r WHERE rk <= 3
+         |ORDER BY source, rk""".stripMargin,
 
     "q_quantile_ot" ->
       s"""WITH ev AS ($MilliEvSql)
