@@ -229,6 +229,59 @@ class PlanGuardSpec extends SparkSpec {
       }
   }
 
+  test("round-7 PromQL/curation contracts: single-shuffle windows, broadcast bounds") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    def nodesOf(q: String): Seq[SparkPlan] =
+      allNodes(Queries.queries(q)(spark, dir).queryExecution.executedPlan)
+    def hashExchanges(nodes: Seq[SparkPlan]): Int = nodes.count {
+      case e: ShuffleExchangeExec =>
+        e.outputPartitioning.isInstanceOf[HashPartitioning]
+      case _ => false
+    }
+    def hasJoin(nodes: Seq[SparkPlan]): Boolean =
+      nodes.exists(_.nodeName.toLowerCase.contains("join"))
+
+    // q_deriv_predict: the keyed aggregate must REUSE the window's hash
+    // exchange — one hash shuffle total (the final orderBy is a range
+    // exchange, not counted), and no join anywhere
+    // (at sf0.001 the single-partition scan satisfies the clustered
+    // distribution outright, so 0 exchanges is also a pass — the contract
+    // is "never MORE than one")
+    val dp = nodesOf("q_deriv_predict")
+    assert(hashExchanges(dp) <= 1,
+      s"q_deriv_predict hash shuffles > 1: ${dp.map(_.nodeName).distinct}")
+    assert(!hasJoin(dp), s"q_deriv_predict grew a join")
+
+    // q_over_time / q_ewma / q_quantile_ot: ONE keyed window pass — a
+    // single hash exchange, no join, no aggregate exchange
+    Seq("q_over_time", "q_ewma", "q_quantile_ot").foreach { q =>
+      val nodes = nodesOf(q)
+      assert(hashExchanges(nodes) <= 1,
+        s"$q hash shuffles > 1: ${nodes.map(_.nodeName).distinct}")
+      assert(!hasJoin(nodes), s"$q grew a join")
+    }
+
+    // q_winsorize: per-group bounds must come back as a BROADCAST hash
+    // join — the fact table itself never shuffles for the clip
+    val wz = nodesOf("q_winsorize")
+    assert(wz.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"q_winsorize lost the broadcast bounds join: " +
+        wz.map(_.nodeName).distinct.mkString(","))
+    assert(!wz.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "q_winsorize bounds join degraded to sort-merge (fact-table shuffle)")
+
+    // q_label_ops: pure projection — no shuffle other than the final
+    // sort's range exchange, no aggregate, no join
+    val lo = nodesOf("q_label_ops")
+    assert(hashExchanges(lo) == 0 && !hasJoin(lo),
+      s"q_label_ops stopped being projection-only: " +
+        lo.map(_.nodeName).distinct.mkString(","))
+  }
+
   test("hot scan-shaped queries run inside WholeStageCodegen") {
     // codegen stages (`*(n)` markers) only appear once AQE finalizes the
     // plan, so run the query (cheap at sf0.001) and inspect the final plan
