@@ -863,6 +863,23 @@ object Queries {
         .orderBy("event_type")
     }),
 
+    "q_rate_window" -> ((s, d) => {
+      // The true PromQL rate(v[15m]) shape (reference config.yaml:17):
+      // reset-aware increase over a trailing RANGE frame + per-second
+      // rate over the frame's actual sample span, at every sample.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ts_us", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val ctr = milliEvents(s, d)
+        .withColumn("ctr", pmod(sum("v").over(w), lit(100000L)))
+        .drop("v")
+      graft.operators.Rates.rateWindow(ctr, Seq("event_type"), "ts_us",
+          "ctr", tieCol = "event_id", rangeUs = 900000000L)
+        .orderBy("event_id")
+    }),
+
     "q_delta_irate" -> ((s, d) =>
       // PromQL delta()/idelta()/irate(): gauge endpoints per series — last
       // minus first, last minus penultimate, and the last-two-samples
@@ -2096,6 +2113,29 @@ object Queries {
          |  CAST(sum(CASE WHEN ctr <> prev THEN 1 ELSE 0 END) AS BIGINT)
          |    AS changes
          |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_rate_window" ->
+      s"""WITH ev AS ($MilliEvSql),
+         |c AS (SELECT event_type, ts_us, event_id,
+         |    CAST(((sum(v) OVER (PARTITION BY event_type
+         |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING))
+         |      % 100000 + 100000) % 100000 AS BIGINT) AS ctr
+         |  FROM ev),
+         |i AS (SELECT event_type, ts_us, event_id, ctr,
+         |    CASE WHEN prev IS NULL THEN 0
+         |         WHEN ctr < prev THEN ctr ELSE ctr - prev END AS inc
+         |  FROM (SELECT event_type, ts_us, event_id, ctr, lag(ctr) OVER (
+         |      PARTITION BY event_type ORDER BY ts_us, event_id) AS prev
+         |    FROM c))
+         |SELECT event_type, ts_us, event_id, ctr,
+         |  CAST(sum(inc) OVER w AS BIGINT) AS increase_w,
+         |  round(CAST(sum(inc) OVER w AS BIGINT) * 1000000.0
+         |    / nullif(CAST(ts_us - min(ts_us) OVER w AS DOUBLE), 0.0), 6)
+         |    AS rate_w
+         |FROM i
+         |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+         |  RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
 
     "q_delta_irate" ->
       s"""WITH ev AS ($MilliEvSql),

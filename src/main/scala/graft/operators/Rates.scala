@@ -129,6 +129,37 @@ object Rates {
         col("predict_val")): _*)
   }
 
+  /** The true windowed `rate(v[t])` / `increase(v[t])` form — the exact
+    * shape of the reference's collection queries (config.yaml:17): at
+    * every sample, the reset-aware counter increase summed over the
+    * trailing `[ts − rangeUs, ts]` frame and its per-second rate over the
+    * frame's actual sample span. Two window passes over ONE keyed
+    * exchange (per-step increments vs the previous sample, then the
+    * RANGE-frame sum + frame-start timestamp); integer-exact until the
+    * final division. A key's first sample contributes increment 0 (no
+    * predecessor), and single-sample frames emit NULL rate (zero span) —
+    * SQL division-null semantics, mirrored by the oracle. */
+  def rateWindow(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
+                 intCol: String, tieCol: String, rangeUs: Long): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(rangeUs > 0, "rangeUs must be positive")
+    requireAbsent(df, Seq("_inc", "_ts_first", "increase_w", "rate_w"))
+    val wRow = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsUsCol), col(tieCol))
+    val wRange = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsUsCol)).rangeBetween(-rangeUs, 0L)
+    val v = col(intCol)
+    val prev = lag(v, 1).over(wRow)
+    df.withColumn("_inc", when(prev.isNull, lit(0L))
+        .when(v < prev, v).otherwise(v - prev))
+      .withColumn("increase_w", sum(col("_inc")).over(wRange))
+      .withColumn("_ts_first", min(col(tsUsCol)).over(wRange))
+      .withColumn("rate_w", round(col("increase_w") * lit(1000000.0) /
+        nullif((col(tsUsCol) - col("_ts_first")).cast("double"), lit(0.0)),
+        6))
+      .drop("_inc", "_ts_first")
+  }
+
   /** PromQL `resets()` and `changes()` over an integer series: per key,
     * how many adjacent-sample drops (counter restarts) and how many
     * adjacent-sample value changes. `ordCols` must totally order samples

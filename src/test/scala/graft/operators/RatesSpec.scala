@@ -118,6 +118,66 @@ class RatesSpec extends SparkSpec {
     assert(got.head == 5.0)
   }
 
+  test("rateWindow: frame increase is reset-aware, rate spans the frame") {
+    // one key: ctr 5, 9, 2(reset), 7 at ts 0s, 10s, 20s, 40s; range 25s
+    val df = Seq(("a", 0L, 0L, 5L), ("a", 10000000L, 1L, 9L),
+      ("a", 20000000L, 2L, 2L), ("a", 40000000L, 3L, 7L))
+      .toDF("k", "ts_us", "id", "c")
+    val got = Rates.rateWindow(df, Seq("k"), "ts_us", "c", "id",
+        rangeUs = 25000000L)
+      .orderBy("id").select("increase_w", "rate_w").collect()
+    // increments: 0, 4, 2 (reset -> post-reset value), 5
+    // frames (25s trailing): [0], [0,10], [0,10,20], [20,40]
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 4L, 6L, 7L))
+    assert(got(0).isNullAt(1)) // single-sample frame: zero span
+    assert(math.abs(got(1).getDouble(1) - 0.4) < 1e-9)  // 4 / 10s
+    assert(math.abs(got(2).getDouble(1) - 0.3) < 1e-9)  // 6 / 20s
+    assert(math.abs(got(3).getDouble(1) - 0.35) < 1e-9) // 7 / 20s
+  }
+
+  test("overTime and rateWindow match brute force on random series") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(400) { i =>
+      val key = s"k${rnd.nextInt(3)}"
+      // clustered timestamps so frames vary from 1 to many samples
+      val ts = rnd.nextInt(2000).toLong * 1000000L
+      (key, ts, i.toLong, rnd.nextInt(1000).toLong)
+    }
+    val df = rows.toDF("k", "ts_us", "id", "v")
+    val range = 60000000L // 60 s
+
+    val ot = Rates.overTime(df, Seq("k"), "ts_us", "v", range)
+      .select("id", "cnt_ot", "sum_ot").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((k, ts, id, _) <- rows) {
+      val frame = rows.filter(x => x._1 == k && x._2 >= ts - range &&
+        x._2 <= ts)
+      assert(ot(id) == ((frame.length.toLong, frame.map(_._4).sum)),
+        s"overTime id=$id")
+    }
+
+    val rw = Rates.rateWindow(df, Seq("k"), "ts_us", "v", "id", range)
+      .select("id", "increase_w").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byKey = rows.groupBy(_._1).map { case (k, g) =>
+      k -> g.sortBy(x => (x._2, x._3))
+    }
+    for ((k, ts, id, _) <- rows) {
+      val ordered = byKey(k)
+      val incs = ordered.zipWithIndex.map { case (x, i) =>
+        if (i == 0) 0L
+        else {
+          val p = ordered(i - 1)._4
+          if (x._4 < p) x._4 else x._4 - p
+        }
+      }
+      val want = ordered.zip(incs)
+        .filter { case (x, _) => x._2 >= ts - range && x._2 <= ts }
+        .map(_._2).sum
+      assert(rw(id) == want, s"rateWindow id=$id")
+    }
+  }
+
   test("ewmaWeights is the (1-alpha)^j ladder") {
     val ws = Rates.ewmaWeights(0.5, 4)
     assert(ws == Seq(1.0, 0.5, 0.25, 0.125))
