@@ -79,6 +79,35 @@ object ScaleProbe {
           replicate(docs, m, Seq("doc_id"), 1L << 40, None),
           "doc_id", "text").count()
       }
+      // PromQL function family: keyed by user_id so the SERIES COUNT
+      // scales with replication (the Prometheus operating regime —
+      // cardinality grows, per-series density stays fixed)
+      time("rates_over_time", m) {
+        graft.operators.Rates.overTime(
+          ev.select(col("user_id"), col("ts_us"),
+            expr("cast(round(value * 1000) as long)").as("v")),
+          Seq("user_id"), "ts_us", "v", rangeUs = 900000000L).count()
+      }
+      time("rates_deriv_predict", m) {
+        graft.operators.Rates.derivPredict(
+          ev.select(col("user_id"), col("ts_us"),
+            expr("cast(round(value * 1000) as long)").as("v")),
+          Seq("user_id"), "ts_us", "v", horizonSec = 3600L).count()
+      }
+      time("rates_rate_window", m) {
+        graft.operators.Rates.rateWindow(
+          ev.select(col("user_id"), col("ts_us"), col("event_id"),
+            expr("cast(round(value * 1000) as long)").as("v")),
+          Seq("user_id"), "ts_us", "v", "event_id",
+          rangeUs = 900000000L).count()
+      }
+      time("rates_ewma_k40", m) {
+        graft.operators.Rates.ewma(
+          ev.select(col("user_id"), col("ts_us"), col("event_id"),
+            expr("cast(round(value * 1000) as long)").as("v")),
+          Seq("user_id"), Seq("ts_us", "event_id"), "v",
+          alpha = 0.3, k = 40).count()
+      }
       time("windows_partitioned", m) {
         val series = ev.filter(col("event_type") === "click")
           .groupBy(expr("ts_us div 60000000").as("ts_min"))
