@@ -86,6 +86,47 @@ object Queries {
   private val EwmaAlpha = 0.3
   private val EwmaK = 40
 
+  // q_holt_winters smoothing/trend factors (Prometheus sf/tf)
+  private val HwSf = 0.3
+  private val HwTf = 0.1
+
+  /** Generated q_holt_winters oracle: DuckDB replays the Prometheus
+    * double-smoothing recurrence as a RECURSIVE CTE (one step per rank),
+    * with sf/tf AND their Scala-computed complements embedded via
+    * Double.toString — every fp op in the identical order as the
+    * mapPartitions fold, so ~1300 chained steps stay bit-equal. */
+  private def holtWintersOracleSql: String = {
+    val sf = HwSf.toString; val omSf = (1.0 - HwSf).toString
+    val tf = HwTf.toString; val omTf = (1.0 - HwTf).toString
+    val sRec = s"$sf * m.v + $omSf * (hw.s + hw.b)"
+    s"""WITH RECURSIVE m AS (
+       |  SELECT event_type, ts_bkt, v, CAST(row_number() OVER (
+       |      PARTITION BY event_type ORDER BY ts_bkt) AS BIGINT) AS rn
+       |  FROM (SELECT ts_us // 600000000 AS ts_bkt, event_type,
+       |      round(avg(value), 6) AS v FROM ($EvSql) GROUP BY 1, 2)),
+       |hw AS (
+       |  SELECT event_type, ts_bkt, rn, v, s,
+       |    $tf * (s - x0) + $omTf * b0 AS b
+       |  FROM (SELECT m2.event_type, m2.ts_bkt, m2.rn, m2.v, m1.v AS x0,
+       |      (m2.v - m1.v) AS b0,
+       |      $sf * m2.v + $omSf * (m1.v + (m2.v - m1.v)) AS s
+       |    FROM m m2 JOIN m m1 ON m1.event_type = m2.event_type
+       |      AND m1.rn = 1 WHERE m2.rn = 2)
+       |  UNION ALL
+       |  SELECT m.event_type, m.ts_bkt, m.rn, m.v,
+       |    $sRec AS s,
+       |    $tf * (($sRec) - hw.s) + $omTf * hw.b AS b
+       |  FROM hw JOIN m ON m.event_type = hw.event_type
+       |    AND m.rn = hw.rn + 1)
+       |SELECT event_type, ts_bkt, v, CAST(NULL AS DOUBLE) AS hw_level,
+       |  CAST(NULL AS DOUBLE) AS hw_trend
+       |FROM m WHERE rn = 1
+       |UNION ALL
+       |SELECT event_type, ts_bkt, v, round(s, 6) AS hw_level,
+       |  round(b, 6) AS hw_trend FROM hw
+       |ORDER BY event_type, ts_bkt""".stripMargin
+  }
+
   /** Generated q_ewma oracle: the bounded-lag closed form with weight
     * literals emitted via Double.toString (shortest round-trip repr —
     * DuckDB parses back the identical double). Term order and association
@@ -898,6 +939,17 @@ object Queries {
           Seq("ts_us", "event_id"), "v", alpha = EwmaAlpha, k = EwmaK)
         .select("event_type", "ts_us", "event_id", "v", "ewma_val")
         .orderBy("event_id")),
+
+    "q_holt_winters" -> ((s, d) =>
+      // PromQL holt_winters (level+trend smoothing), the Prometheus
+      // recurrence exactly, as a single-shuffle streaming fold — the
+      // scalable per-key-recurrence shape (Rates.holtWinters).
+      graft.operators.Rates.holtWinters(tenMinLong(s, d), "event_type",
+          "ts_bkt", "v", sf = HwSf, tf = HwTf)
+        .select(col("event_type"), col("ts_bkt"), col("v"),
+          round(col("hw_level"), 6).as("hw_level"),
+          round(col("hw_trend"), 6).as("hw_trend"))
+        .orderBy("event_type", "ts_bkt")),
 
     "q_quantile_ot" -> ((s, d) => {
       // PromQL quantile_over_time: exact trailing-50-sample median per
@@ -2188,6 +2240,8 @@ object Queries {
          |SELECT doc_id, source, n_chars, CAST(rk AS INTEGER) AS rk
          |FROM r WHERE rk <= 3
          |ORDER BY source, rk""".stripMargin,
+
+    "q_holt_winters" -> holtWintersOracleSql,
 
     "q_quantile_ot" ->
       s"""WITH ev AS ($MilliEvSql)

@@ -254,4 +254,59 @@ object Rates {
     * double literals reach both the Spark plan and the SQL oracle text. */
   def ewmaWeights(alpha: Double, k: Int): Seq[Double] =
     Iterator.iterate(1.0)(_ * (1.0 - alpha)).take(k).toSeq
+
+  /** PromQL `holt_winters()` — double (level + trend) exponential
+    * smoothing, the Prometheus recurrence exactly (s₀ = x₀,
+    * b₀ = x₁ − x₀; sᵢ = sf·xᵢ + (1−sf)(sᵢ₋₁ + bᵢ₋₁);
+    * bᵢ = tf·(sᵢ − sᵢ₋₁) + (1−tf)·bᵢ₋₁). A per-key recurrence can't be a
+    * window expression, so this is the scalable sequential shape:
+    * `repartition(key)` + `sortWithinPartitions(key, ts)` +
+    * ONE streaming `mapPartitions` fold — a single shuffle, no per-group
+    * in-memory materialization (the external sort spills; the fold is
+    * O(1) state per key), keys sharded across executors. Per-key sample
+    * counts are unbounded.
+    *
+    * Emits `(key, ts, x, hw_level, hw_trend)`; each key's FIRST row has
+    * NULL level/trend (the recurrence needs two samples to initialize —
+    * Prometheus likewise requires ≥ 2 points). `tsCol` must be unique
+    * within a key (pre-aggregate ties away — the bucketed series this
+    * operates on already are). sf/tf are the smoothing/trend factors in
+    * (0, 1); `1−sf`/`1−tf` are computed ONCE here so the oracle text can
+    * embed the identical double constants. */
+  def holtWinters(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, sf: Double, tf: Double): DataFrame = {
+    require(sf > 0.0 && sf < 1.0, "sf must be in (0, 1)")
+    require(tf > 0.0 && tf < 1.0, "tf must be in (0, 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val omSf = 1.0 - sf
+    val omTf = 1.0 - tf
+    val out = df
+      .select(col(keyCol).cast("string"), col(tsCol).cast("long"),
+        col(valCol).cast("double"))
+      .as[(String, Long, Double)]
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var n = 0L
+        var prevS = 0.0
+        var prevB = 0.0
+        it.map { case (k, ts, x) =>
+          if (k != curKey) { curKey = k; n = 0L }
+          n += 1
+          if (n == 1L) {
+            prevS = x; prevB = 0.0
+            (k, ts, x, Option.empty[Double], Option.empty[Double])
+          } else {
+            if (n == 2L) prevB = x - prevS // b0 = x1 - x0
+            val s = sf * x + omSf * (prevS + prevB)
+            val b = tf * (s - prevS) + omTf * prevB
+            prevS = s; prevB = b
+            (k, ts, x, Some(s), Some(b))
+          }
+        }
+      }
+    out.toDF(keyCol, tsCol, valCol, "hw_level", "hw_trend")
+  }
 }

@@ -103,4 +103,51 @@ object StreamingRates {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(update)
   }
+
+  /** Holt-Winters state: sample count + previous level/trend. */
+  final case class HwState(n: Long, s: Double, b: Double)
+
+  /** One smoothed point; level/trend are NaN-free options — the first
+    * sample of a series emits `None` (recurrence needs two points). */
+  final case class HwPoint(key: String, tsUs: Long, v: Long,
+                           level: Option[Double], trend: Option[Double])
+
+  /** Streaming `holt_winters()` — the same Prometheus recurrence as the
+    * batch `Rates.holtWinters`, folded incrementally with three scalars of
+    * state per series (exact batch parity asserted in the spec: identical
+    * fp op order, so the match is bitwise across micro-batches). */
+  def holtWinters(samples: Dataset[Sample], sf: Double,
+                  tf: Double): Dataset[HwPoint] = {
+    require(sf > 0.0 && sf < 1.0, "sf must be in (0, 1)")
+    require(tf > 0.0 && tf < 1.0, "tf must be in (0, 1)")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val omSf = 1.0 - sf
+    val omTf = 1.0 - tf
+
+    def update(key: String, batch: Iterator[Sample],
+               state: GroupState[HwState]): Iterator[HwPoint] = {
+      val out = scala.collection.mutable.ArrayBuffer[HwPoint]()
+      var st = state.getOption.getOrElse(HwState(0L, 0.0, 0.0))
+      batch.toSeq.sortBy(s => (s.tsUs, s.seq)).foreach { smp =>
+        val x = smp.v.toDouble
+        st =
+          if (st.n == 0L) HwState(1L, x, 0.0)
+          else {
+            val b0 = if (st.n == 1L) x - st.s else st.b
+            val s1 = sf * x + omSf * (st.s + b0)
+            val b1 = tf * (s1 - st.s) + omTf * b0
+            HwState(st.n + 1L, s1, b1)
+          }
+        out += (if (st.n == 1L) HwPoint(key, smp.tsUs, smp.v, None, None)
+                else HwPoint(key, smp.tsUs, smp.v, Some(st.s), Some(st.b)))
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    samples.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
 }

@@ -178,6 +178,46 @@ class RatesSpec extends SparkSpec {
     }
   }
 
+  test("holtWinters matches the driver-side Prometheus recurrence exactly") {
+    val rnd = new scala.util.Random(11)
+    // 7 keys so key boundaries cross the 4 shuffle partitions
+    val rows = (0 until 7).flatMap { k =>
+      val n = 1 + rnd.nextInt(60) // includes single-sample keys
+      Seq.tabulate(n)(i => (s"k$k", i.toLong, rnd.nextDouble() * 100))
+    }
+    val got = Rates.holtWinters(rows.toDF("k", "ts", "x"), "k", "ts", "x",
+        sf = 0.3, tf = 0.1)
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+      val ordered = g.sortBy(_._2)
+      var s = 0.0; var b = 0.0
+      ordered.zipWithIndex.map { case ((_, ts, x), i) =>
+        if (i == 0) { s = x; b = 0.0; (k, ts, None, None) }
+        else {
+          if (i == 1) b = x - s
+          val s1 = 0.3 * x + 0.7 * (s + b)
+          val b1 = 0.1 * (s1 - s) + 0.9 * b
+          s = s1; b = b1
+          (k, ts, Some(s1), Some(b1))
+        }
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want) // bitwise: same fold, same op order
+  }
+
+  test("holtWinters rejects out-of-range factors") {
+    val df = Seq(("a", 1L, 2.0)).toDF("k", "ts", "x")
+    intercept[IllegalArgumentException] {
+      Rates.holtWinters(df, "k", "ts", "x", 1.0, 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Rates.holtWinters(df, "k", "ts", "x", 0.3, 0.0)
+    }
+  }
+
   test("ewmaWeights is the (1-alpha)^j ladder") {
     val ws = Rates.ewmaWeights(0.5, 4)
     assert(ws == Seq(1.0, 0.5, 0.25, 0.125))

@@ -90,6 +90,35 @@ class StreamingRatesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming holtWinters matches the batch fold bitwise across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val series = Seq.tabulate(90)(i =>
+      Sample(s"s${i % 2}", (i / 2).toLong * 1000000L,
+        rnd.nextInt(10000).toLong, i.toLong))
+    val input = MemoryStream[Sample]
+    val q = holtWinters(input.toDS(), sf = 0.3, tf = 0.1)
+      .writeStream.format("memory").queryName("sr3")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      series.grouped(40).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      val got = spark.table("sr3").as[HwPoint].collect()
+        .sortBy(p => (p.key, p.tsUs)).toSeq
+      val batch = graft.operators.Rates.holtWinters(
+          series.toDF("key", "tsUs", "v", "seq"), "key", "tsUs", "v",
+          sf = 0.3, tf = 0.1)
+        .orderBy("key", "tsUs").collect()
+        .map(r => HwPoint(r.getString(0), r.getLong(1),
+          r.getDouble(2).toLong,
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("alpha domain guard") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
