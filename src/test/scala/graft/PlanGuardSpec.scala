@@ -263,6 +263,19 @@ class PlanGuardSpec extends SparkSpec {
       assert(!hasJoin(nodes), s"$q grew a join")
     }
 
+    // q_rate_window: two window passes over ONE keyed exchange
+    val rwNodes = nodesOf("q_rate_window")
+    assert(hashExchanges(rwNodes) <= 1,
+      s"q_rate_window hash shuffles > 1: ${rwNodes.map(_.nodeName).distinct}")
+    assert(!hasJoin(rwNodes), "q_rate_window grew a join")
+
+    // q_holt_winters: the recurrence fold is ONE repartition exchange —
+    // no join, no window, no aggregate beyond the source bucketing
+    val hwNodes = nodesOf("q_holt_winters")
+    assert(hashExchanges(hwNodes) <= 2, // source 10-min agg + repartition
+      s"q_holt_winters hash shuffles > 2: ${hwNodes.map(_.nodeName).distinct}")
+    assert(!hasJoin(hwNodes), "q_holt_winters grew a join")
+
     // q_winsorize: per-group bounds must come back as a BROADCAST hash
     // join — the fact table itself never shuffles for the clip
     val wz = nodesOf("q_winsorize")
