@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
+import scala.jdk.CollectionConverters._
 
 class StreamingRatesSpec extends SparkSpec {
   import StreamingRates._
@@ -117,6 +118,36 @@ class StreamingRatesSpec extends SparkSpec {
           if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
       assert(got == batch)
     } finally q.stop()
+  }
+
+  test("counter state survives a checkpointed restart") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_rates_ckpt").toString
+    val input = MemoryStream[Sample]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long,
+      Seq[RatePoint]]()
+    def start() = counterRate(input.toDS())
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[RatePoint], bid: Long) =>
+          got.put(bid, ds.collect().toSeq); ()
+      }.start()
+    val q1 = start()
+    try {
+      input.addData(Seq(Sample("a", 1000000L, 5L, 0L),
+        Sample("a", 2000000L, 9L, 1L)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a reset arrives while the query is down
+    input.addData(Seq(Sample("a", 3000000L, 2L, 2L)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val pts = got.values().asScala.flatten.toSeq.sortBy(_.tsUs)
+    // the restarted query still knows lastV=9: increase 4 (5->9) + 2 (reset)
+    assert(pts.map(_.increase) == Seq(0L, 4L, 6L), pts.toString)
   }
 
   test("alpha domain guard") {
