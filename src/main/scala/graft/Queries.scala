@@ -965,6 +965,23 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    "q_absent_gaps" -> ((s, d) => {
+      // PromQL absent() analog: the missing-bucket RUNS inside each
+      // series' own extent — distinct (series, bucket) collapse, then
+      // gaps-and-islands on one keyed window (lag diff > 1 ⇒ a gap run
+      // of bkt − prev − 1 buckets starting at prev + 1). Integer-exact.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bkt")
+      Tables.events(s, d)
+        .select(col("event_type"), expr("ts_us div 600000000").as("bkt"))
+        .distinct()
+        .withColumn("prev", lag("bkt", 1).over(w))
+        .filter(col("prev").isNotNull && col("bkt") - col("prev") > 1)
+        .select(col("event_type"), (col("prev") + 1).as("gap_start"),
+          (col("bkt") - col("prev") - 1).as("gap_len"))
+        .orderBy("event_type", "gap_start")
+    }),
+
     "q_topk_series" -> ((s, d) => {
       // PromQL topk(2, sum by (type) (...)) per 1-hour bucket: keyed
       // aggregate + rank window, deterministic tiebreak on the label.
@@ -2213,6 +2230,16 @@ object Queries {
          |FROM a ORDER BY event_type""".stripMargin,
 
     "q_ewma" -> ewmaOracleSql,
+
+    "q_absent_gaps" ->
+      s"""WITH b AS (SELECT DISTINCT event_type,
+         |    epoch_us(ts) // 600000000 AS bkt FROM events),
+         |l AS (SELECT event_type, bkt, lag(bkt) OVER (
+         |    PARTITION BY event_type ORDER BY bkt) AS prev FROM b)
+         |SELECT event_type, prev + 1 AS gap_start,
+         |  bkt - prev - 1 AS gap_len
+         |FROM l WHERE prev IS NOT NULL AND bkt - prev > 1
+         |ORDER BY event_type, gap_start""".stripMargin,
 
     "q_topk_series" ->
       s"""WITH ev AS ($MilliEvSql),
