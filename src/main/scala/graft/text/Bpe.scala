@@ -68,8 +68,69 @@ object Bpe {
       .agg(sum("n_sym").as("bpe_tokens"), count(lit(1)).as("n_words"))
   }
 
-  /** Run up to `n` merge rounds; stops early when no pair remains. */
+  /** Word-count rows up to which [[train]] collects the vocabulary and
+    * folds the merge rounds driver-side (a distinct-word table is bounded
+    * — it saturates in the low millions regardless of corpus size — and
+    * 200k comma-form words are a few MB). Above it, the distributed
+    * per-round aggregation loop runs. The same two-tier rule as
+    * `TextStats.ContaminationInSetLimit`. */
+  val DriverVocabLimit: Int = 200000
+
+  /** Run up to `n` merge rounds; stops early when no pair remains.
+    * Two-tier on the vocabulary's actual size: driver fold under
+    * [[DriverVocabLimit]] (the common case — measured 2.4 s → ~0.4 s for
+    * the 8-round train at sf0.1), distributed loop above it. Both tiers
+    * are the same algorithm to the tiebreak (parity-asserted in BpeSpec):
+    * adjacent-pair counts weighted by word frequency, argmax by
+    * (count desc, pair asc), one global non-overlapping left-to-right
+    * replace per round. */
   def train(words0: DataFrame, n: Int): Seq[Merge] = {
+    val probe = words0.limit(DriverVocabLimit + 1).collect()
+    if (probe.length <= DriverVocabLimit)
+      trainLocal(probe.map(r => (r.getString(0), r.getLong(1))), n)
+    else trainDistributed(words0, n)
+  }
+
+  /** Driver tier: identical fold over the collected vocabulary. ASCII
+    * symbols make Scala's string order equal UTF8String binary order, so
+    * the (count desc, pair asc) tiebreak matches the distributed tier
+    * exactly; `String.replace` is the same non-overlapping left-to-right
+    * rule as Spark's `replace`. */
+  private[text] def trainLocal(words0: Array[(String, Long)],
+                               n: Int): Seq[Merge] = {
+    var words = words0
+    val out = scala.collection.mutable.ArrayBuffer[Merge]()
+    var step = 1
+    var done = false
+    while (step <= n && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (s, cnt) =>
+        val syms = s.split(",").filter(_.nonEmpty)
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = syms(i) + " " + syms(i + 1)
+          counts.update(p, counts.getOrElse(p, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (p, c) = counts.minBy { case (k, v) => (-v, k) }
+        out += Merge(step, p, c)
+        val Array(a, b) = p.split(" ")
+        words = words.map { case (s, cnt) =>
+          (s.replace(s",$a,,$b,", s",$a$b,"), cnt)
+        }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Distributed tier: per round one pair-count aggregation + a map-only
+    * merge application over the persisted word table. */
+  private[text] def trainDistributed(words0: DataFrame,
+                                     n: Int): Seq[Merge] = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var words = words0.persist(sl)
     val out = scala.collection.mutable.ArrayBuffer[Merge]()

@@ -34,4 +34,30 @@ class BpeSpec extends SparkSpec {
     // the lexicographic tiebreak ('_' < 'a')
     assert(merges(1) == (2, "aa _", 2L), merges.toString)
   }
+
+  test("driver tier and distributed tier produce identical merges") {
+    // richer corpus so ties and multi-round interactions are exercised
+    val docs = Seq(
+      "the cat sat on the mat", "the cat ate the rat",
+      "low lower lowest", "banana bandana ananas",
+      "mississippi missive permission").toDF("text")
+    val words = Bpe.wordTable(docs, "text")
+    val local = Bpe.trainLocal(
+      words.collect().map(r => (r.getString(0), r.getLong(1))), 8)
+    val dist = Bpe.trainDistributed(words, 8)
+    assert(local == dist,
+      s"tier divergence:\nlocal $local\ndist  $dist")
+    // and the public train() at this size routes to the driver tier
+    assert(Bpe.train(words, 8) == local)
+  }
+
+  test("early stop when merges exhaust every pair, both tiers") {
+    // one word "a": round 1 merges 'a _' -> the word is ONE symbol ->
+    // round 2 finds no pair and stops, well before the 5-round budget
+    val docs = Seq("a").toDF("text")
+    val words = Bpe.wordTable(docs, "text")
+    val want = Seq(Bpe.Merge(1, "a _", 1L))
+    assert(Bpe.train(words, 5) == want)
+    assert(Bpe.trainDistributed(words, 5) == want)
+  }
 }
