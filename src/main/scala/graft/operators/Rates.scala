@@ -54,7 +54,9 @@ object Rates {
     * `sum_ot` (long, milli), and `avg_ot`/`std_ot`/`min_ot`/`max_ot`
     * (doubles in original units, 6 dp). Ties at one `tsUsCol` value all
     * join the frame (RANGE semantics), so the result is deterministic
-    * under any tie order. */
+    * under any tie order. Long envelope: the squared-sum holds to ~9e18 —
+    * milli-values ≤ 5e4 keep it exact through per-key frames of ~3e9
+    * samples; beyond that, escalate `sumsq_ot` to decimal(38,0). */
   def overTime(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
                milliCol: String, rangeUs: Long): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty (keyless range " +
@@ -270,7 +272,10 @@ object Rates {
     * NULL level/trend (the recurrence needs two samples to initialize —
     * Prometheus likewise requires ≥ 2 points). `tsCol` must be unique
     * within a key (pre-aggregate ties away — the bucketed series this
-    * operates on already are). sf/tf are the smoothing/trend factors in
+    * operates on already are), and `valCol` must be non-null (the typed
+    * fold's primitive encoder rejects nulls loudly — drop or impute
+    * upstream, exactly as Prometheus scrapes never carry null samples).
+    * sf/tf are the smoothing/trend factors in
     * (0, 1); `1−sf`/`1−tf` are computed ONCE here so the oracle text can
     * embed the identical double constants. */
   def holtWinters(df: DataFrame, keyCol: String, tsCol: String,
