@@ -68,6 +68,49 @@ class ScalersSpec extends SparkSpec {
     assert(l.cols == s.cols && l.medians == s.medians && l.iqrs == s.iqrs)
   }
 
+  test("robust fit matches driver-side numpy-style quantiles on random data") {
+    val rnd = new scala.util.Random(5)
+    val xs = Seq.fill(257)(rnd.nextDouble() * 1000 - 500) // odd n, no ties
+    val df2 = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("id", "x")
+    val s = Scalers.fitRobust(df2, Seq("x"))
+    def q(p: Double): Double = {
+      val sorted = xs.sorted
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      if (lo == pos) sorted(lo)
+      else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (pos - lo)
+    }
+    assert(math.abs(s.medians.head - q(0.5)) < 1e-9)
+    assert(math.abs(s.iqrs.head - (q(0.75) - q(0.25))) < 1e-9)
+  }
+
+  test("winsorize matches the naive per-group clip on random data") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.tabulate(300)(i =>
+      (s"g${rnd.nextInt(4)}", i.toLong, rnd.nextDouble() * 100))
+    val got = Scalers.winsorize(rows.toDF("k", "id", "v"), Seq("k"), "v",
+        0.1, 0.9)
+      .orderBy("id").collect().map(_.getDouble(2))
+    def q(xs: Seq[Double], p: Double): Double = {
+      val sorted = xs.sorted
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      if (lo == pos) sorted(lo)
+      else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (pos - lo)
+    }
+    val bounds = rows.groupBy(_._1).map { case (k, g) =>
+      k -> (q(g.map(_._3), 0.1), q(g.map(_._3), 0.9))
+    }
+    val want = rows.sortBy(_._2).map { case (k, _, v) =>
+      val (lo, hi) = bounds(k)
+      math.max(math.min(v, hi), lo)
+    }
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) < 1e-9, s"row $i: got $g want $w")
+    }
+  }
+
   test("winsorize clips to per-group quantiles, leaves the middle intact") {
     val g = Seq(("a", 0L, 0.0), ("a", 1L, 10.0), ("a", 2L, 20.0),
       ("a", 3L, 30.0), ("a", 4L, 1000.0),
