@@ -29,4 +29,16 @@ class CacheLeakSpec extends SparkSpec {
         s"$name left entries in the CacheManager")
     }
   }
+
+  test("registry-wide: EVERY query leaves the CacheManager empty") {
+    // the per-list test above pins the historical offenders with a sharp
+    // failure message; this sweep fences every FUTURE operator too
+    spark.catalog.clearCache()
+    Queries.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      fn(spark, dir).count()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left entries in the CacheManager")
+    }
+  }
+
 }

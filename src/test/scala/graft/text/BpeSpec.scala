@@ -51,6 +51,17 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(words, 8) == local)
   }
 
+  test("distributed tier unpersists its working tables") {
+    // train() routes small vocabularies to the driver tier, so the
+    // distributed loop's persist/unpersist handoff needs its own fence
+    spark.catalog.clearCache()
+    val words = Bpe.wordTable(
+      Seq("the cat sat on the mat", "the cat ate").toDF("text"), "text")
+    Bpe.trainDistributed(words, 3)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "trainDistributed left persisted word tables behind")
+  }
+
   test("early stop when merges exhaust every pair, both tiers") {
     // one word "a": round 1 merges 'a _' -> the word is ONE symbol ->
     // round 2 finds no pair and stops, well before the 5-round budget
