@@ -106,8 +106,9 @@ object Rates {
     val wKey = Window.partitionBy(keyCols.map(col): _*)
     val prepared = df
       .withColumn("_t0", min(col(tsUsCol)).over(wKey))
-      // `div`, not `/`: Spark's / on longs is double division
-      .withColumn("_x", expr(s"($tsUsCol - _t0) div 1000000"))
+      // `div`, not `/`: Spark's / on longs is double division; backticks
+      // keep non-identifier column names parseable
+      .withColumn("_x", expr(s"(`$tsUsCol` - `_t0`) div 1000000"))
     val agg = prepared.groupBy(keyCols.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum("_x").as("sx"),

@@ -158,7 +158,10 @@ object Scalers {
     * heavy-tailed metrics ahead of mean-based aggregation. ONE keyed
     * holistic aggregate (two doubles per group) broadcast-joined back —
     * no row shuffle of the fact table, projection-only transform, scales
-    * with group count not row count. */
+    * with group count not row count. Rows with a NULL group key are
+    * dropped (equi-join semantics — SQL GROUP BY would emit a null
+    * group, but a null key can't rejoin); filter or impute keys upstream
+    * if those rows must survive. */
   def winsorize(df: DataFrame, keyCols: Seq[String], valCol: String,
                 pLo: Double, pHi: Double): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
