@@ -965,6 +965,39 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    "q_vector_ratio" -> ((s, d) => {
+      // PromQL binary-op vector matching (`v / on(bkt) group_left sum`):
+      // each series' share of its bucket's total. The many-to-one match
+      // plans as ONE keyed aggregate + ONE bucket window — no join
+      // (the PromQL semantic, the efficient plan).
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("bkt")
+      milliEvents(s, d)
+        .groupBy(expr("ts_us div 600000000").as("bkt"), col("event_type"))
+        .agg(sum("v").as("sum_v"))
+        .withColumn("share",
+          round(col("sum_v") * lit(1.0) / sum("sum_v").over(w), 6))
+        .orderBy("bkt", "event_type")
+    }),
+
+    "q_offset_compare" -> ((s, d) => {
+      // PromQL offset modifier (`v - v offset 1h`): hourly per-series
+      // averages self-joined on the TIME-shifted key (hour − 1) — gaps
+      // yield NULL deltas, exactly PromQL's no-sample-at-offset rule
+      // (a row-wise lag would silently compare across gaps).
+      val hourly = milliEvents(s, d)
+        .groupBy(expr("ts_us div 3600000000").as("hr"), col("event_type"))
+        .agg(sum("v").as("sv"), count(lit(1)).as("cn"))
+        .withColumn("avg_v", col("sv").cast("double") / col("cn"))
+      val prev = hourly.select((col("hr") + 1).as("hr"), col("event_type"),
+        col("avg_v").as("prev_avg"))
+      hourly.join(prev, Seq("hr", "event_type"), "left")
+        .select(col("hr"), col("event_type"),
+          round(col("avg_v") / 1000.0, 6).as("avg_v"),
+          round((col("avg_v") - col("prev_avg")) / 1000.0, 6)
+            .as("delta_1h"))
+        .orderBy("hr", "event_type")
+    }),
+
     "q_absent_gaps" -> ((s, d) => {
       // PromQL absent() analog: the missing-bucket RUNS inside each
       // series' own extent — distinct (series, bucket) collapse, then
@@ -2230,6 +2263,29 @@ object Queries {
          |FROM a ORDER BY event_type""".stripMargin,
 
     "q_ewma" -> ewmaOracleSql,
+
+    "q_vector_ratio" ->
+      s"""WITH ev AS ($MilliEvSql),
+         |g AS (SELECT ts_us // 600000000 AS bkt, event_type,
+         |    CAST(sum(v) AS BIGINT) AS sum_v FROM ev GROUP BY 1, 2)
+         |SELECT bkt, event_type, sum_v,
+         |  round(sum_v * 1.0 / (sum(sum_v) OVER (PARTITION BY bkt)), 6)
+         |    AS share
+         |FROM g ORDER BY bkt, event_type""".stripMargin,
+
+    "q_offset_compare" ->
+      s"""WITH ev AS ($MilliEvSql),
+         |h AS (SELECT ts_us // 3600000000 AS hr, event_type,
+         |    CAST(sum(v) AS BIGINT) AS sv, count(*) AS cn
+         |  FROM ev GROUP BY 1, 2),
+         |a AS (SELECT hr, event_type,
+         |    CAST(sv AS DOUBLE) / cn AS avg_v FROM h)
+         |SELECT a.hr, a.event_type,
+         |  round(a.avg_v / 1000.0, 6) AS avg_v,
+         |  round((a.avg_v - p.avg_v) / 1000.0, 6) AS delta_1h
+         |FROM a LEFT JOIN a p
+         |  ON p.hr = a.hr - 1 AND p.event_type = a.event_type
+         |ORDER BY a.hr, a.event_type""".stripMargin,
 
     "q_absent_gaps" ->
       s"""WITH b AS (SELECT DISTINCT event_type,
