@@ -94,7 +94,7 @@ object Queries {
     * double-smoothing recurrence as a RECURSIVE CTE (one step per rank),
     * with sf/tf AND their Scala-computed complements embedded via
     * Double.toString — every fp op in the identical order as the
-    * mapPartitions fold, so ~1300 chained steps stay bit-equal. */
+    * mapPartitions fold, so hundreds of chained steps stay bit-equal. */
   private def holtWintersOracleSql: String = {
     val sf = HwSf.toString; val omSf = (1.0 - HwSf).toString
     val tf = HwTf.toString; val omTf = (1.0 - HwTf).toString
@@ -102,7 +102,7 @@ object Queries {
     s"""WITH RECURSIVE m AS (
        |  SELECT event_type, ts_bkt, v, CAST(row_number() OVER (
        |      PARTITION BY event_type ORDER BY ts_bkt) AS BIGINT) AS rn
-       |  FROM (SELECT ts_us // 600000000 AS ts_bkt, event_type,
+       |  FROM (SELECT ts_us // 3600000000 AS ts_bkt, event_type,
        |      round(avg(value), 6) AS v FROM ($EvSql) GROUP BY 1, 2)),
        |hw AS (
        |  SELECT event_type, ts_bkt, rn, v, s,
@@ -943,9 +943,17 @@ object Queries {
     "q_holt_winters" -> ((s, d) =>
       // PromQL holt_winters (level+trend smoothing), the Prometheus
       // recurrence exactly, as a single-shuffle streaming fold — the
-      // scalable per-key-recurrence shape (Rates.holtWinters).
-      graft.operators.Rates.holtWinters(tenMinLong(s, d), "event_type",
-          "ts_bkt", "v", sf = HwSf, tf = HwTf)
+      // scalable per-key-recurrence shape (Rates.holtWinters). Hourly
+      // grain: the DuckDB oracle replays the recurrence one rank per
+      // iteration, and its recursive join cost grows with depth×rows —
+      // hourly (~680 steps at sf0.01) runs the oracle in ~5 s where the
+      // 10-min grain took 13 s.
+      graft.operators.Rates.holtWinters(
+          Tables.events(s, d)
+            .groupBy(expr("ts_us div 3600000000").as("ts_bkt"),
+              col("event_type"))
+            .agg(round(avg("value"), 6).as("v")),
+          "event_type", "ts_bkt", "v", sf = HwSf, tf = HwTf)
         .select(col("event_type"), col("ts_bkt"), col("v"),
           round(col("hw_level"), 6).as("hw_level"),
           round(col("hw_trend"), 6).as("hw_trend"))
