@@ -879,6 +879,69 @@ object Queries {
           "avg_ot", "std_ot", "min_ot", "max_ot")
         .orderBy("event_id")),
 
+    "q_zscore" -> ((s, d) =>
+      // Rolling z-score anomaly detection — the classic PromQL recipe
+      // ((v - avg_over_time) / stddev_over_time, flag |z| > 3) and the
+      // statistical sibling of the reference's MSE-threshold detector
+      // (realtime_detector.py thresholds a reconstruction error the same
+      // way). Composes Rates.overTime (30-min trailing frame, exact
+      // integer sums); z is one fixed double expression over the
+      // 6-dp-rounded avg_ot/std_ot, identical text both engines. One
+      // keyed window — single shuffle.
+      graft.operators.Rates.overTime(milliEvents(s, d), Seq("event_type"),
+          "ts_us", "v", rangeUs = 1800000000L)
+        .selectExpr("event_type", "ts_us", "event_id", "v", "cnt_ot",
+          "CASE WHEN cnt_ot < 2 OR std_ot = 0.0 THEN NULL " +
+            "ELSE round((CAST(v AS DOUBLE) / 1000.0 - avg_ot) / std_ot, 6) " +
+            "END AS z")
+        .selectExpr("event_type", "ts_us", "event_id", "v", "cnt_ot", "z",
+          "CASE WHEN z IS NULL THEN CAST(0 AS BIGINT) " +
+            "WHEN abs(z) > 3.0 THEN CAST(1 AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END AS anom")
+        .orderBy("event_id")),
+
+    "q_group_mad" -> ((s, d) => {
+      // Per-(series, day) median absolute deviation — the robust spread
+      // estimate behind RobustScaler-style anomaly scoring (outliers move
+      // MAD far less than they move stddev). Two keyed aggregates over the
+      // same (event_type, day) key plus a broadcast of the tiny per-group
+      // median table back onto the scan; Spark `percentile` ≡ DuckDB
+      // `quantile_cont` interpolation, so both medians are hash-exact.
+      val day = milliEvents(s, d)
+        .withColumn("day_bkt", expr("ts_us div 86400000000"))
+        .select("event_type", "day_bkt", "v")
+      val med = day.groupBy("event_type", "day_bkt")
+        .agg(expr("percentile(v, 0.5)").as("med"), count(lit(1)).as("n"))
+      day.join(broadcast(med), Seq("event_type", "day_bkt"))
+        .withColumn("adev", expr("abs(CAST(v AS DOUBLE) - med)"))
+        .groupBy("event_type", "day_bkt")
+        .agg(max("n").as("n"),
+          round(max("med") / 1000.0, 6).as("med"),
+          round(expr("percentile(adev, 0.5)") / 1000.0, 6).as("mad"))
+        .orderBy("event_type", "day_bkt")
+    }),
+
+    "q_count_values" -> ((s, d) =>
+      // PromQL count_values(): the value distribution as a label — how
+      // many samples of each deci-rounded value per series. One keyed
+      // aggregate; cardinality is bounded by the value range, not the
+      // sample count, so the result stays small at any corpus size.
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("cast(round(value * 10) as long)").as("vd"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type", "vd")),
+
+    "q_shard_assign" -> ((s, d) =>
+      // Deterministic training-shard layout: every doc gets a (shard, pos)
+      // slot as a pure function of its id (md5 basis — reproducible in
+      // DuckDB), replacing orderBy(rand()) shuffles that change on every
+      // run. One hash exchange + a keyed rank window (Sampling.shardAssign).
+      graft.text.Sampling.shardAssign(
+          Tables.documents(s, d).select("doc_id", "lang"), "doc_id", 32)
+        .select("doc_id", "lang", "shard", "pos")
+        .orderBy("doc_id")),
+
     "q_deriv_predict" -> ((s, d) =>
       // PromQL deriv() + predict_linear(): per-series least-squares slope
       // (per hour, for 6-dp signal) and the extrapolated value 1 h past the
@@ -2183,6 +2246,65 @@ object Queries {
          |  round(mn / 1000.0, 6) AS min_ot,
          |  round(mx / 1000.0, 6) AS max_ot
          |FROM s ORDER BY event_id""".stripMargin,
+
+    "q_zscore" ->
+      s"""WITH ev AS ($MilliEvSql),
+         |s AS (SELECT event_type, ts_us, event_id, v,
+         |    count(*) OVER w AS cnt_ot,
+         |    CAST(sum(v) OVER w AS BIGINT) AS sum_ot,
+         |    CAST(sum(v * v) OVER w AS BIGINT) AS sumsq
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+         |    RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)),
+         |ot AS (SELECT event_type, ts_us, event_id, v, cnt_ot,
+         |    round(CAST(sum_ot AS DOUBLE) / cnt_ot / 1000.0, 6) AS avg_ot,
+         |    round(sqrt(greatest(CAST(sumsq AS DOUBLE) / cnt_ot
+         |      - (CAST(sum_ot AS DOUBLE) / cnt_ot)
+         |        * (CAST(sum_ot AS DOUBLE) / cnt_ot), 0.0)) / 1000.0, 6)
+         |      AS std_ot
+         |  FROM s),
+         |z AS (SELECT event_type, ts_us, event_id, v, cnt_ot,
+         |    CASE WHEN cnt_ot < 2 OR std_ot = 0.0 THEN NULL
+         |      ELSE round((CAST(v AS DOUBLE) / 1000.0 - avg_ot) / std_ot, 6)
+         |      END AS z
+         |  FROM ot)
+         |SELECT event_type, ts_us, event_id, v, cnt_ot, z,
+         |  CASE WHEN z IS NULL THEN CAST(0 AS BIGINT)
+         |    WHEN abs(z) > 3.0 THEN CAST(1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS anom
+         |FROM z ORDER BY event_id""".stripMargin,
+
+    "q_group_mad" ->
+      s"""WITH ev AS ($MilliEvSql),
+         |d AS (SELECT event_type, ts_us // 86400000000 AS day_bkt, v
+         |  FROM ev),
+         |m AS (SELECT event_type, day_bkt,
+         |    quantile_cont(v, 0.5) AS med, count(*) AS n
+         |  FROM d GROUP BY 1, 2)
+         |SELECT d.event_type, d.day_bkt, m.n AS n,
+         |  round(m.med / 1000.0, 6) AS med,
+         |  round(quantile_cont(abs(CAST(d.v AS DOUBLE) - m.med), 0.5)
+         |    / 1000.0, 6) AS mad
+         |FROM d JOIN m ON d.event_type = m.event_type
+         |  AND d.day_bkt = m.day_bkt
+         |GROUP BY d.event_type, d.day_bkt, m.n, m.med
+         |ORDER BY d.event_type, d.day_bkt""".stripMargin,
+
+    "q_count_values" ->
+      s"""SELECT event_type, CAST(round(value * 10) AS BIGINT) AS vd,
+         |  count(*) AS cnt
+         |FROM events GROUP BY 1, 2 ORDER BY event_type, vd""".stripMargin,
+
+    "q_shard_assign" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         |sh AS (SELECT doc_id, lang, hx,
+         |    CAST('0x' || substr(hx, 1, 12) AS BIGINT) % 32 AS shard
+         |  FROM h)
+         |SELECT doc_id, lang, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM sh ORDER BY doc_id""".stripMargin,
 
     "q_deriv_predict" ->
       s"""WITH ev AS ($MilliEvSql),

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset-curation sampling — the reproducible alternative
@@ -72,4 +73,32 @@ object Sampling {
   def overlap(a: DataFrame, b: DataFrame, keyCol: String): DataFrame =
     a.select(keyCol).distinct()
       .join(b.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+
+  /** Deterministic training-shard assignment + within-shard order: the
+    * reproducible alternative to `orderBy(rand())` for writing a training
+    * corpus as N shuffled shards. `shard` = id-hash bucket in [0, shards)
+    * (same md5 basis as [[hashBucket]]), `pos` = 1-based rank inside the
+    * shard by (md5 hex, id) — so the global read order
+    * (shard, pos) is a pure function of the ids: stable across runs,
+    * partitionings, retries and engines, and a row's slot never moves when
+    * unrelated rows are added to other shards.
+    *
+    * Scale shape: one hash exchange on `shard` + a keyed rank window —
+    * no global sort, no single-partition stage. `shards` is the write
+    * parallelism knob: set it ≫ executor count at scale (the rank window
+    * sorts each shard locally, ~corpus/shards rows per task). */
+  def shardAssign(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val clash = Seq("_hx", "shard", "pos").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has internal/output column(s) ${clash.mkString(", ")}")
+    df.withColumn("_hx", md5(col(idCol).cast("string").cast("binary")))
+      .withColumn("shard",
+        pmod(conv(substring(col("_hx"), 1, 12), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("_hx"), col(idCol)))
+        .cast("long"))
+      .drop("_hx")
+  }
 }

@@ -293,6 +293,29 @@ class PlanGuardSpec extends SparkSpec {
     assert(hashExchanges(lo) == 0 && !hasJoin(lo),
       s"q_label_ops stopped being projection-only: " +
         lo.map(_.nodeName).distinct.mkString(","))
+
+    // q_zscore / q_count_values / q_shard_assign: ONE keyed exchange
+    // (window or aggregate), no join
+    Seq("q_zscore", "q_count_values", "q_shard_assign").foreach { q =>
+      val nodes = nodesOf(q)
+      assert(hashExchanges(nodes) <= 1,
+        s"$q hash shuffles > 1: ${nodes.map(_.nodeName).distinct}")
+      assert(!hasJoin(nodes), s"$q grew a join")
+    }
+
+    // q_group_mad: the per-group median table must come back as a
+    // BROADCAST join (the sample scan never shuffles for it); the two
+    // keyed aggregates are the only hash exchanges
+    val gm = nodesOf("q_group_mad")
+    assert(gm.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"q_group_mad lost the broadcast median join: " +
+        gm.map(_.nodeName).distinct.mkString(","))
+    assert(!gm.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "q_group_mad median join degraded to sort-merge")
+    assert(hashExchanges(gm) <= 2,
+      s"q_group_mad hash shuffles > 2: ${gm.map(_.nodeName).distinct}")
   }
 
   test("hot scan-shaped queries run inside WholeStageCodegen") {

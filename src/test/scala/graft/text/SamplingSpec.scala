@@ -56,4 +56,35 @@ class SamplingSpec extends SparkSpec {
     assert(o.collect().map(_.getString(0)).sorted.toSeq == Seq("y", "z"))
     assert(o.queryExecution.executedPlan.toString.contains("LeftSemi"))
   }
+
+  test("shardAssign: complete slot layout, deterministic, growth-stable") {
+    val df = (0L until 1000L).toDF("id")
+    val a = Sampling.shardAssign(df, "id", 32)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    val b = Sampling.shardAssign(df, "id", 32)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    assert(a.toMap == b.toMap) // pure function of the ids
+    val byShard = a.groupBy(_._2._1)
+    // every shard in range; positions are exactly 1..n within each shard
+    assert(byShard.keySet.forall(s => s >= 0 && s < 32))
+    byShard.foreach { case (sh, rows) =>
+      val ps = rows.map(_._2._2).sorted.toSeq
+      assert(ps == (1L to rows.size.toLong), s"shard $sh positions: $ps")
+    }
+    // roughly balanced: no shard more than 2x the mean
+    assert(byShard.values.map(_.size).max <= 2 * (1000 / 32))
+    // adding rows never moves an existing id WITHIN its shard order:
+    // its shard is hash-fixed, and its predecessors (same shard, smaller
+    // (hx, id)) only grow — so pos is non-decreasing under growth
+    val big = Sampling.shardAssign((0L until 2000L).toDF("id"), "id", 32)
+      .filter(col("id") < 1000).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val aMap = a.toMap
+    assert(big.forall { case (id, (sh, pos)) =>
+      aMap(id)._1 == sh && pos >= aMap(id)._2 })
+    // output-column collision is rejected, not silently overwritten
+    intercept[IllegalArgumentException] {
+      Sampling.shardAssign(df.withColumn("pos", lit(1)), "id", 32)
+    }
+  }
 }
