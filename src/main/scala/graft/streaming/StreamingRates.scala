@@ -150,4 +150,109 @@ object StreamingRates {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(update)
   }
+
+  /** Trailing-window z-score state: the retained samples inside the range
+    * window (parallel ts/value arrays, arrival-ordered) and their EXACT
+    * integer sums — add and evict are long arithmetic, so the sums are
+    * bit-identical to the batch RANGE frame's, at any eviction history. */
+  final case class ZScoreState(ts: Seq[Long], vs: Seq[Long],
+                               sum: Long, sumsq: Long)
+
+  /** One scored point: trailing-window count, z (None when the window has
+    * < 2 samples or zero spread — the batch NULL), and the |z| > 3 flag. */
+  final case class ZPoint(key: String, tsUs: Long, v: Long, cnt: Long,
+                          z: Option[Double], anom: Long)
+
+  /** Streaming rolling z-score anomaly detector — the incremental twin of
+    * the batch `q_zscore` composition (`Rates.overTime` + fixed z
+    * expression): for every sample, z over the trailing `[ts − rangeUs,
+    * ts]` window of its series, flagged at |z| > 3. This is the
+    * PromQL-recipe analog of the reference's poll loop
+    * (realtime_detector.py re-scores a trailing window every 30 s); here
+    * each sample is consumed once and the window state is incremental.
+    *
+    * Exactness: the window's count/sum/sum-of-squares are maintained as
+    * longs under append and eviction, and the final double expression
+    * (mean, clamped variance, 6-dp rounds) is evaluated in the identical
+    * op order as the batch SQL — so parity with the batch plan is bitwise
+    * (spec-asserted), not approximate. Ties at one timestamp are admitted
+    * to the window together before any of them is scored, matching RANGE
+    * frame tie semantics.
+    *
+    * Contract: event time must not regress ACROSS micro-batches (a
+    * Prometheus series never emits duplicate or descending scrape times;
+    * within-batch disorder is sorted). State per series is bounded by the
+    * sample count inside one range window — samples/sec × rangeUs, not
+    * stream length.
+    *
+    * Scale: one keyed exchange (the stateful op's), state sharded by
+    * series across executors like [[counterRate]]. */
+  def zscore(samples: Dataset[Sample], rangeUs: Long): Dataset[ZPoint] = {
+    require(rangeUs > 0, "rangeUs must be positive")
+    val spark = samples.sparkSession
+    import spark.implicits._
+
+    // Spark's round(x, 6) for doubles (HALF_UP on the decimal string
+    // form), verbatim, so the fold is bitwise equal to the batch
+    // expression. A function VALUE, not an object method: the closure
+    // must not capture the (non-serializable) enclosing object.
+    val round6: Double => Double = x =>
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+    def update(key: String, batch: Iterator[Sample],
+               state: GroupState[ZScoreState]): Iterator[ZPoint] = {
+      var tsQ = Vector.empty[Long]; var vQ = Vector.empty[Long]
+      var sum = 0L; var sumsq = 0L
+      state.getOption.foreach { st =>
+        tsQ = st.ts.toVector; vQ = st.vs.toVector
+        sum = st.sum; sumsq = st.sumsq
+      }
+      val out = scala.collection.mutable.ArrayBuffer[ZPoint]()
+      val ordered = batch.toSeq.sortBy(s => (s.tsUs, s.seq)).toVector
+      var i = 0
+      while (i < ordered.size) {
+        val t = ordered(i).tsUs
+        var j = i
+        while (j < ordered.size && ordered(j).tsUs == t) j += 1
+        val group = ordered.slice(i, j)
+        // evict strictly-older-than-frame rows (frame is inclusive at
+        // ts − rangeUs, same as rangeBetween(-rangeUs, 0))
+        while (tsQ.nonEmpty && tsQ.head < t - rangeUs) {
+          sum -= vQ.head; sumsq -= vQ.head * vQ.head
+          tsQ = tsQ.tail; vQ = vQ.tail
+        }
+        // all ties join the frame BEFORE any is scored (RANGE semantics)
+        group.foreach { s =>
+          tsQ :+= s.tsUs; vQ :+= s.v
+          sum += s.v; sumsq += s.v * s.v
+        }
+        val cnt = tsQ.size.toLong
+        // identical op order as the batch SQL: mean = sum/cnt;
+        // avg = round(mean/1000); std = round(sqrt(max(E[v²]−mean², 0))/1000)
+        val mean = sum.toDouble / cnt
+        val avgOt = round6(mean / 1000.0)
+        val stdOt = round6(
+          math.sqrt(math.max(sumsq.toDouble / cnt - mean * mean, 0.0))
+            / 1000.0)
+        group.foreach { s =>
+          val z =
+            if (cnt < 2 || stdOt == 0.0) None
+            else Some(round6((s.v.toDouble / 1000.0 - avgOt) / stdOt))
+          val anom = z match {
+            case Some(zz) if math.abs(zz) > 3.0 => 1L
+            case _ => 0L
+          }
+          out += ZPoint(key, s.tsUs, s.v, cnt, z, anom)
+        }
+        i = j
+      }
+      state.update(ZScoreState(tsQ, vQ, sum, sumsq))
+      out.iterator
+    }
+
+    samples.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
 }

@@ -120,6 +120,51 @@ class StreamingRatesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming zscore matches the batch RANGE-frame plan bitwise, ties and eviction included") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // ts = (i/3)·1s over 2 interleaved keys → same-key TIES at one ts
+    // (RANGE semantics), span ≫ range → steady eviction
+    val series = Seq.tabulate(90)(i =>
+      Sample(s"s${i % 2}", (i / 3).toLong * 1000000L,
+        rnd.nextInt(10000).toLong, i.toLong))
+    val rangeUs = 5000000L
+    val input = MemoryStream[Sample]
+    val q = zscore(input.toDS(), rangeUs)
+      .writeStream.format("memory").queryName("sr_z")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      series.grouped(30).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      val got = spark.table("sr_z").as[ZPoint].collect()
+        .sortBy(p => (p.key, p.tsUs, p.v)).toSeq
+      // batch twin: the q_zscore composition verbatim (overTime + the
+      // same fixed z/anom expressions)
+      val batch = graft.operators.Rates.overTime(
+          series.toDF("key", "tsUs", "v", "seq").select("key", "tsUs", "v"),
+          Seq("key"), "tsUs", "v", rangeUs)
+        .selectExpr("key", "tsUs", "v", "cnt_ot",
+          "CASE WHEN cnt_ot < 2 OR std_ot = 0.0 THEN NULL " +
+            "ELSE round((CAST(v AS DOUBLE) / 1000.0 - avg_ot) / std_ot, 6) " +
+            "END AS z")
+        .selectExpr("key", "tsUs", "v", "cnt_ot", "z",
+          "CASE WHEN z IS NULL THEN CAST(0 AS BIGINT) " +
+            "WHEN abs(z) > 3.0 THEN CAST(1 AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END AS anom")
+        .orderBy("key", "tsUs", "v").collect()
+        .map(r => ZPoint(r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getLong(5))).toSeq
+      assert(got == batch)
+      // non-vacuous: ties really occurred and at least one window evicted
+      assert(series.groupBy(s => (s.key, s.tsUs)).values.exists(_.size > 1))
+      assert(got.map(_.cnt).max < 45) // eviction kept windows bounded
+    } finally q.stop()
+  }
+
   test("counter state survives a checkpointed restart") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
