@@ -201,4 +201,55 @@ class StreamingRatesSpec extends SparkSpec {
     val input = MemoryStream[Sample]
     intercept[IllegalArgumentException] { ewma(input.toDS(), 1.0) }
   }
+
+  test("zscore window state survives a checkpointed restart") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_z_ckpt").toString
+    val rangeUs = 5000000L
+    // 8 pre-restart samples, 2 post-restart; window spans the restart
+    val pre = Seq.tabulate(8)(i =>
+      Sample("a", i.toLong * 1000000L, (i * 100).toLong, i.toLong))
+    val post = Seq(Sample("a", 8000000L, 1L, 8L),
+      Sample("a", 9000000L, 900L, 9L))
+    val input = MemoryStream[Sample]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Seq[ZPoint]]()
+    def start() = zscore(input.toDS(), rangeUs)
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[ZPoint], bid: Long) =>
+          got.put(bid, ds.collect().toSeq); ()
+      }.start()
+    val q1 = start()
+    try { input.addData(pre); q1.processAllAvailable() } finally q1.stop()
+    input.addData(post) // arrives while the query is down
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val pts = got.values().asScala.flatten.toSeq.sortBy(_.tsUs)
+    // the restarted window still holds the pre-restart samples: compare
+    // against the batch plan over the FULL series
+    val all = pre ++ post
+    val want = graft.operators.Rates.overTime(
+        all.toDF("key", "tsUs", "v", "seq").select("key", "tsUs", "v"),
+        Seq("key"), "tsUs", "v", rangeUs)
+      .selectExpr("key", "tsUs", "v", "cnt_ot",
+        "CASE WHEN cnt_ot < 2 OR std_ot = 0.0 THEN NULL " +
+          "ELSE round((CAST(v AS DOUBLE) / 1000.0 - avg_ot) / std_ot, 6) " +
+          "END AS z")
+      .selectExpr("key", "tsUs", "v", "cnt_ot", "z",
+        "CASE WHEN z IS NULL THEN CAST(0 AS BIGINT) " +
+          "WHEN abs(z) > 3.0 THEN CAST(1 AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END AS anom")
+      .orderBy("tsUs").collect()
+      .map(r => ZPoint(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getLong(5))).toSeq
+    assert(pts == want)
+    // non-vacuous: the post-restart windows MUST straddle the restart
+    // (cnt > 2 means pre-restart samples were retained in state)
+    assert(pts.filter(_.tsUs >= 8000000L).forall(_.cnt > 2))
+  }
 }
