@@ -79,6 +79,14 @@ object ScaleProbe {
           replicate(docs, m, Seq("doc_id"), 1L << 40, None),
           "doc_id", "text").count()
       }
+      time("shard_assign_256", m) {
+        // deterministic shard layout: one keyed exchange + per-shard rank
+        // sort; shards ≫ cores is the realistic regime (per-shard sort
+        // stays ~corpus/shards rows however large the corpus)
+        graft.text.Sampling.shardAssign(
+          replicate(docs, m, Seq("doc_id"), 1L << 40, None)
+            .select("doc_id"), "doc_id", 256).count()
+      }
       // PromQL function family: keyed by user_id so the SERIES COUNT
       // scales with replication (the Prometheus operating regime —
       // cardinality grows, per-series density stays fixed)
