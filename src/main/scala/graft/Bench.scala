@@ -75,8 +75,11 @@ object Bench {
     val loadStart = osBean.getSystemLoadAverage
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = timeOnce(name, fn)
-      val steadies = (2 to reps).takeWhile(_ => !failed.contains(name))
-        .map(_ => timeOnce(name, fn))
+      // iterator, not Range: the failure check must run BEFORE each rep,
+      // so a mid-sequence steady-rep crash skips the remaining reps
+      val steadies = Iterator.range(2, reps + 1)
+        .takeWhile(_ => !failed.contains(name))
+        .map(_ => timeOnce(name, fn)).toSeq
       // a steady-rep failure would otherwise record its time-to-crash as
       // the "steady" number — fall back to the valid first-rep measurement
       val steady =
@@ -94,7 +97,13 @@ object Bench {
     val totalFirst = results.map(_._2).sum
     val ctx = {
       val heapGb = Runtime.getRuntime.maxMemory / 1e9
-      f"""{"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":$heapGb%.1f,"reps":$reps}"""
+      // Locale.ROOT: the default-locale f-interpolator would render 1,42
+      // under comma-decimal locales — invalid JSON
+      def d2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f",
+        java.lang.Double.valueOf(x))
+      def d1(x: Double) = String.format(java.util.Locale.ROOT, "%.1f",
+        java.lang.Double.valueOf(x))
+      s"""{"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps}"""
     }
     val json =
       s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","queries":$qsSteady,"value_first":$totalFirst,"queries_first":$qsFirst,"failed":$fs,"sf":"$sfDir","ctx":$ctx}"""

@@ -730,11 +730,16 @@ object Queries {
       // at-or-below the sketch's p50 must bracket N/2 within tolerance
       // (a value-distance check would break on tied or gappy data).
       val docs = Tables.documents(s, d)
+      // ONE row, materialized eagerly (localCheckpoint, the one-shot
+      // rule): both consumers below reference it, and without the
+      // checkpoint each reference re-runs the exact-distinct + sketch
+      // aggregation over the full corpus (three scans instead of one)
       val agg = docs.agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("text")).as("exact_distinct"),
         approx_count_distinct(col("text"), 0.02).as("approx_distinct"),
         expr("percentile_approx(n_chars, 0.5, 10000)").as("p50_approx"))
+        .localCheckpoint(true)
       val rk = docs.crossJoin(broadcast(agg.select(col("p50_approx"))))
         .agg(
           sum(when(col("n_chars") < col("p50_approx"), 1L).otherwise(0L))

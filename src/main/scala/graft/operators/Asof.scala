@@ -62,6 +62,11 @@ object Asof {
     require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     require(!payloadCols.exists(left.columns.contains),
       s"payload columns ${payloadCols.mkString(",")} collide with left columns")
+    // the payload struct reserves a _rts field for the matched row's
+    // working timestamp — a payload column of that name would build a
+    // duplicate-field struct and hit ambiguous field resolution
+    require(!payloadCols.contains("_rts"),
+      "payload column _rts collides with the struct's internal timestamp field")
     // the union-scan rides on three working columns — an input already
     // carrying one would plan duplicate/ambiguous names (same guard shape
     // as Sessions.assign's session_idx/_new_session require)

@@ -85,10 +85,19 @@ object Bpe {
     * (count desc, pair asc), one global non-overlapping left-to-right
     * replace per round. */
   def train(words0: DataFrame, n: Int): Seq[Merge] = {
-    val probe = words0.limit(DriverVocabLimit + 1).collect()
-    if (probe.length <= DriverVocabLimit)
+    // persist BEFORE the probe: above the limit, the probe's partial
+    // evaluation is cached and trainDistributed's round-0 base reuses it
+    // instead of re-running the whole tokenize/count pipeline (its own
+    // persist of the same frame is a no-op); under the limit the persist
+    // is dropped right after the one collect that populated it
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val mat = words0.persist(sl)
+    val probe = mat.limit(DriverVocabLimit + 1).collect()
+    if (probe.length <= DriverVocabLimit) {
+      mat.unpersist(false)
       trainLocal(probe.map(r => (r.getString(0), r.getLong(1))), n)
-    else trainDistributed(words0, n)
+    } else
+      try trainDistributed(mat, n) finally mat.unpersist(false)
   }
 
   /** Driver tier: identical fold over the collected vocabulary. ASCII
