@@ -103,7 +103,8 @@ object Queries {
        |  SELECT event_type, ts_bkt, v, CAST(row_number() OVER (
        |      PARTITION BY event_type ORDER BY ts_bkt) AS BIGINT) AS rn
        |  FROM (SELECT ts_us // 3600000000 AS ts_bkt, event_type,
-       |      round(avg(value), 6) AS v FROM ($EvSql) GROUP BY 1, 2)),
+       |      CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*) / 1000.0
+       |        AS v FROM ($MilliEvSql) GROUP BY 1, 2)),
        |hw AS (
        |  SELECT event_type, ts_bkt, rn, v, s,
        |    $tf * (s - x0) + $omTf * b0 AS b
@@ -1015,12 +1016,17 @@ object Queries {
       // grain: the DuckDB oracle replays the recurrence one rank per
       // iteration, and its recursive join cost grows with depth×rows —
       // hourly (~680 steps at sf0.01) runs the oracle in ~5 s where the
-      // 10-min grain took 13 s.
+      // 10-min grain took 13 s. The bucket value v is the UNROUNDED
+      // exact-integer-sum average (milli sums; one fixed double division
+      // chain): a round(avg(value), 6) here hit a 6-dp midpoint at sf0.1
+      // where the two engines' round() implementations split, and the
+      // recurrence then cascaded the 1-ulp input difference.
       graft.operators.Rates.holtWinters(
-          Tables.events(s, d)
+          milliEvents(s, d)
             .groupBy(expr("ts_us div 3600000000").as("ts_bkt"),
               col("event_type"))
-            .agg(round(avg("value"), 6).as("v")),
+            .agg((sum("v").cast("double") / count(lit(1)) / 1000.0)
+              .as("v")),
           "event_type", "ts_bkt", "v", sf = HwSf, tf = HwTf)
         .select(col("event_type"), col("ts_bkt"), col("v"),
           round(col("hw_level"), 6).as("hw_level"),
@@ -1060,6 +1066,12 @@ object Queries {
       // averages self-joined on the TIME-shifted key (hour − 1) — gaps
       // yield NULL deltas, exactly PromQL's no-sample-at-offset rule
       // (a row-wise lag would silently compare across gaps).
+      // UNROUNDED outputs, deliberately: every op below is a fixed IEEE
+      // expression over exact integer sums, so both engines produce
+      // bit-identical doubles — while round(x, 6) maps them through
+      // DIFFERENT implementations (decimal-string HALF_UP vs fp multiply)
+      // that split when a low-denominator quotient lands on a 6-dp
+      // midpoint (observed at sf0.1: delta of exactly 0.5196875)
       val hourly = milliEvents(s, d)
         .groupBy(expr("ts_us div 3600000000").as("hr"), col("event_type"))
         .agg(sum("v").as("sv"), count(lit(1)).as("cn"))
@@ -1068,9 +1080,8 @@ object Queries {
         col("avg_v").as("prev_avg"))
       hourly.join(prev, Seq("hr", "event_type"), "left")
         .select(col("hr"), col("event_type"),
-          round(col("avg_v") / 1000.0, 6).as("avg_v"),
-          round((col("avg_v") - col("prev_avg")) / 1000.0, 6)
-            .as("delta_1h"))
+          (col("avg_v") / 1000.0).as("avg_v"),
+          ((col("avg_v") - col("prev_avg")) / 1000.0).as("delta_1h"))
         .orderBy("hr", "event_type")
     }),
 
@@ -2416,8 +2427,8 @@ object Queries {
          |a AS (SELECT hr, event_type,
          |    CAST(sv AS DOUBLE) / cn AS avg_v FROM h)
          |SELECT a.hr, a.event_type,
-         |  round(a.avg_v / 1000.0, 6) AS avg_v,
-         |  round((a.avg_v - p.avg_v) / 1000.0, 6) AS delta_1h
+         |  a.avg_v / 1000.0 AS avg_v,
+         |  (a.avg_v - p.avg_v) / 1000.0 AS delta_1h
          |FROM a LEFT JOIN a p
          |  ON p.hr = a.hr - 1 AND p.event_type = a.event_type
          |ORDER BY a.hr, a.event_type""".stripMargin,
