@@ -1807,7 +1807,62 @@ object Queries {
           posexplode(col("features")).as(Seq("pos", "f")))
         .select(col("asset_id"), col("pos"),
           round(col("f").cast("double"), 6).as("feat"))
-        .orderBy("asset_id", "pos"))
+        .orderBy("asset_id", "pos")),
+
+    "q_unigram_ppl" -> ((s, d) =>
+      // Unigram-LM perplexity quality filter (KenLM analog at model order
+      // 1): mean per-token surprisal in nats under the corpus's own
+      // unigram distribution. ln carried as exact micro-nat integers
+      // (cross-engine probe: Math.log ≡ DuckDB ln after the 1e-6
+      // quantization for every count ≤ 2e6), summed order-free, one final
+      // double expression.
+      graft.text.TextStats.unigramSurprisal(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_mix_weights" -> ((s, d) =>
+      // Corpus-mixture table: per-source doc/token counts, raw token
+      // share, and the α=0.5 temperature sampling weight normalized by
+      // the dominant source (sqrt + division are correctly-rounded IEEE
+      // ops; a Σ√tokens normalizer would be order-dependent).
+      graft.text.Sampling.mixWeights(
+          Tables.documents(s, d), "source", "text")
+        .orderBy("source")),
+
+    "q_quantile_agg" -> ((s, d) =>
+      // PromQL `quantile(φ, metric)` — the cross-series instant-vector
+      // quantile per time bucket (vs q_quantile_ot's per-series
+      // over-time read). ONE percentile call with all three φs shares a
+      // single sort buffer per group; Spark `percentile` ≡ DuckDB
+      // `quantile_cont` interpolation, hash-exact at 6 dp.
+      Tables.events(s, d)
+        .withColumn("bucket_us",
+          expr("ts_us div 600000000") * lit(600000000L))
+        .groupBy("bucket_us")
+        .agg(count(lit(1)).as("cnt"),
+          expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("_qs"))
+        .select(col("bucket_us"), col("cnt"),
+          round(element_at(col("_qs"), 1), 6).as("q50"),
+          round(element_at(col("_qs"), 2), 6).as("q90"),
+          round(element_at(col("_qs"), 3), 6).as("q99"))
+        .orderBy("bucket_us")),
+
+    "q_hist_fraction" -> ((s, d) => {
+      // PromQL histogram_fraction over the A7 histogram: interpolated
+      // share of observations inside three [lo, hi] ranges — the SLO
+      // read ("what fraction was under X") on pre-bucketed data. Range
+      // endpoints derive from the same min/max the bucketing uses, in
+      // the identical lo + f·(hi−lo) operation order as the oracle.
+      val ev = Tables.events(s, d)
+      val r = ev.agg(min(col("value")).cast("double"),
+        max(col("value")).cast("double")).head()
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val ranges = Seq((0.1, 0.5), (0.25, 0.75), (0.0, 1.0))
+        .map { case (f1, f2) => (lo + f1 * (hi - lo), lo + f2 * (hi - lo)) }
+      Score.histogramFraction(Score.histogramWith(ev, "value", lo, hi, 50),
+          lo, hi, 50, ranges)
+        .orderBy("x_lo", "x_hi")
+    })
   )
 
   // ==========================================================================
@@ -3229,10 +3284,105 @@ object Queries {
       s"""SELECT label, CAST(p.pos - 1 AS INTEGER) AS pos,
          |  round(avg(CAST(embedding[CAST(p.pos AS INTEGER)] AS DOUBLE)), 6) AS mean_v
          |FROM embeddings CROSS JOIN generate_series(1, 64) p(pos)
-         |GROUP BY label, p.pos ORDER BY label, pos""".stripMargin
+         |GROUP BY label, p.pos ORDER BY label, pos""".stripMargin,
+
+    "q_unigram_ppl" ->
+      // ln carried as exact micro-nat BIGINTs (floor(ln·1e6 + 0.5), probed
+      // bit-identical vs Math.log for all counts ≤ 2e6); ssum/n/1e6 is the
+      // one final double expression, same op order as the Spark side.
+      s"""WITH tk AS (SELECT doc_id, t AS token
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+         |      '\\s+')) AS t FROM documents)
+         |  WHERE t <> ''),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY 1, 2),
+         |vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c
+         |  FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab),
+         |sp AS (SELECT token,
+         |    CAST(floor(ln(CAST(total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |      - CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |      AS surp_micro
+         |  FROM vocab, tot),
+         |s AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |    CAST(sum(tf.tf * sp.surp_micro) AS BIGINT) AS ssum
+         |  FROM tf JOIN sp USING (token) GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  CAST(ssum AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+         |    AS mean_surprisal_nats
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_mix_weights" ->
+      // sqrt + division are correctly-rounded IEEE ops over exact BIGINT
+      // counts — bit-identical cross-engine without rounding.
+      s"""WITH tk AS (SELECT source,
+         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      y -> y <> '')) AS nt
+         |  FROM documents),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+         |    CAST(max(n_tokens) AS BIGINT) AS mt FROM per)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS share,
+         |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mt AS DOUBLE)) AS w_sqrt
+         |FROM per, tot ORDER BY source""".stripMargin,
+
+    "q_quantile_agg" ->
+      // Spark `percentile` ≡ DuckDB `quantile_cont` interpolation
+      // (q_len_percentiles precedent); one list-arg call per group.
+      s"""WITH ev AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
+         |b AS (SELECT (ts_us // 600000000) * 600000000 AS bucket_us,
+         |    CAST(count(*) AS BIGINT) AS cnt,
+         |    quantile_cont(value, [0.5, 0.9, 0.99]) AS qs
+         |  FROM ev GROUP BY 1)
+         |SELECT bucket_us, cnt, round(qs[1], 6) AS q50, round(qs[2], 6) AS q90,
+         |  round(qs[3], 6) AS q99
+         |FROM b ORDER BY bucket_us""".stripMargin,
+
+    "q_hist_fraction" -> histFractionSql
   )
 
   // --- oracle SQL helpers that need to be defs (used before declaration) ---
+
+  /** q_hist_fraction endpoint snippets — the identical operation order as
+    * [[graft.operators.Score.histogramFraction]]'s pos / bucket-clamp /
+    * interpolated-CDF columns. */
+  private def hfPos(x: String): String = s"(($x - lo) * 50) / (hi - lo)"
+
+  private def hfClamp(x: String): String =
+    s"least(greatest(CAST(floor(${hfPos(x)}) AS BIGINT), 0), 49)"
+
+  private def hfCdf(x: String): String =
+    s"""CAST(cum - cnt AS DOUBLE) + CAST(cnt AS DOUBLE) *
+       |      least(greatest(${hfPos(x)} - CAST(${hfClamp(x)} AS DOUBLE), 0.0),
+       |        1.0)""".stripMargin
+
+  private def histFractionSql: String =
+    s"""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+       |h AS (SELECT least(CAST(floor(((value - lo) * 50) / (hi - lo))
+       |      AS BIGINT) + 1, 50) AS bucket, count(*) AS cnt
+       |  FROM events, b GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h),
+       |spn AS (SELECT CAST(unnest(range(1, 51)) AS BIGINT) AS bucket),
+       |dense AS (SELECT spn.bucket, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt
+       |  FROM spn LEFT JOIN h USING (bucket)),
+       |r AS (SELECT lo + CAST(f1 AS DOUBLE) * (hi - lo) AS x_lo,
+       |    lo + CAST(f2 AS DOUBLE) * (hi - lo) AS x_hi
+       |  FROM b, (VALUES (0.1, 0.5), (0.25, 0.75), (0.0, 1.0)) v(f1, f2)),
+       |cm AS (SELECT r.x_lo, r.x_hi, d.bucket, d.cnt,
+       |    CAST(sum(d.cnt) OVER (PARTITION BY r.x_lo, r.x_hi ORDER BY d.bucket
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM dense d, r),
+       |flo AS (SELECT x_lo, x_hi,
+       |    ${hfCdf("x_lo")} AS f_lo
+       |  FROM cm, b WHERE bucket = ${hfClamp("x_lo")} + 1),
+       |fhi AS (SELECT x_lo, x_hi,
+       |    ${hfCdf("x_hi")} AS f_hi
+       |  FROM cm, b WHERE bucket = ${hfClamp("x_hi")} + 1)
+       |SELECT x_lo, x_hi, (f_hi - f_lo) / CAST(total AS DOUBLE) AS fraction
+       |FROM flo JOIN fhi USING (x_lo, x_hi), t
+       |ORDER BY x_lo, x_hi""".stripMargin
 
   private def fillAllSqlWith(inner: String, f: String => String): String =
     s"""SELECT ts_min, ${Types.map(f).mkString(",\n  ")}

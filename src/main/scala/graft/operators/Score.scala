@@ -113,6 +113,63 @@ object Score {
             lit(width), 6).as("value"))
   }
 
+  /** PromQL-style `histogram_fraction` over an equal-width [[histogram]]
+    * table: for each requested [xLo, xHi] range, the fraction of
+    * observations falling inside it, linearly interpolated within partial
+    * buckets — the complement read to [[histogramQuantile]] (the SLO
+    * question "what share of requests were under 250 ms", answered from
+    * pre-bucketed data).
+    *
+    * The interpolated CDF at x is `cum(bucket(x) − 1) + cnt(bucket(x)) ·
+    * frac(x)` — exact BIGINT cumulative counts plus ONE partial-bucket
+    * double term — so the formula replays deterministically in the oracle
+    * (a Σ cnt·clamp() formulation would sum doubles in engine-dependent
+    * order). Histogram tables omit empty buckets, so the spine is
+    * densified to all `bins` ids before the cumulative window; ≤bins rows
+    * throughout, every join broadcast-sized, window partitioned per range
+    * (no single-partition WindowExec). */
+  def histogramFraction(hist: DataFrame, lo: Double, hi: Double, bins: Int,
+                        ranges: Seq[(Double, Double)]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val h = hist.localCheckpoint(true)
+    val rdf = ranges.toDF("x_lo", "x_hi")
+    val totalRow = h.agg(sum("cnt")).head()
+    if (totalRow.isNullAt(0))
+      return rdf.limit(0)
+        .select(col("x_lo"), col("x_hi"), lit(null).cast("double").as("fraction"))
+    val total = totalRow.getLong(0)
+    // continuous bucket position of x — the same operation order as
+    // histogramBucket, so bucket boundaries agree with the histogram build
+    def pos(x: Column): Column = ((x - lit(lo)) * lit(bins)) / lit(hi - lo)
+    // 1-based bucket containing x, clamped to [1, bins] (x == hi overflows)
+    def ib(x: Column): Column =
+      least(greatest(floor(pos(x)).cast("long"), lit(0L)), lit(bins - 1L)) + 1
+    // fraction of x's bucket lying below x, clamped against fp overshoot
+    def frac(x: Column): Column =
+      least(greatest(pos(x) - (ib(x) - 1).cast("double"), lit(0.0)), lit(1.0))
+    val spine = spark.range(1, bins + 1).select(col("id").as("bucket"))
+    val dense = spine.join(h, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("x_lo", "x_hi").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = dense.crossJoin(broadcast(rdf))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .localCheckpoint(true) // two endpoint lookups below — build cum once
+    def cdfAt(x: Column): Column =
+      (col("cum") - col("cnt")).cast("double") +
+        col("cnt").cast("double") * frac(x)
+    val loSide = cum.filter(col("bucket") === ib(col("x_lo")))
+      .select(col("x_lo"), col("x_hi"), cdfAt(col("x_lo")).as("f_lo"))
+    val hiSide = cum.filter(col("bucket") === ib(col("x_hi")))
+      .select(col("x_lo"), col("x_hi"), cdfAt(col("x_hi")).as("f_hi"))
+    loSide.join(hiSide, Seq("x_lo", "x_hi"))
+      .select(col("x_lo"), col("x_hi"),
+        ((col("f_hi") - col("f_lo")) / lit(total.toDouble)).as("fraction"))
+  }
+
   /** P8: anomaly flag. */
   def classify(mse: Column, threshold: Double): Column = mse > lit(threshold)
 

@@ -66,6 +66,34 @@ object Sampling {
       .drop("_n")
   }
 
+  /** Source mixing weights — the corpus-mixture table every multi-source
+    * training run starts from: per source, document and token counts, the
+    * raw token share, and a √-tempered sampling weight relative to the
+    * dominant source (the α=0.5 temperature of multilingual/multi-corpus
+    * sampling: up-weights small sources without letting the largest one
+    * drown the mixture). Normalizing by the max (one exact BIGINT) rather
+    * than by Σ√tokens keeps the result deterministic — sqrt and division
+    * are correctly-rounded IEEE ops, but a sum of k doubles would depend
+    * on accumulation order.
+    *
+    * Scale shape: per-doc token counts are scan-side (`size` of the token
+    * array — no explode), one map-side-combinable aggregate to source
+    * grain, and a 1-row broadcast of the totals; sources are few by
+    * construction. */
+  def mixWeights(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val per = df.groupBy(srcCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextStats.tokens(lower(col(textCol)))).cast("long"))
+        .as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("_tt"), max("n_tokens").as("_mt"))
+    per.crossJoin(broadcast(tot))
+      .select(col(srcCol), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("_tt").cast("double"))
+          .as("share"),
+        (sqrt(col("n_tokens").cast("double")) /
+          sqrt(col("_mt").cast("double"))).as("w_sqrt"))
+  }
+
   /** Split-leakage audit: values of `keyCol` present in BOTH frames (e.g.
     * text fingerprints shared by a train and an eval split — the
     * contamination check every training pipeline needs). Distinct +

@@ -214,6 +214,49 @@ object TextStats {
           .as("fluency"))
   }
 
+  /** Unigram-LM surprisal score — the KenLM-style perplexity quality
+    * filter of large-scale curation pipelines, reduced to model order 1 so
+    * the score stays oracle-checkable: mean per-token surprisal
+    * −ln p(t) = ln(total) − ln(count(t)) under the corpus's own unigram
+    * distribution, in nats. Garbled/rare-vocabulary documents score high;
+    * documents of common words score low.
+    *
+    * Numeric determinism: `ln` is libm-dependent, so each log is carried
+    * as an EXACT micro-nat integer q(x) = floor(ln(x)·1e6 + 0.5) — probed
+    * bit-identical between `java.lang.Math.log` and DuckDB `ln` for every
+    * integer ≤ 2e6 — and per-token surprisal is the exact BIGINT
+    * difference q(total) − q(count). The per-doc sum is then
+    * order-independent, and the ONLY float op is one fixed final
+    * expression (ssum / n / 1e6) over identical operands cross-engine.
+    *
+    * Scale shape: tf aggregate on (doc, token) → vocabulary aggregate on
+    * token (both map-side combinable), a 1-row total broadcast, tf ⋈ vocab
+    * equi-join on token (AQE broadcasts the vocabulary side when it fits;
+    * forcing broadcast of an open-ended vocabulary would be the scale
+    * mistake), one per-doc aggregate. No all-pairs step, no driver loop —
+    * the minimum shape for any LM scoring pass. Surprisal ≤ ln(2e6)·1e6
+    * ≈ 1.5e7 micro-nats, so tf·surprisal sums stay far from Long range
+    * even at 100 TB document sizes. Docs with zero tokens emit no row
+    * (no tf entries), identically on both engines. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val qln: Column => Column = x =>
+      floor(log(x.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+    val tf = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("token").agg(sum("tf").as("c"))
+    val tot = vocab.agg(sum("c").as("total"))
+    val surprisal = vocab.crossJoin(broadcast(tot))
+      .select(col("token"), (qln(col("total")) - qln(col("c"))).as("surp_micro"))
+    tf.join(surprisal, Seq("token"))
+      .groupBy(idCol)
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("surp_micro")).as("ssum"))
+      .select(col(idCol), col("n_tokens"),
+        (col("ssum").cast("double") / col("n_tokens").cast("double") /
+          lit(1000000.0)).as("mean_surprisal_nats"))
+  }
+
   /** Benchmark-contamination audit — the decontamination pre-step of every
     * LLM training pipeline: for each corpus document, the number of
     * distinct k-gram shingles it shares with ANY benchmark document.

@@ -28,6 +28,29 @@ class ScoreSpec extends SparkSpec {
     assert(h.map(_.getLong(1)).sum == 101)
   }
 
+  test("histogramFraction: interpolated CDF shares; full range covers everything") {
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val hist = Score.histogramWith(df, "v", 0.0, 100.0, 50)
+    val r = Score.histogramFraction(hist, 0.0, 100.0, 50,
+        Seq((0.0, 50.0), (25.0, 75.0), (0.0, 100.0)))
+      .orderBy("x_lo", "x_hi").collect()
+    val frac = r.map(x => (x.getDouble(0), x.getDouble(1)) -> x.getDouble(2)).toMap
+    // [0,50): buckets 1..25 hold v=0..49, endpoints land on exact bucket edges
+    assert(frac((0.0, 50.0)) == 50.0 / 101.0)
+    // [25,75]: F(75)=75 (half of bucket 38), F(25)=25 → 50/101 again
+    assert(frac((25.0, 75.0)) == 50.0 / 101.0)
+    // full range: x=hi overflows into the clamped last bucket, frac=1 → total
+    assert(frac((0.0, 100.0)) == 1.0)
+  }
+
+  test("histogramFraction: empty histogram yields the empty frame, not an NPE") {
+    val empty = Score.histogramWith(
+      Seq.empty[Double].toDF("v"), "v", 0.0, 1.0, 50)
+    val r = Score.histogramFraction(empty, 0.0, 1.0, 50, Seq((0.0, 0.5)))
+    assert(r.collect().isEmpty)
+    assert(r.columns.toSeq == Seq("x_lo", "x_hi", "fraction"))
+  }
+
   test("anomalyStats: counts and ratios sum to 1 (A9/P8)") {
     val df = Seq(0.1, 0.2, 0.9, 1.5).toDF("mse")
     val s = Score.anomalyStats(df, "mse", 0.5).orderBy("is_anomaly").collect()

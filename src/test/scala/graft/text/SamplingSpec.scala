@@ -49,6 +49,22 @@ class SamplingSpec extends SparkSpec {
     assert(all.count() == 1700)
   }
 
+  test("mixWeights: exact counts, share sums to 1, sqrt weight vs dominant source") {
+    val df = Seq(
+      ("web", "one two three four"),  // 4 tokens
+      ("web", "five six seven eight"),// 4 tokens → web: 2 docs, 8 tokens
+      ("book", "alpha beta"),         // book: 1 doc, 2 tokens
+      ("book", "")).toDF("source", "text") // empty doc: counts, adds 0 tokens
+    val r = Sampling.mixWeights(df, "source", "text").orderBy("source").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq(("book", 2L, 2L), ("web", 2L, 8L)))
+    val share = r.map(x => x.getString(0) -> x.getAs[Double]("share")).toMap
+    assert(share("web") == 0.8 && share("book") == 0.2)
+    val w = r.map(x => x.getString(0) -> x.getAs[Double]("w_sqrt")).toMap
+    assert(w("web") == 1.0) // dominant source pins the scale
+    assert(w("book") == math.sqrt(2.0) / math.sqrt(8.0)) // = 0.5
+  }
+
   test("overlap: keys present in both sides, distinct, semi-join plan") {
     val a = Seq("x", "y", "y", "z").toDF("fp")
     val b = Seq("y", "z", "z", "w").toDF("fp")

@@ -109,6 +109,23 @@ class TextStatsSpec extends SparkSpec {
     assert(r.find(_.getLong(0) == 1L).get.getLong(1) == 2L) // n_bigrams
   }
 
+  test("unigramSurprisal: micro-nat exact values; rare vocabulary scores higher") {
+    val df = Seq(
+      (1L, "a a a a"),  // 4× the common token
+      (2L, "b"),        // 1× a rare token
+      (3L, "")).toDF("id", "text") // zero tokens: no row
+    val r = TextStats.unigramSurprisal(df, "id", "text").orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // corpus: a→4, b→1, total 5; q(x) = floor(ln(x)·1e6 + 0.5)
+    def q(x: Long) = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    val expect1 = (q(5) - q(4)).toDouble / 1e6          // every token 'a'
+    val expect2 = (q(5) - q(1)).toDouble / 1e6          // ln(5) ≈ 1.609438
+    assert(r(0).getAs[Long]("n_tokens") == 4L)
+    assert(r(0).getAs[Double]("mean_surprisal_nats") == expect1)
+    assert(r(1).getAs[Double]("mean_surprisal_nats") == expect2)
+    assert(expect2 > expect1) // rare vocabulary ⇒ higher surprisal
+  }
+
   test("contamination counts shared distinct shingles vs the benchmark set") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("id", "text")
     val corpus = Seq(
