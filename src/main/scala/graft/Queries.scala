@@ -1862,7 +1862,53 @@ object Queries {
       Score.histogramFraction(Score.histogramWith(ev, "value", lo, hi, 50),
           lo, hi, 50, ranges)
         .orderBy("x_lo", "x_hi")
-    })
+    }),
+
+    "q_hist_stats" -> ((s, d) => {
+      // PromQL histogram_count / histogram_sum / histogram_avg over the
+      // A7 histogram: exact count + midpoint-mass sum/mean estimates —
+      // the aggregate reads that work when only bucketed counts survive.
+      val ev = Tables.events(s, d)
+      val r = ev.agg(min(col("value")).cast("double"),
+        max(col("value")).cast("double")).head()
+      Score.histogramStats(
+        Score.histogramWith(ev, "value", r.getDouble(0), r.getDouble(1), 50),
+        r.getDouble(0), r.getDouble(1), 50)
+    }),
+
+    "q_bottomk_series" -> ((s, d) => {
+      // PromQL bottomk(2, sum by (type) (...)) per 1-hour bucket — the
+      // topk mirror (cheapest/quietest series per bucket): keyed
+      // aggregate + rank window, deterministic label tiebreak.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("hour_bkt").orderBy(col("sum_v").asc,
+          col("event_type"))
+      milliEvents(s, d)
+        .groupBy(expr("ts_us div 3600000000").as("hour_bkt"),
+          col("event_type"))
+        .agg(sum("v").as("sum_v"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .orderBy("hour_bkt", "rk")
+    }),
+
+    "q_gopher_rules" -> ((s, d) =>
+      // Gopher-style composite quality gate: token-count band, mean
+      // token length band (integer cross-multiplied — no float
+      // thresholds), stopword floor, and the conjunction. Scan-side
+      // projection; the rule flags are exact-int comparisons so the
+      // oracle replays them bit-identically.
+      graft.text.TextStats.gopherRules(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_dup_ngrams" -> ((s, d) =>
+      // Gopher repetition signals at 2-gram grain: per-doc character
+      // share of the most-covering bigram and of all duplicated bigrams
+      // — ratios of exact BIGINT char sums, one division each.
+      graft.text.TextStats.dupNgramStats(
+          Tables.documents(s, d), "doc_id", "text", n = 2)
+        .orderBy("doc_id"))
   )
 
   // ==========================================================================
@@ -3340,7 +3386,87 @@ object Queries {
          |  round(qs[3], 6) AS q99
          |FROM b ORDER BY bucket_us""".stripMargin,
 
-    "q_hist_fraction" -> histFractionSql
+    "q_hist_fraction" -> histFractionSql,
+
+    "q_hist_stats" ->
+      // sum_est factored as lo·N + w·(S − N/2) with N, S exact BIGINTs —
+      // one fixed IEEE expression, no double accumulation either side.
+      s"""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+         |h AS (SELECT least(CAST(floor(((value - lo) * 50) / (hi - lo))
+         |      AS BIGINT) + 1, 50) AS bucket, count(*) AS cnt
+         |  FROM events, b GROUP BY 1),
+         |a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |    CAST(sum(bucket * cnt) AS BIGINT) AS s FROM h)
+         |SELECT n,
+         |  lo * CAST(n AS DOUBLE) + ((hi - lo) / 50.0)
+         |    * (CAST(s AS DOUBLE) - CAST(n AS DOUBLE) * 0.5) AS sum_est,
+         |  (lo * CAST(n AS DOUBLE) + ((hi - lo) / 50.0)
+         |    * (CAST(s AS DOUBLE) - CAST(n AS DOUBLE) * 0.5))
+         |    / CAST(n AS DOUBLE) AS avg_est
+         |FROM a, b""".stripMargin,
+
+    "q_bottomk_series" ->
+      s"""WITH ev AS ($MilliEvSql),
+         |g AS (SELECT ts_us // 3600000000 AS hour_bkt, event_type,
+         |    CAST(sum(v) AS BIGINT) AS sum_v FROM ev GROUP BY 1, 2),
+         |r AS (SELECT hour_bkt, event_type, sum_v, row_number() OVER (
+         |    PARTITION BY hour_bkt ORDER BY sum_v ASC, event_type) AS rk
+         |  FROM g)
+         |SELECT hour_bkt, event_type, sum_v, CAST(rk AS INTEGER) AS rk
+         |FROM r WHERE rk <= 2
+         |ORDER BY hour_bkt, rk""".stripMargin,
+
+    "q_gopher_rules" ->
+      // Rule flags are exact-int comparisons (mean band cross-multiplied);
+      // the stopword list is interpolated from the SAME Scala constant the
+      // Spark side uses. mean_tok_len is one division of exact BIGINTs.
+      s"""WITH tk AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ts,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+         |      AS sum_tok_chars
+         |  FROM documents),
+         |g AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |    sum_tok_chars,
+         |    CAST(len(list_filter(ts, y -> list_contains([${
+           graft.text.TextStats.DefaultStopwords.map(w => s"'$w'")
+             .mkString(", ")}], y))) AS BIGINT) AS stop_count
+         |  FROM tk)
+         |SELECT doc_id, n_tokens, sum_tok_chars, stop_count,
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST(sum_tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    ELSE 0.0 END AS mean_tok_len,
+         |  CAST(n_tokens BETWEEN 50 AND 100000 AS INTEGER) AS ok_len,
+         |  CAST(3 * n_tokens <= sum_tok_chars
+         |    AND sum_tok_chars <= 10 * n_tokens AS INTEGER) AS ok_mean,
+         |  CAST(stop_count >= 2 AS INTEGER) AS ok_stop,
+         |  CAST(n_tokens BETWEEN 50 AND 100000
+         |    AND 3 * n_tokens <= sum_tok_chars
+         |    AND sum_tok_chars <= 10 * n_tokens
+         |    AND stop_count >= 2 AS INTEGER) AS pass
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_dup_ngrams" ->
+      // Character weights are gram length minus the joiner space — exact
+      // BIGINT sums; top_share / dup_frac are single divisions.
+      s"""WITH tk AS (SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+         |      ' ') AS ts
+         |  FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(ts) - 1),
+         |    i -> ts[i + 1] || ' ' || ts[i + 2])) AS g FROM tk),
+         |c AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(max(length(g)) - 1 AS BIGINT) AS glen
+         |  FROM bg GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |    CAST(sum(c * glen) AS BIGINT) AS tot,
+         |    CAST(max(c * glen) AS BIGINT) AS top,
+         |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * glen END), 0)
+         |      AS BIGINT) AS dup
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id, n_grams,
+         |  CAST(top AS DOUBLE) / CAST(tot AS DOUBLE) AS top_share,
+         |  CAST(dup AS DOUBLE) / CAST(tot AS DOUBLE) AS dup_frac
+         |FROM a ORDER BY doc_id""".stripMargin
   )
 
   // --- oracle SQL helpers that need to be defs (used before declaration) ---

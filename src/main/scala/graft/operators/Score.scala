@@ -170,6 +170,29 @@ object Score {
         ((col("f_hi") - col("f_lo")) / lit(total.toDouble)).as("fraction"))
   }
 
+  /** PromQL `histogram_count` / `histogram_sum` / `histogram_avg` analog
+    * over an equal-width [[histogram]]: exact observation count, and the
+    * midpoint-mass estimates of sum and mean (each bucket's count placed
+    * at its center — the standard reconstruction when only bucketed counts
+    * survive; `histogramQuantile` is the same trade for quantiles).
+    *
+    * Determinism: the double sum Σ cnt·midpoint(b) is factored as
+    * lo·N + w·(S − N/2) with N = Σ cnt and S = Σ cnt·b both EXACT BIGINTs
+    * (bucket ids are integers), so no double is ever accumulated in
+    * engine-dependent order — the oracle replays one fixed IEEE expression
+    * over identical operands. One ≤bins-row aggregate; scales trivially. */
+  def histogramStats(hist: DataFrame, lo: Double, hi: Double,
+                     bins: Int): DataFrame = {
+    val w = (hi - lo) / bins
+    hist.agg(sum("cnt").cast("long").as("n"),
+        sum(col("bucket") * col("cnt")).cast("long").as("s"))
+      .select(col("n"),
+        (lit(lo) * col("n").cast("double") + lit(w) *
+          (col("s").cast("double") - col("n").cast("double") * lit(0.5)))
+          .as("sum_est"))
+      .withColumn("avg_est", col("sum_est") / col("n").cast("double"))
+  }
+
   /** P8: anomaly flag. */
   def classify(mse: Column, threshold: Double): Column = mse > lit(threshold)
 

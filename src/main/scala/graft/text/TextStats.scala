@@ -383,4 +383,88 @@ object TextStats {
       .withColumn("hot_ratio",
         round(col("n_hot").cast("double") / col("n_shingles"), 6))
   }
+
+  /** Gopher-style composite quality gate (Rae et al. 2021 §A1.1, the
+    * standard pre-training document filter): per-document token count,
+    * mean token length, and stopword presence, each with its rule flag,
+    * plus the conjunction. Rules whose signals are structurally absent
+    * from whitespace-token corpora (bullet/ellipsis line fractions,
+    * symbol-to-word ratio) are omitted rather than emitted as constants.
+    *
+    * Determinism: every rule evaluates on EXACT integers — the mean-length
+    * band [3, 10] is the cross-multiplied `3·n ≤ chars ≤ 10·n`, never a
+    * float threshold — so flags are bit-identical cross-engine. The one
+    * float column (`mean_tok_len`) is a single correctly-rounded division
+    * of exact BIGINTs, emitted unrounded.
+    *
+    * Scale shape: pure per-row projection — codegen'd, zero shuffle; runs
+    * at scan speed on any corpus size. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minTokens: Int = 50, maxTokens: Int = 100000,
+                  stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        length(regexp_replace(col(textCol), "\\s+", "")).cast("long")
+          .as("sum_tok_chars"),
+        stopwordCount(toks, stopwords).cast("long").as("stop_count"))
+      .withColumn("mean_tok_len",
+        when(col("n_tokens") > 0,
+          col("sum_tok_chars").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("ok_len",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .cast("int"))
+      .withColumn("ok_mean",
+        (lit(3L) * col("n_tokens") <= col("sum_tok_chars") &&
+         col("sum_tok_chars") <= lit(10L) * col("n_tokens")).cast("int"))
+      .withColumn("ok_stop", (col("stop_count") >= 2L).cast("int"))
+      .withColumn("pass",
+        (col("ok_len") === 1 && col("ok_mean") === 1 && col("ok_stop") === 1)
+          .cast("int"))
+  }
+
+  /** Gopher repetition signals at n-gram grain (Rae et al. 2021 §A1.1):
+    * per document, the character share of the single most-covering n-gram
+    * (`top_share` — the "fraction of characters in the most frequent
+    * n-gram" family, made tiebreak-free by taking the max of
+    * occurrences × gram-chars rather than picking one most-frequent gram)
+    * and the character share of all DUPLICATED n-grams (`dup_frac` — the
+    * "fraction of characters in duplicate n-grams" family; overlapping
+    * occurrences each count, the documented upper-bound reading).
+    *
+    * Character weights count token characters only (gram length minus the
+    * n−1 joiner spaces), so both shares are ratios of exact BIGINT sums —
+    * one correctly-rounded division each, bit-identical cross-engine,
+    * emitted unrounded. Documents with fewer than n tokens have no
+    * n-grams and are absent from the output (mirrored by the oracle).
+    *
+    * Scale shape: explode n-grams → (doc, gram) count → per-doc aggregate,
+    * both map-side combinable; no join, no all-pairs. The n-gram array is
+    * built with `transform(sequence(...))` over slices — per-row, inside
+    * codegen. */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 2): DataFrame = {
+    require(n >= 2, s"need n >= 2, got $n")
+    val tk = graft.dedup.Dedup.normTokens(col(textCol))
+    val grams = when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(grams).as("g"))
+      .groupBy(idCol, "g")
+      .agg(count(lit(1)).as("c"),
+        (max(length(col("g"))) - (n - 1)).cast("long").as("glen"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_grams"),
+        sum(col("c") * col("glen")).as("_tot"),
+        max(col("c") * col("glen")).as("_top"),
+        coalesce(sum(when(col("c") >= 2, col("c") * col("glen"))), lit(0L))
+          .as("_dup"))
+      .select(col(idCol), col("n_grams"),
+        (col("_top").cast("double") / col("_tot").cast("double"))
+          .as("top_share"),
+        (col("_dup").cast("double") / col("_tot").cast("double"))
+          .as("dup_frac"))
+  }
 }

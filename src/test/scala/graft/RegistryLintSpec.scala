@@ -33,7 +33,8 @@ class RegistryLintSpec extends AnyFunSuite {
   /** Single-row global aggregates: row order is vacuous by construction
     * (the driver's hash sees exactly one row either way). */
   private val singleRow =
-    Set("q_nan_report_a5", "q_sketch_bounds", "q6_forecast_revenue")
+    Set("q_nan_report_a5", "q_sketch_bounds", "q6_forecast_revenue",
+      "q_hist_stats")
 
   test("every oracle ends in a deterministic ORDER BY (single-row aggregates exempt)") {
     val unordered = Queries.oracleSql.collect {

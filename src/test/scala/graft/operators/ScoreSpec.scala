@@ -73,4 +73,16 @@ class ScoreSpec extends SparkSpec {
     assert(m(0).getDouble(1) == 0.5) // (1+0)/2
     assert(m(1).getDouble(1) == 4.0)
   }
+
+  test("histogramStats: exact count, midpoint-mass sum/avg estimates") {
+    // values 0..10 over [0,10] in 2 bins: [0,5) -> 5 values (0..4),
+    // [5,10] -> 6 values (5..10). midpoints 2.5 and 7.5.
+    val df = (0 to 10).map(_.toDouble).toDF("v")
+    val h = Score.histogramWith(df, "v", 0.0, 10.0, 2)
+    val r = Score.histogramStats(h, 0.0, 10.0, 2).head()
+    assert(r.getAs[Long]("n") == 11L)
+    // sum_est = 5*2.5 + 6*7.5 = 57.5; factored formula must agree exactly
+    assert(r.getAs[Double]("sum_est") == 57.5)
+    assert(r.getAs[Double]("avg_est") == 57.5 / 11.0)
+  }
 }

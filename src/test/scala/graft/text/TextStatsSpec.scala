@@ -193,4 +193,56 @@ class TextStatsSpec extends SparkSpec {
       (1L, 3L, 1L, 0.333333), (2L, 2L, 1L, 0.5),
       (3L, 2L, 1L, 0.5), (4L, 1L, 0L, 0.0)))
   }
+
+  test("gopherRules: exact-integer rule flags and conjunction") {
+    import spark.implicits._
+    val longOk = ("the word " * 30).trim           // 60 tokens, stops=30
+    val shortDoc = "the of and tiny"               // 4 tokens: fails ok_len
+    val noStops = ("word " * 60).trim              // 60 tokens, 0 stopwords
+    val longWords = (("extraordinarily " * 60).trim) // mean len 15 > 10
+    val df = Seq((1L, longOk), (2L, shortDoc), (3L, noStops), (4L, longWords))
+      .toDF("doc_id", "text")
+    val r = TextStats.gopherRules(df, "doc_id", "text").orderBy("doc_id")
+      .collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("ok_len"),
+        x.getAs[Int]("ok_mean"), x.getAs[Int]("ok_stop"),
+        x.getAs[Int]("pass")))
+    assert(r.toSeq == Seq(
+      (1L, 1, 1, 1, 1),   // all rules green
+      (2L, 0, 1, 1, 0),   // too short; "the","of","and" >= 2 stops
+      (3L, 1, 1, 0, 0),   // no stopwords
+      (4L, 1, 0, 0, 0)))  // mean token length 15 > 10
+    // mean_tok_len is exact: doc 1 has 30*3 + 30*4 = 210 chars / 60 tokens
+    val m = TextStats.gopherRules(df, "doc_id", "text")
+      .filter(col("doc_id") === 1L).head().getAs[Double]("mean_tok_len")
+    assert(m == 3.5)
+  }
+
+  test("dupNgramStats: bigram char coverage, hand-computed") {
+    import spark.implicits._
+    // "ab cd ab cd ef": bigrams = ab-cd (x2), cd-ab (x1), cd-ef (x1)
+    // glen = 4 for all; tot = 4*4+1*4+1*4 = 16 gram-chars... per-gram
+    // c*glen: ab-cd 8, cd-ab 4, cd-ef 4 -> tot 16, top 8, dup 8
+    val df = Seq((1L, "ab cd ab cd ef"), (2L, "xx yy"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val r = TextStats.dupNgramStats(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    // doc 3 has one token -> no bigrams -> absent
+    assert(r.toSeq == Seq(
+      (1L, 4L, 0.5, 0.5),
+      (2L, 1L, 1.0, 0.0)))
+  }
+
+  test("dupNgramStats: trigram grain and sub-n docs absent") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a b"), (2L, "x y")).toDF("doc_id", "text")
+    // trigrams of doc 1: "a b a","b a b","a b a","b a b" -> each x2
+    // glen = 3; tot = 4*3 = 12, dup = 12, top = 2*3 = 6
+    val r = TextStats.dupNgramStats(df, "doc_id", "text", n = 3).collect()
+    assert(r.length == 1) // doc 2 has < 3 tokens
+    val x = r.head
+    assert((x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)) ==
+      (1L, 4L, 0.5, 1.0))
+  }
 }
