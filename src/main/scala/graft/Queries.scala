@@ -1908,7 +1908,18 @@ object Queries {
       // — ratios of exact BIGINT char sums, one division each.
       graft.text.TextStats.dupNgramStats(
           Tables.documents(s, d), "doc_id", "text", n = 2)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q_pq_codes" -> ((s, d) =>
+      // Product quantization (the IVF-PQ compression stage): 4 subspaces
+      // × 16 dims, 4-centroid codebooks trained with the deterministic
+      // fixed-point Lloyd machinery (md5-seeded farthest-first init, one
+      // iteration, ALL subspaces in one shuffle per iteration), then
+      // map-only code assignment + exact-integer reconstruction error.
+      // The oracle replays init, iteration, and coding bit-for-bit.
+      graft.sim.Ann.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding",
+          m = 4, ksub = 4, iters = 1, dims = 64)
+        .orderBy("vec_id"))
   )
 
   // ==========================================================================
@@ -3466,7 +3477,9 @@ object Queries {
          |SELECT doc_id, n_grams,
          |  CAST(top AS DOUBLE) / CAST(tot AS DOUBLE) AS top_share,
          |  CAST(dup AS DOUBLE) / CAST(tot AS DOUBLE) AS dup_frac
-         |FROM a ORDER BY doc_id""".stripMargin
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_pq_codes" -> pqSql(m = 4, ksub = 4, iters = 1)
   )
 
   // --- oracle SQL helpers that need to be defs (used before declaration) ---
@@ -3703,6 +3716,84 @@ object Queries {
          |  FROM cells ce JOIN pr ON ce.cell = pr.cell AND ce.vec_id <> pr.qid)
          |SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank
          |FROM scored WHERE rank <= $topk ORDER BY qid, rank""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB twin of Ann.pqCodes: per subspace, replays the shared
+    * md5-ordered oversample, the Gonzalez farthest-first init (ksub−1
+    * argmax-of-min-distance selection CTEs over the SLICED candidates),
+    * the fixed-point Lloyd iterations, and the final nearest-cell coding —
+    * all on exact integers, then one final double division for recon_err
+    * (the identical op order as the Spark side). */
+  private def pqSql(m: Int, ksub: Int, iters: Int): String = {
+    val dims = 64
+    val d = dims / m
+    val over = graft.sim.Ann.KmeansOversample * ksub
+    // corpus-vs-centroid distance on subspace starting at offset `off`:
+    // q is on the ×1000 grid, centroids on ×1000000
+    def distTo(off: Int, qa: String, ca: String) =
+      s"(SELECT sum(($qa[$off + g.i]*1000 - $ca[g.i])*($qa[$off + g.i]*1000 - $ca[g.i])) FROM generate_series(1, $d) g(i))"
+    // candidate-vs-candidate: both already sliced and on the ×1000000 grid
+    def candDist(a: String, b: String) =
+      s"(SELECT sum(($a[g.i] - $b[g.i])*($a[g.i] - $b[g.i])) FROM generate_series(1, $d) g(i))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ev AS (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |cand AS MATERIALIZED (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+         |  list_transform(q, x -> x*1000) AS c FROM ev
+         |  QUALIFY rn <= $over),
+         |""".stripMargin)
+    for (s <- 0 until m) {
+      val off = s * d
+      sb.append(
+        s"""s${s}cand AS MATERIALIZED (SELECT rn, c[${off + 1}:${off + d}] AS c FROM cand),
+           |s${s}ch1 AS MATERIALIZED (SELECT 0 AS cell, rn, c FROM s${s}cand WHERE rn = 1),
+           |""".stripMargin)
+      for (j <- 1 until ksub) {
+        sb.append(
+          s"""s${s}m$j AS MATERIALIZED (SELECT ca.rn, min(${candDist("ca.c", "p.c")}) AS md
+             |  FROM s${s}cand ca CROSS JOIN s${s}ch$j p
+             |  WHERE ca.rn NOT IN (SELECT rn FROM s${s}ch$j)
+             |  GROUP BY ca.rn),
+             |s${s}ch${j + 1} AS MATERIALIZED (SELECT * FROM s${s}ch$j UNION ALL
+             |  SELECT $j AS cell, rn, c FROM (
+             |    SELECT ca.rn, ca.c,
+             |      row_number() OVER (ORDER BY mm.md DESC, ca.rn) AS pk
+             |    FROM s${s}cand ca JOIN s${s}m$j mm USING (rn)) WHERE pk = 1),
+             |""".stripMargin)
+      }
+      sb.append(s"s${s}c0 AS (SELECT cell, c FROM s${s}ch$ksub),\n")
+      for (i <- 1 to iters) {
+        sb.append(
+          s"""s${s}a$i AS (SELECT e.vec_id, e.q, t.cell,
+             |  row_number() OVER (PARTITION BY e.vec_id ORDER BY ${distTo(off, "e.q", "t.c")}, t.cell) AS rk
+             |  FROM ev e CROSS JOIN s${s}c${i - 1} t),
+             |s${s}u$i AS (SELECT a.cell, g.i AS pos, sum(a.q[$off + g.i]) AS sv, count(*) AS m
+             |  FROM s${s}a$i a CROSS JOIN generate_series(1, $d) g(i) WHERE a.rk = 1
+             |  GROUP BY a.cell, g.i),
+             |s${s}c$i AS (SELECT cell,
+             |  list(CAST((1000*sv - ((((1000*sv) % m) + m) % m)) // m AS BIGINT) ORDER BY pos) AS c
+             |  FROM s${s}u$i GROUP BY cell),
+             |""".stripMargin)
+      }
+      sb.append(
+        s"""s${s}f AS (SELECT e.vec_id, t.cell, ${distTo(off, "e.q", "t.c")} AS dd,
+           |  row_number() OVER (PARTITION BY e.vec_id ORDER BY ${distTo(off, "e.q", "t.c")}, t.cell) AS rk
+           |  FROM ev e CROSS JOIN s${s}c$iters t),
+           |s${s}code AS (SELECT vec_id, CAST(cell AS INTEGER) AS code_$s, dd AS d_$s
+           |  FROM s${s}f WHERE rk = 1),
+           |""".stripMargin)
+    }
+    val joins = (1 until m).map(s => s"JOIN s${s}code USING (vec_id)").mkString(" ")
+    val codes = (0 until m).map(s => s"code_$s").mkString(", ")
+    val errSum = (0 until m).map(s => s"d_$s").mkString(" + ")
+    sb.append(
+      s"""fin AS (SELECT * FROM s0code $joins)
+         |SELECT vec_id, $codes,
+         |  CAST($errSum AS DOUBLE) / 1.0E12 AS recon_err
+         |FROM fin ORDER BY vec_id""".stripMargin)
     sb.toString
   }
 

@@ -628,6 +628,103 @@ object Ann {
       .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** Product quantization (Jégou et al. 2011, the IVF-PQ compression
+    * stage): the vector is split into `m` subspaces of dims/m components,
+    * each subspace gets its own `ksub`-centroid codebook, and every vector
+    * compresses to m small codes (m·log₂ksub bits — the lever that fits a
+    * 10⁹-vector index in memory at 100 TB corpus scale).
+    *
+    * Codebooks train with the SAME deterministic fixed-point machinery as
+    * [[kmeansCentroidsFixedPoint]] (md5-seeded oversample, Gonzalez
+    * farthest-first init, exact-integer Lloyd iterations) so the whole
+    * build — init selection, iterations, final code assignment, and the
+    * reconstruction error — replays bit-for-bit in the DuckDB oracle.
+    * One shared md5-ordered candidate collect seeds ALL m codebooks.
+    *
+    * Scale shape: per Lloyd iteration, ONE exploded (sub, subvector)
+    * aggregate updates every codebook in a single shuffle whose payload is
+    * m·ksub·(dims/m) = ksub·dims long partials per partition — identical
+    * bytes to one full-width k-means pass, never m separate jobs. Final
+    * coding is a map-only projection (codebooks are plan literals), so
+    * the expensive corpus-sized stage has zero shuffle.
+    *
+    * Output: (id, code_0..code_{m-1}, recon_err) — recon_err is the exact
+    * integer squared quantization error on the 10⁻⁶ grid divided once by
+    * 1e12 (sums stay ≤ dims·(4e6)² ≈ 10¹⁵ « 2⁶³; the double cast is exact
+    * below 2⁵³ for the sf volumes and IEEE-identical cross-engine). */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int, iters: Int, dims: Int): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    require(ksub > 1 && iters >= 0, s"need ksub > 1, iters >= 0")
+    val d = dims / m
+    val qv = corpus.select(col(idCol).as("_id"), quantize3(col(vecCol)).as("_q"))
+    qv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one md5-ordered oversample seeds every subspace's farthest-first init
+    val cand: Array[Array[Long]] =
+      qv.orderBy(md5(col("_id").cast("string").cast("binary")), col("_id"))
+        .limit(KmeansOversample * ksub).select("_q").collect()
+        .map(_.getSeq[Long](0).map(_ * 1000L).toArray)
+    var cbooks: Array[Seq[(Int, Array[Long])]] = Array.tabulate(m) { j =>
+      farthestFirst(cand.map(_.slice(j * d, j * d + d)), ksub)
+        .zipWithIndex.map { case (c, cell) => (cell, c) }
+    }
+    def subq(j: Int): Column = slice(col("_q"), j * d + 1, d)
+    val useKernel = scala.util.Try(
+      corpus.sparkSession.catalog.functionExists("graft_vec_sum_long"))
+      .getOrElse(false)
+    var it = 0
+    while (it < iters) {
+      // all m subspaces in ONE aggregate: explode to (sub, subq, cell)
+      // rows — m× the row count but 1/m the vector width, so the shuffle
+      // carries the same bytes as one full-width pass
+      val books = cbooks // stable reference for the closure-free plan build
+      val exploded = qv.select(col("_id"), explode(array((0 until m).map { j =>
+          struct(lit(j).as("sub"), subq(j).as("subq"))
+        }: _*)).as("_e"))
+        .select(col("_e.sub").as("_sub"), col("_e.subq").as("_sq"))
+      val assigned = exploded.withColumn("_cell",
+        (1 until m).foldLeft(when(col("_sub") === 0,
+            nearestCellInt(col("_sq"), books(0)))) { (acc, j) =>
+          acc.when(col("_sub") === j, nearestCellInt(col("_sq"), books(j)))
+        })
+      val upd =
+        if (useKernel)
+          assigned.groupBy("_sub", "_cell")
+            .agg(count(lit(1)).as("_m"),
+              call_function("graft_vec_sum_long", col("_sq")).as("_s"))
+            .collect() // ≤ m·ksub rows of d sums — driver-sized by construction
+            .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getSeq[Long](3)))
+        else
+          assigned.groupBy("_sub", "_cell")
+            .agg(count(lit(1)).as("_m"),
+              (0 until d).map(i =>
+                sum(element_at(col("_sq"), i + 1)).as(s"_s$i")): _*)
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+              (0 until d).map(i => r.getLong(3 + i))))
+      cbooks = Array.tabulate(m) { j =>
+        upd.filter(_._1 == j).map { case (_, cell, cnt, sums) =>
+          (cell, sums.map(s => Math.floorDiv(1000L * s, cnt)).toArray)
+        }.toSeq.sortBy(_._1)
+      }
+      it += 1
+    }
+    // map-only final coding: per subspace, nearest cell + its exact
+    // integer distance (the min of the (d, cell) struct array — the same
+    // argmin the assignment uses, so code and error always agree)
+    val scored = (0 until m).map { j =>
+      array_min(cellScores(subq(j), cbooks(j))).as(s"_b$j")
+    }
+    val out = qv.select(col("_id") +: scored: _*)
+      .select(col("_id").as(idCol) +:
+        (0 until m).map(j => col(s"_b$j.cell").as(s"code_$j")) :+
+        ((0 until m).map(j => col(s"_b$j.d")).reduce(_ + _).cast("double")
+          / lit(1e12)).as("recon_err"): _*)
+      .localCheckpoint(true) // sever lineage before the source cache drops
+    qv.unpersist(false)
+    out
+  }
+
   def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, bits: Int = 8,
                     bucketFn: (Column, Int) => Column = lshBucket): DataFrame = {

@@ -321,4 +321,51 @@ class AnnSpec extends SparkSpec {
     assert(c(0).getSeq[Double](c(0).fieldIndex("centroid")).toList == List(2.0, 4.0))
     assert(c(1).getSeq[Double](c(1).fieldIndex("centroid")).toList == List(0.0, 2.0))
   }
+
+  test("pqCodes: identical vectors quantize losslessly") {
+    // every subvector equals its codebook centroid -> recon_err == 0
+    val v = Seq(0.5f, -0.25f, 0.125f, 1.0f)
+    val df = (1L to 6L).map((_, v)).toDF("vec_id", "embedding")
+    val r = Ann.pqCodes(df, "vec_id", "embedding",
+        m = 2, ksub = 2, iters = 1, dims = 4)
+      .orderBy("vec_id").collect()
+    assert(r.length == 6)
+    r.foreach { x =>
+      assert(x.getAs[Double]("recon_err") == 0.0)
+      assert(x.getAs[Int]("code_0") >= 0 && x.getAs[Int]("code_0") < 2)
+    }
+  }
+
+  test("pqCodes: separated clusters get distinct codes per subspace") {
+    // subspace 0 separates ids 1-3 (x~0) from 4-6 (x~10); subspace 1 is
+    // shared -> code_0 splits the corpus, code_1 is constant-ish
+    val lo = Seq(0.0f, 0.0f, 5.0f, 5.0f)
+    val hi = Seq(10.0f, 10.0f, 5.0f, 5.0f)
+    val df = ((1L to 3L).map((_, lo)) ++ (4L to 6L).map((_, hi)))
+      .toDF("vec_id", "embedding")
+    val r = Ann.pqCodes(df, "vec_id", "embedding",
+        m = 2, ksub = 2, iters = 2, dims = 4)
+      .orderBy("vec_id").collect()
+    val c0 = r.map(_.getAs[Int]("code_0")).toSeq
+    assert(c0.take(3).distinct.size == 1 && c0.drop(3).distinct.size == 1)
+    assert(c0.head != c0.last, "the two clusters must land in different cells")
+    // reconstruction from each cluster's own centroid is exact here:
+    // both clusters are internally identical, so Lloyd converges onto them
+    r.foreach(x => assert(x.getAs[Double]("recon_err") == 0.0))
+  }
+
+  test("pqCodes: recon_err is the exact integer distance on the e-6 grid") {
+    // one subspace, one centroid (ksub=2 but duplicates collapse after an
+    // update), hand-checkable: corpus {0.0, 0.002} -> centroid at floor
+    // mean; err = sum of squared e-6-grid gaps / 1e12
+    val df = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(0.002f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Ann.pqCodes(df, "vec_id", "embedding",
+        m = 1, ksub = 2, iters = 0, dims = 2)
+      .orderBy("vec_id").collect()
+    // iters=0: codebook = farthest-first init = the two distinct vectors
+    // themselves (oversample covers the full corpus) -> lossless
+    r.foreach(x => assert(x.getAs[Double]("recon_err") == 0.0))
+    assert(r.map(_.getAs[Int]("code_0")).distinct.length == 2)
+  }
 }
