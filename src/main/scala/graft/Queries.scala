@@ -1919,7 +1919,21 @@ object Queries {
       // The oracle replays init, iteration, and coding bit-for-bit.
       graft.sim.Ann.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding",
           m = 4, ksub = 4, iters = 1, dims = 64)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    "q_pq_topk" -> ((s, d) => {
+      // PQ asymmetric-distance top-k — the search half of IVF-PQ: corpus
+      // candidates are scored ONLY from their m codes (query-to-centroid
+      // exact integer distances), broadcast-queries × codes scan + rank
+      // window. The oracle replays codebooks, codes, ADC sums, and the
+      // id-tiebreak ranking bit-for-bit.
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.sim.Ann.pqTopK(q, "qid", "qv", emb, "vec_id", "embedding",
+          k = 5, m = 4, ksub = 4, iters = 1, dims = 64)
+        .orderBy("qid", "rank")
+    })
   )
 
   // ==========================================================================
@@ -3479,7 +3493,9 @@ object Queries {
          |  CAST(dup AS DOUBLE) / CAST(tot AS DOUBLE) AS dup_frac
          |FROM a ORDER BY doc_id""".stripMargin,
 
-    "q_pq_codes" -> pqSql(m = 4, ksub = 4, iters = 1)
+    "q_pq_codes" -> pqSql(m = 4, ksub = 4, iters = 1),
+
+    "q_pq_topk" -> pqTopKSql(m = 4, ksub = 4, iters = 1, topk = 5)
   )
 
   // --- oracle SQL helpers that need to be defs (used before declaration) ---
@@ -3726,6 +3742,46 @@ object Queries {
     * all on exact integers, then one final double division for recon_err
     * (the identical op order as the Spark side). */
   private def pqSql(m: Int, ksub: Int, iters: Int): String = {
+    val joins = (1 until m).map(s => s"JOIN s${s}code USING (vec_id)").mkString(" ")
+    val codes = (0 until m).map(s => s"code_$s").mkString(", ")
+    val errSum = (0 until m).map(s => s"d_$s").mkString(" + ")
+    pqCommonCtes(m, ksub, iters) +
+      s"""fin AS (SELECT * FROM s0code $joins)
+         |SELECT vec_id, $codes,
+         |  CAST($errSum AS DOUBLE) / 1.0E12 AS recon_err
+         |FROM fin ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB twin of Ann.pqTopK: the same codebook/coding replay as
+    * [[pqSql]], then ADC scoring — each (query, candidate) pair sums the
+    * exact integer distances from the query's subvectors to the centroids
+    * the candidate's codes name (centroids joined BY CELL ID, mirroring
+    * the Spark side's cell-keyed CASE), ranked per query with the id
+    * tiebreak. */
+  private def pqTopKSql(m: Int, ksub: Int, iters: Int, topk: Int): String = {
+    val dims = 64
+    val d = dims / m
+    def distTo(off: Int, qa: String, ca: String) =
+      s"(SELECT sum(($qa[$off + g.i]*1000 - $ca[g.i])*($qa[$off + g.i]*1000 - $ca[g.i])) FROM generate_series(1, $d) g(i))"
+    val joins = (1 until m).map(s => s"JOIN s${s}code USING (vec_id)").mkString(" ")
+    val centJoins = (0 until m)
+      .map(s => s"JOIN s${s}c$iters t$s ON t$s.cell = f.code_$s").mkString(" ")
+    val adc = (0 until m).map(s => distTo(s * d, "q.q", s"t$s.c")).mkString(" + ")
+    pqCommonCtes(m, ksub, iters) +
+      s"""fin AS (SELECT * FROM s0code $joins),
+         |qs AS (SELECT vec_id AS qid, q FROM ev WHERE vec_id < 10),
+         |sc AS (SELECT q.qid, f.vec_id, $adc AS adist
+         |  FROM fin f CROSS JOIN qs q $centJoins
+         |  WHERE f.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, adist, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adist, vec_id) AS rk
+         |  FROM sc)
+         |SELECT qid, vec_id, CAST(adist AS DOUBLE) / 1.0E12 AS adc,
+         |  CAST(rk AS INTEGER) AS rank
+         |FROM r WHERE rk <= $topk ORDER BY qid, rank""".stripMargin
+  }
+
+  private def pqCommonCtes(m: Int, ksub: Int, iters: Int): String = {
     val dims = 64
     val d = dims / m
     val over = graft.sim.Ann.KmeansOversample * ksub
@@ -3786,14 +3842,6 @@ object Queries {
            |  FROM s${s}f WHERE rk = 1),
            |""".stripMargin)
     }
-    val joins = (1 until m).map(s => s"JOIN s${s}code USING (vec_id)").mkString(" ")
-    val codes = (0 until m).map(s => s"code_$s").mkString(", ")
-    val errSum = (0 until m).map(s => s"d_$s").mkString(" + ")
-    sb.append(
-      s"""fin AS (SELECT * FROM s0code $joins)
-         |SELECT vec_id, $codes,
-         |  CAST($errSum AS DOUBLE) / 1.0E12 AS recon_err
-         |FROM fin ORDER BY vec_id""".stripMargin)
     sb.toString
   }
 

@@ -654,6 +654,17 @@ object Ann {
     * below 2⁵³ for the sf volumes and IEEE-identical cross-engine). */
   def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, ksub: Int, iters: Int, dims: Int): DataFrame = {
+    val cbooks = pqTrain(corpus, idCol, vecCol, m, ksub, iters, dims)
+    pqCodesWith(corpus, idCol, vecCol, cbooks, dims)
+  }
+
+  /** Codebook training half of [[pqCodes]] — returns the m per-subspace
+    * codebooks as (cell, centroid-on-the-10⁻⁶-grid) lists, driver-sized
+    * (m·ksub·dims/m longs). Exposed so [[pqTopK]] can reuse the books for
+    * asymmetric-distance search without re-deriving them. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int, iters: Int, dims: Int)
+      : Array[Seq[(Int, Array[Long])]] = {
     require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     require(ksub > 1 && iters >= 0, s"need ksub > 1, iters >= 0")
     val d = dims / m
@@ -709,20 +720,76 @@ object Ann {
       }
       it += 1
     }
-    // map-only final coding: per subspace, nearest cell + its exact
-    // integer distance (the min of the (d, cell) struct array — the same
-    // argmin the assignment uses, so code and error always agree)
+    qv.unpersist(false)
+    cbooks
+  }
+
+  /** Coding half of [[pqCodes]]: map-only projection of every vector onto
+    * its per-subspace nearest cell + the exact integer distance (the min
+    * of the (d, cell) struct array — the same argmin the assignment uses,
+    * so code and error always agree). Codebooks are plan literals; zero
+    * shuffle at any corpus size. */
+  def pqCodesWith(corpus: DataFrame, idCol: String, vecCol: String,
+                  cbooks: Array[Seq[(Int, Array[Long])]], dims: Int): DataFrame = {
+    val m = cbooks.length
+    val d = dims / m
+    def subq(j: Int): Column = slice(col("_q"), j * d + 1, d)
     val scored = (0 until m).map { j =>
       array_min(cellScores(subq(j), cbooks(j))).as(s"_b$j")
     }
-    val out = qv.select(col("_id") +: scored: _*)
+    corpus.select(col(idCol).as("_id"), quantize3(col(vecCol)).as("_q"))
+      .select(col("_id") +: scored: _*)
       .select(col("_id").as(idCol) +:
         (0 until m).map(j => col(s"_b$j.cell").as(s"code_$j")) :+
         ((0 until m).map(j => col(s"_b$j.d")).reduce(_ + _).cast("double")
           / lit(1e12)).as("recon_err"): _*)
-      .localCheckpoint(true) // sever lineage before the source cache drops
-    qv.unpersist(false)
-    out
+  }
+
+  /** PQ asymmetric-distance top-k (the search half of IVF-PQ): corpus
+    * vectors are represented ONLY by their m codes; each query scores a
+    * candidate as Σⱼ d²(query-subvector, codebookⱼ[codeⱼ]) — the ADC
+    * approximation of squared L2, computed here as exact integers on the
+    * fixed-point grid (a per-query LUT materializes the same m·ksub
+    * distances; with codebooks as plan literals Catalyst folds the CASE
+    * per code to exactly that lookup).
+    *
+    * Scale shape: coding is map-only; scoring is corpus-codes ×
+    * broadcast(queries) with a per-query rank window — the same
+    * broadcast-then-rank shape as [[bruteForceTopK]], but each candidate
+    * costs m·dims/m = dims integer ops against the RECONSTRUCTED centroid
+    * rather than reading the full original vector: at 10⁹ vectors the
+    * scan input shrinks from dims floats to m bytes per row, which is the
+    * entire point of PQ. Exact-integer distances make ranking ties
+    * deterministic (tiebreak on id) and the whole search replayable in
+    * the DuckDB oracle. */
+  def pqTopK(queries: DataFrame, qidCol: String, qvecCol: String,
+             corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+             m: Int, ksub: Int, iters: Int, dims: Int): DataFrame = {
+    val cbooks = pqTrain(corpus, idCol, vecCol, m, ksub, iters, dims)
+    val d = dims / m
+    val codes = pqCodesWith(corpus, idCol, vecCol, cbooks, dims)
+      .drop("recon_err")
+    val q = queries.select(col(qidCol), quantize3(col(qvecCol)).as("_qq"))
+    // ADC term for subspace j: distance from the query's j-th subvector to
+    // the centroid the candidate's code names. CASE over cell ids (not
+    // array position) — robust to codebooks with vanished cells.
+    def adcTerm(j: Int): Column = {
+      val qsub = slice(col("_qq"), j * d + 1, d)
+      cbooks(j).tail.foldLeft(
+        when(col(s"code_$j") === cbooks(j).head._1,
+          intDist(qsub, cbooks(j).head._2))) { case (acc, (cell, cv)) =>
+        acc.when(col(s"code_$j") === cell, intDist(qsub, cv))
+      }
+    }
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("_adc", (0 until m).map(adcTerm).reduce(_ + _))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("_adc").asc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol),
+        (col("_adc").cast("double") / lit(1e12)).as("adc"), col("rank"))
   }
 
   def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,

@@ -368,4 +368,22 @@ class AnnSpec extends SparkSpec {
     r.foreach(x => assert(x.getAs[Double]("recon_err") == 0.0))
     assert(r.map(_.getAs[Int]("code_0")).distinct.length == 2)
   }
+
+  test("pqTopK: ADC ranks the query's own cluster first") {
+    // three tight clusters far apart; every query's top-3 must be its
+    // own cluster's other members (ADC distance 0 inside, huge across)
+    def v(base: Float) = Seq(base, base, base, base)
+    val df = (0 until 12).map { i =>
+      (i.toLong, v((i / 4) * 100.0f))
+    }.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val r = Ann.pqTopK(q, "qid", "qv", df, "vec_id", "embedding",
+        k = 3, m = 2, ksub = 3, iters = 1, dims = 4)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L),
+      "cluster-0 members (ids 1-3) must outrank every other candidate")
+    assert(r.forall(_.getAs[Double]("adc") == 0.0),
+      "in-cluster ADC distance is exactly zero for identical vectors")
+  }
 }
