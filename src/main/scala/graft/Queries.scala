@@ -1931,8 +1931,33 @@ object Queries {
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       graft.sim.Ann.pqTopK(q, "qid", "qv", emb, "vec_id", "embedding",
-          k = 5, m = 4, ksub = 4, iters = 1, dims = 64)
+          k = 5, m = 8, ksub = 8, iters = 2, dims = 64)
         .orderBy("qid", "rank")
+    }),
+
+    "q_pq_recall" -> ((s, d) => {
+      // PQ quality evaluation IN the correctness record: per-query
+      // recall@5 of the reranked PQ search (ADC shortlist of 50 from
+      // codes alone, exact cosine rerank of only those candidates — the
+      // production IVF-PQ read path) against the exact brute-force
+      // ranking. Both searches are replayed by the oracle, so the recall
+      // numbers themselves are certified, not just spot-asserted.
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val brute = graft.sim.Ann.bruteForceTopK(q, "qid", "qv", emb,
+          "vec_id", "embedding", 5)
+        .select("qid", "vec_id")
+      val pq = graft.sim.Ann.pqTopKRerank(q, "qid", "qv", emb, "vec_id",
+          "embedding", k = 5, m = 8, ksub = 8, iters = 2, dims = 64,
+          rerank = 50)
+        .select(col("qid"), col("vec_id"), lit(1L).as("_h"))
+      brute.join(pq, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(coalesce(sum("_h"), lit(0L)).as("hits"))
+        .select(col("qid"), col("hits"),
+          (col("hits").cast("double") / lit(5.0)).as("recall"))
+        .orderBy("qid")
     })
   )
 
@@ -3495,7 +3520,10 @@ object Queries {
 
     "q_pq_codes" -> pqSql(m = 4, ksub = 4, iters = 1),
 
-    "q_pq_topk" -> pqTopKSql(m = 4, ksub = 4, iters = 1, topk = 5)
+    "q_pq_topk" -> pqTopKSql(m = 8, ksub = 8, iters = 2, topk = 5),
+
+    "q_pq_recall" -> pqRecallSql(m = 8, ksub = 8, iters = 2, topk = 5,
+      rerank = 50)
   )
 
   // --- oracle SQL helpers that need to be defs (used before declaration) ---
@@ -3758,7 +3786,40 @@ object Queries {
     * the candidate's codes name (centroids joined BY CELL ID, mirroring
     * the Spark side's cell-keyed CASE), ranked per query with the id
     * tiebreak. */
-  private def pqTopKSql(m: Int, ksub: Int, iters: Int, topk: Int): String = {
+  private def pqTopKSql(m: Int, ksub: Int, iters: Int, topk: Int): String =
+    pqSearchCtes(m, ksub, iters) +
+      s"""SELECT qid, vec_id, CAST(adist AS DOUBLE) / 1.0E12 AS adc,
+         |  CAST(rk AS INTEGER) AS rank
+         |FROM rr WHERE rk <= $topk ORDER BY qid, rank""".stripMargin
+
+  /** DuckDB twin of the PQ recall evaluation: replays BOTH searches — the
+    * ADC ranking and the exact brute-force cosine ranking — and counts the
+    * per-query overlap of their top-k id sets. */
+  private def pqRecallSql(m: Int, ksub: Int, iters: Int, topk: Int,
+                          rerank: Int): String =
+    pqSearchCtes(m, ksub, iters) +
+      s""",
+         |cnd AS (SELECT qid, vec_id FROM rr WHERE rk <= $rerank),
+         |rsc AS (SELECT c.qid, c.vec_id, row_number() OVER (PARTITION BY c.qid
+         |    ORDER BY list_cosine_similarity(qq.qv::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+         |      c.vec_id) AS rk
+         |  FROM cnd c JOIN embeddings e USING (vec_id)
+         |  JOIN (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |    WHERE vec_id < 10) qq USING (qid)),
+         |pqk AS (SELECT qid, vec_id FROM rsc WHERE rk <= $topk),
+         |bsc AS (SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+         |      e.vec_id) AS rk
+         |  FROM embeddings e CROSS JOIN (SELECT vec_id AS qid, embedding AS qv
+         |    FROM embeddings WHERE vec_id < 10) q
+         |  WHERE e.vec_id <> q.qid),
+         |bk AS (SELECT qid, vec_id FROM bsc WHERE rk <= $topk)
+         |SELECT b.qid, CAST(count(p.vec_id) AS BIGINT) AS hits,
+         |  CAST(count(p.vec_id) AS DOUBLE) / ${topk.toDouble} AS recall
+         |FROM bk b LEFT JOIN pqk p USING (qid, vec_id)
+         |GROUP BY b.qid ORDER BY qid""".stripMargin
+
+  private def pqSearchCtes(m: Int, ksub: Int, iters: Int): String = {
     val dims = 64
     val d = dims / m
     def distTo(off: Int, qa: String, ca: String) =
@@ -3773,12 +3834,10 @@ object Queries {
          |sc AS (SELECT q.qid, f.vec_id, $adc AS adist
          |  FROM fin f CROSS JOIN qs q $centJoins
          |  WHERE f.vec_id <> q.qid),
-         |r AS (SELECT qid, vec_id, adist, row_number() OVER (
+         |rr AS (SELECT qid, vec_id, adist, row_number() OVER (
          |    PARTITION BY qid ORDER BY adist, vec_id) AS rk
          |  FROM sc)
-         |SELECT qid, vec_id, CAST(adist AS DOUBLE) / 1.0E12 AS adc,
-         |  CAST(rk AS INTEGER) AS rank
-         |FROM r WHERE rk <= $topk ORDER BY qid, rank""".stripMargin
+         |""".stripMargin
   }
 
   private def pqCommonCtes(m: Int, ksub: Int, iters: Int): String = {

@@ -792,6 +792,40 @@ object Ann {
         (col("_adc").cast("double") / lit(1e12)).as("adc"), col("rank"))
   }
 
+  /** PQ search with exact reranking — the production IVF-PQ read path:
+    * the ADC scan ([[pqTopK]]) shortlists `rerank` candidates per query
+    * from codes alone, then ONLY those candidates' full vectors are read
+    * for an exact cosine rank. On a 10⁹-vector corpus the expensive scan
+    * touches m bytes/row while the exact math touches `rerank` rows per
+    * query — the two-tier cost model that makes PQ recall usable (ADC
+    * alone ranks by a quantized distance; its top-k on weakly-clustered
+    * data is noise-limited, which q_pq_recall certifies honestly).
+    *
+    * The candidate shortlist is broadcast back against the corpus (tiny
+    * side broadcast, corpus never reshuffled). Ranking ties break on id;
+    * the cosine itself is the same unrounded-double ordering the
+    * brute-force/IVF oracles already certify on these fixtures. */
+  def pqTopKRerank(queries: DataFrame, qidCol: String, qvecCol: String,
+                   corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                   m: Int, ksub: Int, iters: Int, dims: Int,
+                   rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank pool $rerank must cover k=$k")
+    val cand = pqTopK(queries, qidCol, qvecCol, corpus, idCol, vecCol,
+        rerank, m, ksub, iters, dims)
+      .select(col(qidCol), col(idCol))
+    val joined = corpus.select(col(idCol), col(vecCol).as("_cv"))
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol).as("_qv"))),
+        Seq(qidCol))
+      .withColumn("cosine", cosine(col("_qv").cast("array<double>"),
+        col("_cv").cast("array<double>")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
+  }
+
   def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, bits: Int = 8,
                     bucketFn: (Column, Int) => Column = lshBucket): DataFrame = {

@@ -386,4 +386,22 @@ class AnnSpec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("adc") == 0.0),
       "in-cluster ADC distance is exactly zero for identical vectors")
   }
+
+  test("pqTopKRerank: exact cosine rerank of the ADC shortlist") {
+    // same cluster fixture, query from the nonzero cluster (a zero query
+    // vector has undefined cosine); the rerank stage must surface the
+    // query's identical-cluster members with cosine exactly 1.0
+    def v(base: Float) = Seq(base, base, base, base)
+    val df = (0 until 12).map { i =>
+      (i.toLong, v((i / 4) * 100.0f))
+    }.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 4L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val r = Ann.pqTopKRerank(q, "qid", "qv", df, "vec_id", "embedding",
+        k = 3, m = 2, ksub = 3, iters = 1, dims = 4, rerank = 6)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("vec_id")).toSeq == Seq(5L, 6L, 7L),
+      "cluster-1 members (ids 5-7) must win the exact rerank")
+    assert(r.forall(_.getAs[Double]("cosine") == 1.0))
+  }
 }
