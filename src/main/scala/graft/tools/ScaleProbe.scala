@@ -35,12 +35,17 @@ object ScaleProbe {
           shifted.withColumn(c, col(c) + lit(i * span)) }
       }.reduce(_ unionByName _)
 
-    def time(label: String, m: Int)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = body
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$label","scale":$m,"rows":$rows,"sec":$dt%.3f}""")
-    }
+    // dev-only op filter (comma-separated label prefixes) so a new probe
+    // row can be measured without re-running the whole battery
+    val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def time(label: String, m: Int)(body: => Long): Unit =
+      if (only.forall(_.exists(label.startsWith))) {
+        val t0 = System.nanoTime()
+        val rows = body
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"$label","scale":$m,"rows":$rows,"sec":$dt%.3f}""")
+      }
 
     val events = graft.Tables.events(spark, dir)
     val tsSpan = 1L << 44 // >> the fixture's time span: replicas never merge
@@ -185,6 +190,29 @@ object ScaleProbe {
         }
       }
       salted.unpersist(false)
+
+      // PQ family: codebook training is corpus-scan + k-fixed aggregates
+      // (cost ∝ rows, driver traffic m·ksub rows/iter), coding map-only,
+      // the reranked search a broadcast-queries × codes scan + tiny exact
+      // stage — every stage must scale linearly in corpus size
+      val emb = graft.Tables.embeddings(spark, dir)
+      val embM = (0 until m).map { i =>
+        emb.select((col("vec_id") + lit(i.toLong << 40)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionByName _).persist()
+      embM.count()
+      time("pq_codes_4x4x1", m) {
+        graft.sim.Ann.pqCodes(embM, "vec_id", "embedding",
+          m = 4, ksub = 4, iters = 1, dims = 64).count()
+      }
+      time("pq_rerank_8x8x2", m) {
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        graft.sim.Ann.pqTopKRerank(q, "qid", "qv", embM, "vec_id",
+          "embedding", k = 5, m = 8, ksub = 8, iters = 2, dims = 64,
+          rerank = 50).count()
+      }
+      embM.unpersist(false)
     }
     spark.stop()
   }

@@ -318,6 +318,34 @@ class PlanGuardSpec extends SparkSpec {
       s"q_group_mad hash shuffles > 2: ${gm.map(_.nodeName).distinct}")
   }
 
+  test("round-7 PQ contracts: map-only coding, no corpus reshuffle in search") {
+    import org.apache.spark.sql.execution.SparkPlan
+    def nodesOf(q: String): Seq[SparkPlan] =
+      allNodes(Queries.queries(q)(spark, dir).queryExecution.executedPlan)
+
+    // q_pq_codes: codebooks ride as plan literals, so the coded output is
+    // a pure projection over the embeddings scan — zero joins, and the
+    // only exchange is the output sort's range partitioning
+    val codes = nodesOf("q_pq_codes")
+    assert(!codes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"q_pq_codes grew a join: ${codes.map(_.nodeName).distinct}")
+    val exch = codes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(exch <= 1,
+      s"q_pq_codes coding must be map-only (got $exch exchanges): " +
+        codes.map(_.nodeName).distinct.mkString(", "))
+
+    // q_pq_topk: the code table meets the query side only via broadcast —
+    // a sort-merge or shuffled-hash join here would reshuffle the corpus
+    val topk = nodesOf("q_pq_topk")
+    assert(!topk.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+      n.isInstanceOf[
+        org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      s"q_pq_topk reshuffles the corpus: ${topk.map(_.nodeName).distinct}")
+  }
+
   test("hot scan-shaped queries run inside WholeStageCodegen") {
     // codegen stages (`*(n)` markers) only appear once AQE finalizes the
     // plan, so run the query (cheap at sf0.001) and inspect the final plan
