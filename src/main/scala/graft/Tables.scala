@@ -24,13 +24,26 @@ object Tables {
     // Session-level conf is also set by Verify/Bench/test builders; this is a
     // safety net for ad-hoc sessions (idempotent).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      // Integer division: ns epochs (~1.7e18) exceed double's 2^53 exact
-      // range, so float `/` would drift ±1µs vs DuckDB's exact ns→µs
-      // truncation of the same file.
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // ns-precision INT64 layout: Spark 4 refuses it as a timestamp, so
+        // nanosAsLong reads raw nanos. Integer division: ns epochs
+        // (~1.7e18) exceed double's 2^53 exact range, so float `/` would
+        // drift ±1µs vs DuckDB's exact ns→µs truncation of the same file.
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+      case _ =>
+        // µs-precision naive-timestamp layout (isAdjustedToUTC=false →
+        // TIMESTAMP_NTZ): unix_micros over the UTC-pinned session (every
+        // entry point sets spark.sql.session.timeZone=UTC) equals DuckDB's
+        // epoch_us(ts) of the same file exactly; ts_ns is the ×1000 view
+        // (µs payloads, so no precision is invented).
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+          .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("ts_ns", col("ts_us") * lit(1000L))
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
