@@ -1829,6 +1829,40 @@ object Queries {
           Tables.documents(s, d), "source", "text")
         .orderBy("source")),
 
+    "q_bigram_ppl" -> ((s, d) =>
+      // Bigram-LM perplexity (model order 2, add-1 smoothing): bigrams
+      // form PER-ROW (token array zipped with its own 1-shift — never a
+      // positional self-join), surprisal carried as exact micro-nat
+      // BIGINTs, one final double expression. See TextStats scaladoc.
+      graft.text.TextStats.bigramSurprisal(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_source_kl" -> ((s, d) =>
+      // Mixture-drift audit: KL(source ‖ corpus) over unigram token
+      // distributions, four individually-quantized micro-nat log terms
+      // combined exactly, one division at the end.
+      graft.text.TextStats.sourceDivergence(
+          Tables.documents(s, d), "source", "text")
+        .orderBy("source")),
+
+    "q_dsir_weights" -> ((s, d) =>
+      // DSIR importance weights: per-doc log-likelihood ratio of the
+      // add-1 'en'-subset unigram LM over the whole-corpus LM — the
+      // importance-resampling tilt score. Exact-integer micro-nats;
+      // logw = ssum/1e6 single division.
+      graft.text.TextStats.importanceWeights(
+          Tables.documents(s, d), "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id")),
+
+    "q_ngram_novelty" -> ((s, d) =>
+      // Cross-doc novelty: fraction of each doc's distinct 3-gram
+      // shingles first seen in THIS doc (min-doc-id index join, no
+      // all-pairs). Integer counts + one exact division.
+      graft.text.TextStats.ngramNovelty(
+          Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id")),
+
     "q_quantile_agg" -> ((s, d) =>
       // PromQL `quantile(φ, metric)` — the cross-series instant-vector
       // quantile per time bucket (vs q_quantile_ot's per-series
@@ -3423,6 +3457,114 @@ object Queries {
          |  CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS share,
          |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mt AS DOUBLE)) AS w_sqrt
          |FROM per, tot ORDER BY source""".stripMargin,
+
+    "q_bigram_ppl" ->
+      // Add-1 bigram LM: surp = qln(c1+V) − qln(c12+1) in micro-nat
+      // BIGINTs (qln = floor(ln·1e6 + 0.5), exact cross-engine ≤ 2e6);
+      // ssum/n/1e6 is the one final double expression, same operand
+      // order as the Spark side.
+      s"""WITH tk AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      y -> y <> '') AS t
+         |  FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(t) - 1),
+         |      i -> concat_ws(' ', t[i+1], t[i+2]))) AS bg
+         |  FROM tk WHERE len(t) >= 2),
+         |bf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
+         |  FROM bg GROUP BY 1, 2),
+         |c12 AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c12 FROM bf GROUP BY 1),
+         |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+         |  FROM c12 GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+         |  FROM (SELECT unnest(t) AS tok FROM tk)),
+         |lm AS (SELECT c12.bg,
+         |    CAST(floor(ln(CAST(c1.c1 + vv.v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |    - CAST(floor(ln(CAST(c12.c12 + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |      AS surp_micro
+         |  FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1, vv),
+         |sm AS (SELECT bf.doc_id, CAST(sum(bf.tf) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(bf.tf * lm.surp_micro) AS BIGINT) AS ssum
+         |  FROM bf JOIN lm USING (bg) GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |  CAST(ssum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000.0
+         |    AS mean_surprisal_nats
+         |FROM sm ORDER BY doc_id""".stripMargin,
+
+    "q_source_kl" ->
+      // KL(source ‖ corpus): four individually-quantized micro-nat log
+      // terms, tf-weighted exact BIGINT sum, one final division chain.
+      s"""WITH tk AS (SELECT source, t AS token
+         |  FROM (SELECT source, unnest(string_split_regex(trim(lower(text)),
+         |      '\\s+')) AS t FROM documents)
+         |  WHERE t <> ''),
+         |gtf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cgt
+         |  FROM tk GROUP BY 1, 2),
+         |ng AS (SELECT source, CAST(sum(cgt) AS BIGINT) AS ng FROM gtf GROUP BY 1),
+         |ct AS (SELECT token, CAST(sum(cgt) AS BIGINT) AS ct FROM gtf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM ct),
+         |w AS (SELECT g.source, ng.ng,
+         |    g.cgt * (
+         |      CAST(floor(ln(CAST(g.cgt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |      - CAST(floor(ln(CAST(ng.ng AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |      - CAST(floor(ln(CAST(ct.ct AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |      + CAST(floor(ln(CAST(tot.n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |    ) AS w
+         |  FROM gtf g JOIN ct USING (token) JOIN ng USING (source), tot)
+         |SELECT source, CAST(max(ng) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / CAST(max(ng) AS DOUBLE)
+         |    / 1000000.0 AS kl_nats
+         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_dsir_weights" ->
+      // DSIR log-likelihood ratio: add-1 target LM (lang='en') vs corpus
+      // LM, micro-nat integer carrying, logw = ssum/1e6 single division.
+      s"""WITH tk AS (SELECT doc_id, lang = 'en' AS tg, t AS token
+         |  FROM (SELECT doc_id, lang,
+         |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |    FROM documents)
+         |  WHERE t <> ''),
+         |tf AS (SELECT doc_id, tg, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY 1, 2, 3),
+         |cs AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cs FROM tf GROUP BY 1),
+         |ctg AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctg
+         |  FROM tf WHERE tg GROUP BY 1),
+         |vt AS (SELECT CAST(count(*) AS BIGINT) AS v,
+         |    CAST(sum(cs) AS BIGINT) AS ns FROM cs),
+         |nt AS (SELECT CAST(coalesce(sum(ctg), 0) AS BIGINT) AS nt FROM ctg),
+         |lm AS (SELECT cs.token,
+         |    (CAST(floor(ln(CAST(coalesce(ctg.ctg, 0) + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |     - CAST(floor(ln(CAST(nt.nt + vt.v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+         |    - (CAST(floor(ln(CAST(cs.cs + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |     - CAST(floor(ln(CAST(vt.ns + vt.v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+         |      AS lr_micro
+         |  FROM cs LEFT JOIN ctg USING (token), vt, nt),
+         |sm AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |    CAST(sum(tf.tf * lm.lr_micro) AS BIGINT) AS ssum
+         |  FROM tf JOIN lm USING (token) GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  CAST(ssum AS DOUBLE) / 1000000.0 AS logw_nats
+         |FROM sm ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_novelty" ->
+      // Mirrors Dedup.shinglesFromTokens exactly: normTokens (an empty
+      // text still yields [''] → one whole-doc shingle), < k tokens →
+      // the single joined shingle, else distinct positional 3-grams.
+      s"""WITH tk AS (SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+         |  FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3
+         |    THEN [array_to_string(tk, ' ')]
+         |    ELSE list_distinct(list_transform(range(0, len(tk) - 2),
+         |      i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) END) AS shingle
+         |  FROM tk),
+         |fst AS (SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY 1)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_seen,
+         |  CAST(count(*) - sum(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novel_frac
+         |FROM sh s JOIN fst f USING (shingle)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "q_quantile_agg" ->
       // Spark `percentile` ≡ DuckDB `quantile_cont` interpolation

@@ -467,4 +467,166 @@ object TextStats {
         (col("_dup").cast("double") / col("_tot").cast("double"))
           .as("dup_frac"))
   }
+
+  /** Quantized natural log: floor(ln·1e6 + 0.5) as a BIGINT micro-nat.
+    * Probed bit-identical vs DuckDB `ln` after the same quantization for
+    * every count ≤ 2e6 (see [[unigramSurprisal]]); all LM scoring below
+    * carries surprisal as these exact integers and defers floats to one
+    * final fixed expression. */
+  private def qln(x: Column): Column =
+    floor(log(x.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** Bigram-LM perplexity filter — the model-order-2 step up from
+    * [[unigramSurprisal]] (KenLM analog): mean per-bigram surprisal in
+    * nats under the corpus's own add-1-smoothed bigram model,
+    * P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V), with V the corpus unigram
+    * vocabulary. Fluent text (bigrams the corpus has seen) scores low;
+    * word salad scores near ln(c(w₁·)+V).
+    *
+    * Exactness: surprisal per bigram = qln(c(w₁·)+V) − qln(c(w₁w₂)+1) in
+    * micro-nats; per-doc sums are exact BIGINTs; ssum/n/1e6 is the one
+    * final double expression, identical operand order in the oracle.
+    *
+    * Scale shape: bigram formation is PER-ROW (zip of the token array
+    * with its own 1-shift — no posexplode + self-join on position, which
+    * would shuffle the whole corpus on (doc, pos)); then (doc,w₁,w₂) and
+    * (w₁,w₂) counts (map-side combinable), a (w₁)-keyed marginal, a
+    * 1-row V broadcast, and one token-keyed equi-join back — the same
+    * minimum LM-scoring shape as unigram, one aggregate deeper. Docs
+    * with < 2 tokens have no bigrams and emit no row (both engines). */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = df.select(col(idCol), tokens(lower(col(textCol))).as("_tk"))
+    val bg = tk.filter(size(col("_tk")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("_tk"), lit(1), size(col("_tk")) - 1),
+        slice(col("_tk"), lit(2), size(col("_tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val bf = bg.groupBy(idCol, "w1", "w2").agg(count(lit(1)).as("tf"))
+    val c12 = bf.groupBy("w1", "w2").agg(sum("tf").as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocabN = df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .agg(countDistinct("token").as("v"))
+    val lm = c12.join(c1, Seq("w1")).crossJoin(broadcast(vocabN))
+      .select(col("w1"), col("w2"),
+        (qln(col("c1") + col("v")) - qln(col("c12") + lit(1L))).as("surp_micro"))
+    bf.join(lm, Seq("w1", "w2"))
+      .groupBy(idCol)
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("surp_micro")).as("ssum"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("ssum").cast("double") / col("n_bigrams").cast("double") /
+          lit(1000000.0)).as("mean_surprisal_nats"))
+  }
+
+  /** Per-group distribution drift: KL(group ‖ corpus) over unigram token
+    * distributions, the mixture-calibration read ("how far is each
+    * source's token distribution from the blend") run before setting
+    * sampling weights. KL = Σ_t p_g(t)·ln(p_g(t)/p(t)) with p_g = c_gt/n_g
+    * and p = c_t/N — always ≥ 0 up to micro-nat quantization.
+    *
+    * Exactness: the log ratio splits into four individually-quantized
+    * micro-nat terms, qln(c_gt) − qln(n_g) − qln(c_t) + qln(N), combined
+    * and tf-weighted as exact BIGINTs; ssum/n_g/1e6 is the one final
+    * double expression.
+    *
+    * Scale shape: (group, token) counts → a group marginal and a token
+    * marginal (all map-side combinable), a 1-row N broadcast, and the
+    * token-keyed equi-join of group counts against the token marginal —
+    * the only wide join is keyed on the open-ended dimension (token),
+    * never on all-pairs. Group cardinality (sources) is small by
+    * construction, so the group marginal broadcasts. */
+  def sourceDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val gtf = df
+      .select(col(groupCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(groupCol, "token").agg(count(lit(1)).as("cgt"))
+    val ng = gtf.groupBy(groupCol).agg(sum("cgt").as("ng"))
+    val ct = gtf.groupBy("token").agg(sum("cgt").as("ct"))
+    val tot = ct.agg(sum("ct").as("n"))
+    gtf.join(ct, Seq("token"))
+      .join(broadcast(ng), Seq(groupCol))
+      .crossJoin(broadcast(tot))
+      .select(col(groupCol), col("ng"),
+        (col("cgt") * (qln(col("cgt")) - qln(col("ng")) - qln(col("ct")) +
+          qln(col("n")))).as("_w"))
+      .groupBy(groupCol)
+      .agg(max("ng").as("n_tokens"), sum("_w").as("ssum"))
+      .select(col(groupCol), col("n_tokens"),
+        (col("ssum").cast("double") / col("n_tokens").cast("double") /
+          lit(1000000.0)).as("kl_nats"))
+  }
+
+  /** DSIR-style importance weights: per-document log-likelihood ratio of
+    * an add-1-smoothed target unigram LM over the corpus (source) LM,
+    * log w(d) = Σ_t tf_dt·(ln p_T(t) − ln p_S(t)), with
+    * p_T(t) = (c_T(t)+1)/(N_T+V) over the `target` predicate's rows and
+    * p_S(t) the same over the whole corpus — the "Data Selection via
+    * Importance Resampling" score used to tilt a 100 TB crawl toward a
+    * target domain. Positive = looks more like the target than the blend.
+    *
+    * Exactness: per-token ratio = (qln(c_T+1) − qln(N_T+V)) −
+    * (qln(c_S+1) − qln(N_S+V)) in micro-nats, tf-weighted exact BIGINT
+    * sums; logw = ssum/1e6 is a single exact-integer-to-double division.
+    *
+    * Scale shape: corpus token counts (map-side combinable), target
+    * counts as a LEFT join of the corpus vocabulary against the
+    * target-subset counts (absent → c_T = 0 — smoothing keeps the ratio
+    * finite), two 1-row total broadcasts, one token-keyed scoring join.
+    * The target is a filter of the same scan, not a second dataset pass. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        target: Column): DataFrame = {
+    val tf = df
+      .select(col(idCol), target.as("_t"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(idCol, "_t", "token").agg(count(lit(1)).as("tf"))
+    val cs = tf.groupBy("token").agg(sum("tf").as("cs"))
+    val ctg = tf.filter(col("_t")).groupBy("token").agg(sum("tf").as("ctg"))
+    val vocabTot = cs.agg(count(lit(1)).as("v"), sum("cs").as("ns"))
+    val ntg = ctg.agg(coalesce(sum("ctg"), lit(0L)).as("nt"))
+    val lm = cs.join(ctg, Seq("token"), "left")
+      .crossJoin(broadcast(vocabTot)).crossJoin(broadcast(ntg))
+      .select(col("token"),
+        ((qln(coalesce(col("ctg"), lit(0L)) + lit(1L)) -
+          qln(col("nt") + col("v"))) -
+         (qln(col("cs") + lit(1L)) - qln(col("ns") + col("v"))))
+          .as("lr_micro"))
+    tf.join(lm, Seq("token"))
+      .groupBy(idCol)
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("lr_micro")).as("ssum"))
+      .select(col(idCol), col("n_tokens"),
+        (col("ssum").cast("double") / lit(1000000.0)).as("logw_nats"))
+  }
+
+  /** Cross-document n-gram novelty: for each document, the fraction of
+    * its DISTINCT k-gram shingles that no earlier document (smaller id)
+    * contains — the "how much new text does this doc add" curation read,
+    * the complement of boilerplate/duplication. A crawl snapshot ordered
+    * by fetch time scores later recrawls near 0.
+    *
+    * Exactness: pure integer counts; novel_frac = (n_sh − n_seen)/n_sh
+    * is one correctly-rounded division of exact BIGINTs.
+    *
+    * Scale shape: distinct shingles per doc (per-row, from the shared
+    * [[graft.dedup.Dedup.shinglesFromTokens]] builder), one
+    * shingle-keyed min-id aggregate (map-side combinable), one
+    * shingle-keyed equi-join back, one per-doc aggregate. No all-pairs,
+    * no window over the corpus — the min-id table plays the role a
+    * first-occurrence index would. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    import graft.dedup.Dedup
+    val sh = df
+      .select(col(idCol), Dedup.normTokens(col(textCol)).as("_tk"))
+      .select(col(idCol),
+        explode(Dedup.shinglesFromTokens(col("_tk"), k)).as("shingle"))
+    val first = sh.groupBy("shingle").agg(min(col(idCol)).as("_first"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_first") < col(idCol), 1L).otherwise(0L)).as("n_seen"))
+      .select(col(idCol), col("n_shingles"), col("n_seen"),
+        ((col("n_shingles") - col("n_seen")).cast("double") /
+          col("n_shingles").cast("double")).as("novel_frac"))
+  }
 }
