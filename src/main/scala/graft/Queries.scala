@@ -1539,6 +1539,15 @@ object Queries {
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2")),
 
+    "q_semdedup" -> ((s, d) =>
+      // SemDeDup semantic dedup: nearest-label-centroid clustering
+      // (the q_ann_ivf coarse quantizer) + within-cell cosine pruning
+      // with the deterministic min-id keeper. Survivors (vec_id, cell);
+      // pair candidates are cell-bucketed, never corpus all-pairs.
+      graft.sim.Ann.semDedup(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label", threshold = 0.30)
+        .orderBy("vec_id")),
+
     "q_simhash_md5" -> ((s, d) =>
       // Oracle-checkable SimHash-32 (md5-parity bit basis — md5 is
       // identical cross-engine, unlike xxhash64): verifies the sign-sum
@@ -3363,6 +3372,32 @@ object Queries {
          |SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank
          |FROM scored WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+
+    "q_semdedup" ->
+      // Replays the q_ann_ivf coarse quantizer (6-dp label centroids,
+      // cosine-nearest cell with ascending-cell tiebreak), then the
+      // within-cell pair prune: drop any vector with a smaller-id
+      // same-cell neighbor at cosine >= 0.30.
+      s"""WITH cent AS (
+         |  SELECT label, CAST(p.pos - 1 AS INTEGER) AS pos,
+         |    round(avg(CAST(embedding[CAST(p.pos AS INTEGER)] AS DOUBLE)), 6) AS mean_v
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) p(pos)
+         |  GROUP BY label, p.pos),
+         |cvec AS (SELECT CAST(label AS VARCHAR) AS cell,
+         |    list(mean_v ORDER BY pos) AS cvec
+         |  FROM cent GROUP BY label),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cell) AS rk
+         |  FROM embeddings e CROSS JOIN cvec c),
+         |cells AS (SELECT vec_id, embedding, cell FROM assign WHERE rk = 1),
+         |drp AS (SELECT DISTINCT b.vec_id
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.30)
+         |SELECT c.vec_id, c.cell FROM cells c
+         |WHERE c.vec_id NOT IN (SELECT vec_id FROM drp)
+         |ORDER BY c.vec_id""".stripMargin,
 
     "q_ann_ivf" ->
       s"""WITH cent AS (

@@ -838,4 +838,50 @@ object Ann {
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine").distinct()
   }
+
+  /** SemDeDup — semantic deduplication over an embedding corpus (the
+    * "cluster, then prune near-identical neighbors within each cluster"
+    * recipe): every vector is assigned to its nearest coarse-quantizer
+    * cell (the per-`labelCol` centroid table, as in [[ivfTopK]]), and a
+    * vector is DROPPED when some smaller-id vector in the SAME cell has
+    * cosine ≥ `threshold` with it. Smallest-id-wins is the deterministic
+    * keeper rule (the published method keeps a per-group exemplar chosen
+    * by centroid distance; any fixed rule gives the same dedup rate, and
+    * min-id makes the result reproducible and oracle-checkable).
+    * Returns the survivors as (id, cell).
+    *
+    * Scale shape — the whole point of the clustering step: the cosine
+    * pair join is keyed on the cell, so candidate pairs are
+    * Σ_cells n_c²/2, not N²/2 — with k balanced cells that is N²/2k, and
+    * k grows with the corpus (a learned quantizer slots in via
+    * [[kmeansCentroidsFixedPoint]] exactly as in [[ivfTopKKmeans]]).
+    * Assignment is a map-only fold over a broadcast centroid table; the
+    * assigned corpus is localCheckpoint'ed ONCE (reference-tracked, no
+    * CacheManager pin) because it feeds both pair-join sides and the
+    * survivor anti-join; the final anti-join is keyed on the id. No
+    * stage touches all-pairs across cells. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               labelCol: String, threshold: Double): DataFrame = {
+    val cents = centroids(corpus, labelCol, vecCol)
+      .select(col(labelCol).cast("string").as("cell"),
+        transform(col("centroid"), c => round(c, 6)).as("cvec"))
+      .agg(collect_list(struct(col("cell"), col("cvec"))).as("cents"))
+      .localCheckpoint(true)
+    val cells = corpus.crossJoin(broadcast(cents))
+      .withColumn("_cell",
+        nearestCell(col(vecCol).cast("array<double>"), col("cents")))
+      .select(col(idCol), col(vecCol), col("_cell"))
+      .localCheckpoint(true)
+    val l = cells.select(col("_cell"), col(idCol).as("_id1"),
+      col(vecCol).as("_v1"))
+    val r = cells.select(col("_cell"), col(idCol).as("_id2"),
+      col(vecCol).as("_v2"))
+    val dropped = l.join(r, Seq("_cell"))
+      .filter(col("_id1") < col("_id2"))
+      .filter(cosine(col("_v1").cast("array<double>"),
+        col("_v2").cast("array<double>")) >= threshold)
+      .select(col("_id2").as(idCol)).distinct()
+    cells.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("_cell").as("cell"))
+  }
 }

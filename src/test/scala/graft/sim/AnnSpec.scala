@@ -404,4 +404,20 @@ class AnnSpec extends SparkSpec {
       "cluster-1 members (ids 5-7) must win the exact rerank")
     assert(r.forall(_.getAs[Double]("cosine") == 1.0))
   }
+
+  test("semDedup: within-cell near-dups pruned, min id survives, outliers kept") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),    // cell 0 keeper
+      (1L, Seq(1.0f, 0.01f), 0),   // ~parallel to 0 -> dropped
+      (2L, Seq(0.0f, 1.0f), 1),    // cell 1 keeper
+      (3L, Seq(0.01f, 1.0f), 1),   // dropped
+      (4L, Seq(0.0f, 1.0f), 1),    // identical to 2 -> dropped
+      (5L, Seq(0.7f, -0.714f), 0)) // cell 0 outlier (cos ~0.7 < 0.9) kept
+      .toDF("vec_id", "embedding", "label")
+    val r = Ann.semDedup(df, "vec_id", "embedding", "label", threshold = 0.9)
+      .orderBy("vec_id").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    assert(r.toSeq == Seq((0L, "0"), (2L, "1"), (5L, "0")))
+  }
 }

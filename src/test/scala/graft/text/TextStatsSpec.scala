@@ -245,4 +245,67 @@ class TextStatsSpec extends SparkSpec {
     assert((x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)) ==
       (1L, 4L, 0.5, 1.0))
   }
+
+  test("bigramSurprisal: add-1 bigram LM, hand-computed micro-nats") {
+    import spark.implicits._
+    // corpus: doc1 "a b a b" (bigrams ab,ba,ab), doc2 "a b" (ab), doc3
+    // "solo" (no bigrams but its token counts toward V: V={a,b,solo}=3)
+    // c12: ab=3 ba=1; c1: a=3 b=1
+    // qln micro: ln6->1791759, ln4->1386294, ln2->693147
+    // surp(ab)=qln(3+3)-qln(3+1)=405465; surp(ba)=qln(1+3)-qln(1+1)=693147
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val r = TextStats.bigramSurprisal(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.length == 2) // doc 3 has < 2 tokens -> no row
+    assert(r(0).getLong(1) == 3L)
+    assert(math.abs(r(0).getDouble(2) - (2 * 405465L + 693147L) / 3.0 / 1e6) < 1e-12)
+    assert(r(1).getLong(1) == 1L)
+    assert(math.abs(r(1).getDouble(2) - 0.405465) < 1e-12)
+  }
+
+  test("sourceDivergence: KL vs corpus matches the exact formula") {
+    import spark.implicits._
+    // s1: "a a b" (a=2,b=1, n=3); s2: "b b" (b=2, n=2); corpus a=2,b=3,N=5
+    val df = Seq(("s1", "a a b"), ("s2", "b b")).toDF("source", "text")
+    val r = TextStats.sourceDivergence(df, "source", "text")
+      .orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    assert(r(0)._2 == 3L && r(1)._2 == 2L)
+    // true KL(s1)=2/3 ln(5/3)+1/3 ln(5/9)=0.1446215; micro-quantized 0.144622
+    assert(math.abs(r(0)._3 - 0.144622) < 1e-9)
+    // KL(s2)=ln(5/3)=0.5108256 -> 0.510826 after quantization
+    assert(math.abs(r(1)._3 - 0.510826) < 1e-9)
+    // KL is non-negative up to quantization on both rows
+    assert(r.forall(_._3 > -1e-6))
+  }
+
+  test("importanceWeights: target-tilted docs score positive, others negative") {
+    import spark.implicits._
+    // target = doc 1 only. cs: a=2 b=2 c=1 (ns=5, V=3); ctg: a=2 b=1 (nt=3)
+    // lr(a)=qln8-qln6=287683; lr(b)=-117782; lr(c)=-405464 micro-nats
+    val df = Seq((1L, "a a b", "en"), (2L, "b c", "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextStats.importanceWeights(df, "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r(0) == ((1L, 3L, (2 * 287683L - 117782L) / 1e6)))
+    assert(r(1) == ((2L, 2L, (-117782L - 405464L) / 1e6)))
+    assert(r(0)._3 > 0 && r(1)._3 < 0)
+  }
+
+  test("ngramNovelty: first-seen shingles counted to the earliest doc") {
+    import spark.implicits._
+    // k=2: doc1 {a b, b c}; doc2 {b c, c d}; doc3 {a b}
+    val df = Seq((1L, "a b c"), (2L, "b c d"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val r = TextStats.ngramNovelty(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      (1L, 2L, 0L, 1.0),
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 1L, 0.0)))
+  }
 }
