@@ -1953,6 +1953,30 @@ object Queries {
           Tables.documents(s, d), "doc_id", "text", n = 2)
         .orderBy("doc_id")),
 
+    "q_quality_logit" -> ((s, d) => {
+      // Linear quality classifier APPLY: a frozen Logit checkpoint
+      // (S8-style — weights as literals; the distributed trainer is
+      // LogitSpec surface) over exact integer count features. Dyadic
+      // weights × BIGINT counts folded left-to-right keep score_z
+      // bitwise-reproducible in DuckDB with no rounding step; keep is
+      // the z > 0 decision (σ(z) > 0.5). Scan-side, zero shuffle.
+      val doc = Tables.documents(s, d)
+      doc.select(col("doc_id"),
+          size(graft.text.TextStats.tokens(lower(col("text"))))
+            .cast("long").as("n_tokens"),
+          col("n_chars"),
+          length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("long").as("n_digits"),
+          length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+            .cast("long").as("n_punct"))
+        .withColumn("score_z", graft.model.Logit.scoreCol(
+          Seq(col("n_tokens"), col("n_chars"), col("n_digits"),
+            col("n_punct")),
+          Seq(0.03125, 0.00390625, -0.0625, -0.125), bias = -3.0))
+        .withColumn("keep", (col("score_z") > 0).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     "q_pq_codes" -> ((s, d) =>
       // Product quantization (the IVF-PQ compression stage): 4 subspaces
       // × 16 dims, 4-centroid codebooks trained with the deterministic
@@ -3642,6 +3666,28 @@ object Queries {
          |SELECT hour_bkt, event_type, sum_v, CAST(rk AS INTEGER) AS rk
          |FROM r WHERE rk <= 2
          |ORDER BY hour_bkt, rk""".stripMargin,
+
+    "q_quality_logit" ->
+      // The identical left-associated linear expression over the same
+      // exact integer features: every product dyadic-weight × BIGINT
+      // (exact), every add the same correctly-rounded IEEE op — bitwise
+      // equality without rounding.
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)),
+         |      '\\s+'), y -> y <> '')) AS BIGINT) AS n_tokens,
+         |    n_chars,
+         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+         |      AS n_digits,
+         |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+         |      AS n_punct
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_chars, n_digits, n_punct,
+         |  -3.0 + 0.03125 * n_tokens + 0.00390625 * n_chars
+         |    + (-0.0625) * n_digits + (-0.125) * n_punct AS score_z,
+         |  CASE WHEN -3.0 + 0.03125 * n_tokens + 0.00390625 * n_chars
+         |    + (-0.0625) * n_digits + (-0.125) * n_punct > 0
+         |    THEN 1 ELSE 0 END AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_gopher_rules" ->
       // Rule flags are exact-int comparisons (mean band cross-multiplied);
