@@ -148,6 +148,20 @@ object ScaleProbe {
         graft.dedup.Dedup.duplicatedSpans(
           salted, "doc_id", "text", k = 3, maxDf = 5, minSpan = 5).count()
       }
+      // LM scoring family on the SALTED corpus — the worst case for the
+      // token-keyed joins: replica vocabularies are disjoint, so the
+      // vocab/LM count tables grow m× alongside the corpus (a shared
+      // vocabulary would only grow counts). Near-linear growth is the
+      // pass bar; the scoring join itself is the open-ended-dimension
+      // equi-join whose scale story the scaladocs claim.
+      time("bigram_lm_salted", m) {
+        graft.text.TextStats.bigramSurprisal(
+          salted, "doc_id", "text").count()
+      }
+      time("dsir_weights_salted", m) {
+        graft.text.TextStats.importanceWeights(
+          salted, "doc_id", "text", col("doc_id") % 2 === 0).count()
+      }
 
       // Hamming pair family, claim 1 (corpus independence): UNSALTED
       // replication multiplies the corpus m× while the distinct-hash set
@@ -213,6 +227,27 @@ object ScaleProbe {
           rerank = 50).count()
       }
       embM.unpersist(false)
+
+      // SemDeDup in the operating regime: cell count GROWS with the
+      // corpus (quantizer k scales with N), per-cell population fixed —
+      // so the cell-keyed pair join must grow linearly. Replicas get
+      // offset labels AND circularly-rotated embeddings (rotation
+      // preserves within-replica geometry exactly while cross-replica
+      // centroids land far apart, keeping assignments replica-local).
+      // Fixed-k replication would grow Σ n_c² quadratically — that
+      // regime is the quantizer-refresh trigger, not a probe target.
+      val embSd = (0 until m).map { i =>
+        val rot = i % 64
+        val rotated = if (rot == 0) col("embedding")
+          else concat(slice(col("embedding"), lit(rot + 1), lit(64 - rot)),
+            slice(col("embedding"), lit(1), lit(rot)))
+        emb.select((col("vec_id") + lit(i.toLong << 40)).as("vec_id"),
+          rotated.as("embedding"), (col("label") + lit(i * 10)).as("label"))
+      }.reduce(_ unionByName _)
+      time("semdedup_k_scaled", m) {
+        graft.sim.Ann.semDedup(embSd, "vec_id", "embedding", "label",
+          threshold = 0.30).count()
+      }
     }
     spark.stop()
   }

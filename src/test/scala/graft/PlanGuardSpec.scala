@@ -346,6 +346,65 @@ class PlanGuardSpec extends SparkSpec {
       s"q_pq_topk reshuffles the corpus: ${topk.map(_.nodeName).distinct}")
   }
 
+  test("round-7 LM/curation/semdedup contracts: scan-side apply, token-keyed joins only") {
+    import org.apache.spark.sql.execution.SparkPlan
+    def nodesOf(q: String): Seq[SparkPlan] =
+      allNodes(Queries.queries(q)(spark, dir).queryExecution.executedPlan)
+
+    // q_quality_logit: frozen-checkpoint apply is a pure projection —
+    // no join, no hash exchange (the output sort's range exchange only)
+    val ql = nodesOf("q_quality_logit")
+    assert(!ql.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"q_quality_logit grew a join: ${ql.map(_.nodeName).distinct}")
+    assert(ql.count(n => n.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] &&
+        n.asInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]
+          .outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]) == 0,
+      s"q_quality_logit apply must stay scan-side: ${ql.map(_.nodeName).distinct}")
+
+    // q_bigram_ppl: bigram formation is per-row (Generate over the
+    // zipped token array) — a positional self-join regression would show
+    // up as a third shuffled join. Expect exactly the LM joins: bf ⋈ lm
+    // and c12 ⋈ c1 (token-keyed), plus broadcast of the 1-row V.
+    val bp = nodesOf("q_bigram_ppl")
+    assert(bp.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]),
+      "q_bigram_ppl lost the per-row bigram Generate")
+    val shuffledJoins = bp.count(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+    assert(shuffledJoins <= 2,
+      s"q_bigram_ppl grew a positional join ($shuffledJoins shuffled joins): " +
+        bp.map(_.nodeName).distinct.mkString(", "))
+
+    // q_semdedup: assignment (with its broadcast centroid table) runs
+    // inside the eager localCheckpoint — invisible to plan inspection,
+    // the documented ivfTopK trade-off — so the visible contract is:
+    // every consumer scans the checkpointed assignment (ExistingRDD,
+    // never a recompute), the prune is joins (cell-keyed pair join +
+    // id-keyed anti), and no window over the corpus
+    val sd = nodesOf("q_semdedup")
+    assert(sd.count(_.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]) >= 2,
+      "q_semdedup must scan the checkpointed assignment, " +
+        s"got: ${sd.map(_.nodeName).distinct}")
+    assert(sd.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec]) >= 2,
+      s"q_semdedup lost the pair/anti join pair: ${sd.map(_.nodeName).distinct}")
+    assert(!sd.exists(_.nodeName.toLowerCase.contains("window")),
+      s"q_semdedup grew a window: ${sd.map(_.nodeName).distinct}")
+
+    // q_ngram_novelty: one shingle-keyed aggregate + join back + doc
+    // aggregate — bounded exchanges, and a join must exist (the min-id
+    // index is a join, not a window over the corpus)
+    val nv = nodesOf("q_ngram_novelty")
+    assert(nv.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "q_ngram_novelty lost the first-seen index join")
+    assert(!nv.exists(_.nodeName.toLowerCase.contains("window")),
+      s"q_ngram_novelty grew a window over the corpus: ${nv.map(_.nodeName).distinct}")
+  }
+
   test("hot scan-shaped queries run inside WholeStageCodegen") {
     // codegen stages (`*(n)` markers) only appear once AQE finalizes the
     // plan, so run the query (cheap at sf0.001) and inspect the final plan
