@@ -1872,6 +1872,22 @@ object Queries {
           Tables.documents(s, d), "doc_id", "text", k = 3)
         .orderBy("doc_id")),
 
+    "q_oov_rate" -> ((s, d) =>
+      // Tokenizer-coverage read: per-doc token mass outside the corpus
+      // top-100 vocabulary (deterministic count-desc/token-asc head).
+      // The k-row vocabulary broadcasts; one exact division.
+      graft.text.TextStats.oovRate(
+          Tables.documents(s, d), "doc_id", "text", k = 100)
+        .orderBy("doc_id")),
+
+    "q_char_entropy" -> ((s, d) =>
+      // Gibberish/binary-spill detector: per-doc code-point entropy,
+      // H = (n·qln(n) − Σ c·qln(c))/n/1e6 — exact-integer numerator,
+      // one final division chain. No join; scan-dominated.
+      graft.text.TextStats.charEntropy(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "q_quantile_agg" -> ((s, d) =>
       // PromQL `quantile(φ, metric)` — the cross-series instant-vector
       // quantile per time bucket (vs q_quantile_ot's per-series
@@ -3603,6 +3619,43 @@ object Queries {
          |SELECT doc_id, n_tokens,
          |  CAST(ssum AS DOUBLE) / 1000000.0 AS logw_nats
          |FROM sm ORDER BY doc_id""".stripMargin,
+
+    "q_oov_rate" ->
+      // Same deterministic top-100 head (count desc, token asc), LEFT
+      // join, exact-BIGINT division.
+      s"""WITH tk AS (SELECT doc_id, t AS token
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+         |      '\\s+')) AS t FROM documents)
+         |  WHERE t <> ''),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY 1, 2),
+         |vocab AS (SELECT token FROM (
+         |  SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+         |  ORDER BY c DESC, token LIMIT 100)),
+         |agg AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(sum(CASE WHEN v.token IS NULL THEN tf.tf END), 0)
+         |      AS BIGINT) AS n_oov
+         |  FROM tf LEFT JOIN vocab v USING (token) GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_char_entropy" ->
+      // Code-point split on both sides (BMP-only corpus: code point ≡
+      // UTF-16 unit); micro-nat integer numerator, one division chain.
+      s"""WITH cf AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS ssum
+         |  FROM cf GROUP BY 1)
+         |SELECT doc_id, n AS n_chars_cp,
+         |  CAST(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |      - ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+         |    AS entropy_nats
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     "q_ngram_novelty" ->
       // Mirrors Dedup.shinglesFromTokens exactly: normTokens (an empty

@@ -604,6 +604,73 @@ object TextStats {
         (col("ssum").cast("double") / lit(1000000.0)).as("logw_nats"))
   }
 
+  /** Out-of-vocabulary rate against the corpus's own top-`k` vocabulary —
+    * the tokenizer-coverage read run before (re)training a tokenizer:
+    * documents whose mass falls outside the head vocabulary are the ones
+    * a frozen tokenizer will shred into bytes. Vocabulary selection is
+    * deterministic (count desc, token asc — the q_vocab_topk tiebreak).
+    *
+    * Exactness: integer counts; oov_rate = n_oov/n_tokens is one
+    * correctly-rounded division of exact BIGINTs.
+    *
+    * Scale shape: (doc, token) counts → token marginal → global top-k
+    * (TakeOrdered pushes partial top-k map-side; k is a constant) → the
+    * k-row vocabulary BROADCASTS into a left join against the per-doc
+    * counts (k is small by definition — this is the one join in the
+    * family where forcing broadcast is correct) → per-doc aggregate. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              k: Int = 100): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("token").agg(sum("tf").as("c"))
+      .orderBy(col("c").desc, col("token")).limit(k)
+      .select(col("token"), lit(1).as("_inv"))
+    tf.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(sum("tf").as("n_tokens"),
+        coalesce(sum(when(col("_inv").isNull, col("tf"))), lit(0L))
+          .as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
+  /** Per-document character-distribution entropy in nats — the gibberish/
+    * binary-spill detector (natural text sits in a narrow entropy band;
+    * base64 blobs and key-mash run high, repeated-char padding runs low).
+    * H = ln n − (1/n)·Σ c·ln c over per-doc code-point counts.
+    *
+    * Exactness: H = (n·qln(n) − Σ c·qln(c)) / n / 1e6 with qln the
+    * micro-nat integer log — the numerator is an exact BIGINT both
+    * engines compute identically, then ONE double division chain.
+    * Characters are code points on both sides (Spark `substr` indexes
+    * code points, DuckDB splits per code point); the synthetic corpus is
+    * BMP-only, where the two notions coincide.
+    *
+    * Scale shape: per-row code-point explode (n_chars rows — the scan
+    * dominates), one (doc, char) count, one per-doc aggregate, both
+    * map-side combinable; no join at all. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cf = df
+      .select(col(idCol), col(textCol).as("_t"))
+      .select(col(idCol), explode(
+        // empty-text guard: sequence(1, 0) would DESCEND ([1, 0]), not
+        // produce an empty array
+        when(length(col("_t")) > 0, transform(
+            sequence(lit(1), length(col("_t"))),
+            i => col("_t").substr(i, lit(1))))
+          .otherwise(array().cast("array<string>"))).as("ch"))
+      .groupBy(idCol, "ch").agg(count(lit(1)).as("c"))
+    cf.groupBy(idCol)
+      .agg(sum("c").as("n_chars_cp"),
+        sum(col("c") * qln(col("c"))).as("_ssum"))
+      .select(col(idCol), col("n_chars_cp"),
+        ((col("n_chars_cp") * qln(col("n_chars_cp")) - col("_ssum"))
+          .cast("double") / col("n_chars_cp").cast("double") /
+          lit(1000000.0)).as("entropy_nats"))
+  }
+
   /** Cross-document n-gram novelty: for each document, the fraction of
     * its DISTINCT k-gram shingles that no earlier document (smaller id)
     * contains — the "how much new text does this doc add" curation read,

@@ -295,6 +295,31 @@ class TextStatsSpec extends SparkSpec {
     assert(r(0)._3 > 0 && r(1)._3 < 0)
   }
 
+  test("oovRate: mass outside the deterministic top-k head") {
+    import spark.implicits._
+    // counts: b=3 a=2 c=1 d=1 -> top-2 = {b, a}
+    val df = Seq((1L, "a a b c"), (2L, "b b d")).toDF("doc_id", "text")
+    val r = TextStats.oovRate(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq((1L, 4L, 1L, 0.25), (2L, 3L, 1L, 1.0 / 3)))
+  }
+
+  test("charEntropy: micro-nat code-point entropy, unicode included") {
+    import spark.implicits._
+    // "aab": H = ln3 - (2/3)ln2 -> (3*qln3 - 2*qln2)/3e6 = 0.636514
+    // "aaaa": H = 0 exactly; "中中文" mirrors "aab" per code point
+    val df = Seq((1L, "aab"), (2L, "aaaa"), (3L, "中中文"))
+      .toDF("doc_id", "text")
+    val r = TextStats.charEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val h3 = (3L * 1098612L - 2L * 693147L) / 3.0 / 1e6
+    assert(r(0) == ((1L, 3L, h3)))
+    assert(r(1) == ((2L, 4L, 0.0)))
+    assert(r(2) == ((3L, 3L, h3)))
+  }
+
   test("ngramNovelty: first-seen shingles counted to the earliest doc") {
     import spark.implicits._
     // k=2: doc1 {a b, b c}; doc2 {b c, c d}; doc3 {a b}
