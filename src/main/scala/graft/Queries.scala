@@ -1269,6 +1269,23 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q_neardup_quality" -> ((s, d) => {
+      // Quality retention per near-dup CLUSTER: keep the longest member
+      // (n_chars desc, min-id ties) of each connected component — the
+      // production keeper rule, vs q_neardup_survivors' min-id. Same
+      // deterministic consecutive-Jaccard pair set, so the oracle
+      // mirrors the clustering and replays the argmax.
+      val docs = Tables.documents(s, d)
+      val consecutive = docs.select(col("doc_id").as("id1"),
+        (col("doc_id") + 1).as("id2"))
+      val pairs = graft.dedup.Dedup.jaccardVerify(consecutive, docs,
+        "doc_id", "text", k = 1, threshold = 0.75).select("id1", "id2")
+      graft.dedup.Dedup.nearDupSurvivorsByQuality(docs, "doc_id", pairs,
+          col("n_chars"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "q_neardup_clusters" -> ((s, d) => {
       // Connected-component near-dup clustering over a DETERMINISTIC pair
       // set (consecutive ids with unigram Jaccard >= 0.75) so the oracle
@@ -3017,6 +3034,28 @@ object Queries {
          |SELECT d.doc_id, d.lang, d.n_chars
          |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
          |WHERE cl.doc_id = cl.cluster
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_neardup_quality" ->
+      // Same gaps-and-islands clustering; keeper = rank-1 by n_chars desc
+      // within the cluster, min doc_id across rank-1 ties.
+      s"""WITH sh AS (SELECT doc_id, list_distinct(string_split(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS s
+         |  FROM documents),
+         |linked AS (SELECT a.doc_id AS id,
+         |    (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(a.s, b.s))) >= 0.75) AS l
+         |  FROM sh a JOIN sh b ON a.doc_id = b.doc_id + 1),
+         |cl AS (SELECT d.doc_id, d.n_chars,
+         |    max(CASE WHEN NOT coalesce(l.l, FALSE) THEN d.doc_id END)
+         |      OVER (ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster
+         |  FROM documents d LEFT JOIN linked l ON l.id = d.doc_id),
+         |rk AS (SELECT doc_id, cluster,
+         |    rank() OVER (PARTITION BY cluster ORDER BY n_chars DESC) AS rk
+         |  FROM cl),
+         |best AS (SELECT min(doc_id) AS keep FROM rk WHERE rk = 1 GROUP BY cluster)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d JOIN best ON d.doc_id = best.keep
          |ORDER BY d.doc_id""".stripMargin,
 
     "q_neardup_clusters" ->

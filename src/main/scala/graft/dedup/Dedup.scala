@@ -504,4 +504,28 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Near-dup retention by QUALITY: keep the best-`score` member of each
+    * near-dup cluster (ties → min id) instead of [[nearDupSurvivors]]'s
+    * min-id representative — what production pipelines actually retain
+    * (the longest / highest-quality variant of a duplicated page, not
+    * whichever crawled first). Docs outside every cluster survive
+    * unconditionally.
+    *
+    * Scale shape: the cluster table is edge-bounded (LSH collision rate),
+    * joined once onto the corpus; the per-cluster argmax is ONE
+    * struct-max aggregate (max(score), then max(−id) = min id — no
+    * ranked window over the corpus), and survivors come back via a
+    * left-semi join on the id. */
+  def nearDupSurvivorsByQuality(df: DataFrame, idCol: String,
+                                pairs: DataFrame, score: Column): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+    val withCl = df
+      .join(clusters, df(idCol) === clusters("id"), "left")
+      .withColumn("_cl", coalesce(col("cluster"), col(idCol)))
+    val best = withCl.groupBy(col("_cl"))
+      .agg(max(struct(score.as("_s"), (-col(idCol)).as("_negid"))).as("_b"))
+      .select((-col("_b._negid")).as(idCol))
+    df.join(best, Seq(idCol), "left_semi")
+  }
 }

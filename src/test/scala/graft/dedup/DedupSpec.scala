@@ -103,6 +103,18 @@ class DedupSpec extends SparkSpec {
     assert(s == Seq(1L, 4L, 5L)) // 2,3 collapse into 1; 4,5 untouched
   }
 
+  test("nearDupSurvivorsByQuality: best score wins the cluster, min id breaks ties") {
+    import spark.implicits._
+    val d = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val s = Dedup.nearDupSurvivorsByQuality(d, "doc_id", pairs, col("score"))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // cluster {1,2,3}: top score 9 shared by 2 and 3 -> min id 2 kept;
+    // singleton 4 survives unconditionally
+    assert(s == Seq(2L, 4L))
+  }
+
   test("duplicatedSpans: exact shared token span found, boilerplate and short overlaps dropped") {
     val quote = "the quick brown fox jumps over the lazy sleeping dog" // 10 tokens
     val d = Seq(
