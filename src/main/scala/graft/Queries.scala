@@ -759,6 +759,35 @@ object Queries {
           .as("p50_rank_ok"))
     }),
 
+    "q_cms_bounds" -> ((s, d) => {
+      // Count-min sketch certification (the other workhorse sketch next
+      // to HLL/quantile in q_sketch_bounds): ONE distributed CMS build
+      // over all corpus tokens (eps=1e-3, delta=0.01, fixed seed —
+      // deterministic for fixed data), then the top-20 exact tokens are
+      // probed driver-side (20 lookups against a ~2.7k×5-counter sketch
+      // — bounded by construction). Sketch counters aren't cross-engine
+      // replayable, so the oracle-visible contract is the two CMS
+      // guarantees as literal-1 flags riding next to the exact counts:
+      // estimates never under-count, and stay within eps·N above truth.
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(
+        explode(graft.text.TextStats.tokens(lower(col("text")))).as("token"))
+        .localCheckpoint(true) // three consumers: top-20, N, the sketch
+      val top = toks.groupBy("token").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("token")).limit(20).collect()
+      val n = toks.count()
+      val cms = toks.stat.countMinSketch("token", 0.001, 0.99, 42)
+      val bound = math.ceil(0.001 * n).toLong
+      val rows = top.toSeq.map { r =>
+        val t = r.getString(0); val c = r.getLong(1)
+        val est = cms.estimateCount(t)
+        (t, c, if (est >= c) 1L else 0L,
+          if (est <= c + bound) 1L else 0L)
+      }
+      import s.implicits._
+      rows.toDF("token", "c_exact", "ge_ok", "eps_ok").orderBy("token")
+    }),
+
     "q_semi_anti" -> ((s, d) => {
       // LEFT SEMI / LEFT ANTI surface: customers with vs without 1998+
       // orders. Semi/anti joins never duplicate or widen the left side —
@@ -2804,6 +2833,20 @@ object Queries {
       s"""SELECT count(*) AS n_rows, count(DISTINCT text) AS exact_distinct,
          |  CAST(1 AS BIGINT) AS hll_ok, CAST(1 AS BIGINT) AS p50_rank_ok
          |FROM documents""".stripMargin,
+
+    "q_cms_bounds" ->
+      // Exact top-20 (count desc, token asc) + the CMS guarantees as
+      // literal 1s: a sketch under-counting or drifting past eps*N flips
+      // a flag on the Spark side and fails the hash compare.
+      s"""WITH tk AS (SELECT t AS token
+         |  FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+         |      '\\s+')) AS t FROM documents)
+         |  WHERE t <> ''),
+         |top AS (SELECT token, CAST(count(*) AS BIGINT) AS c_exact
+         |  FROM tk GROUP BY 1 ORDER BY c_exact DESC, token LIMIT 20)
+         |SELECT token, c_exact, CAST(1 AS BIGINT) AS ge_ok,
+         |  CAST(1 AS BIGINT) AS eps_ok
+         |FROM top ORDER BY token""".stripMargin,
 
     "q_interval_join" ->
       s"""WITH ev AS ($EvSql),
