@@ -788,6 +788,37 @@ object Queries {
       rows.toDF("token", "c_exact", "ge_ok", "eps_ok").orderBy("token")
     }),
 
+    "q_bloom_bounds" -> ((s, d) => {
+      // Bloom-filter certification (the pre-join filter the oversized-
+      // benchmark contamination tier rides on): membership must have NO
+      // false negatives, and the false-positive rate on a provably
+      // DISJOINT probe set (odd-doc fingerprints anti-joined against the
+      // member set, so cross-parity duplicate texts can't masquerade as
+      // false positives) stays within 3× the configured 1% fpp —
+      // deterministic for fixed data, with headroom so the flag is
+      // stable across SFs. Driver work is three bounded counts.
+      val docs = Tables.documents(s, d)
+      val fps = docs.select(col("doc_id"),
+        graft.text.TextStats.fingerprintMd5(col("text")).as("f"))
+      val members = fps.filter(col("doc_id") % 2 === 0)
+        .select("f").distinct().localCheckpoint(true)
+      val probes = fps.filter(col("doc_id") % 2 === 1)
+        .select("f").distinct()
+        .join(members, Seq("f"), "left_anti").localCheckpoint(true)
+      val nm = members.count()
+      val bloom = members.stat.bloomFilter("f", math.max(1024L, nm), 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val hit = udf((x: String) => x != null && bc.value.mightContainString(x))
+      val falseNeg = members.filter(!hit(col("f"))).count()
+      val nProbes = probes.count()
+      val falsePos = probes.filter(hit(col("f"))).count()
+      import s.implicits._
+      Seq((nm, nProbes,
+        if (falseNeg == 0L) 1L else 0L,
+        if (falsePos.toDouble <= 0.03 * nProbes) 1L else 0L))
+        .toDF("n_members", "n_probes", "no_false_neg", "fp_ok")
+    }),
+
     "q_semi_anti" -> ((s, d) => {
       // LEFT SEMI / LEFT ANTI surface: customers with vs without 1998+
       // orders. Semi/anti joins never duplicate or widen the left side —
@@ -2847,6 +2878,20 @@ object Queries {
          |SELECT token, c_exact, CAST(1 AS BIGINT) AS ge_ok,
          |  CAST(1 AS BIGINT) AS eps_ok
          |FROM top ORDER BY token""".stripMargin,
+
+    "q_bloom_bounds" ->
+      // Exact member/probe counts; the bloom guarantees as literal 1s
+      // (q_sketch_bounds pattern — a violated guarantee flips the Spark
+      // flag and fails the hash compare).
+      s"""WITH f AS (SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM documents),
+         |e AS (SELECT DISTINCT f FROM f WHERE doc_id % 2 = 0),
+         |p AS (SELECT DISTINCT f.f FROM f
+         |  WHERE doc_id % 2 = 1 AND f NOT IN (SELECT f FROM e))
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_members,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_probes,
+         |  CAST(1 AS BIGINT) AS no_false_neg, CAST(1 AS BIGINT) AS fp_ok""".stripMargin,
 
     "q_interval_join" ->
       s"""WITH ev AS ($EvSql),
