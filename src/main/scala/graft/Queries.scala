@@ -1941,6 +1941,16 @@ object Queries {
           Tables.documents(s, d), "doc_id", "text", col("lang") === "en")
         .orderBy("doc_id")),
 
+    "q_drift_ref" -> ((s, d) =>
+      // Drift vs a FROZEN reference (the monitoring read; the streaming
+      // twin StreamingDrift computes the identical micro-nat integers
+      // incrementally, bitwise parity spec-proven): even docs build the
+      // reference LM, odd docs score per source; unseen tokens collapse
+      // into the OOV smoothing bucket.
+      graft.text.TextStats.referenceDrift(
+          Tables.documents(s, d), "source", "text", col("doc_id") % 2 === 0)
+        .orderBy("source")),
+
     "q_ngram_novelty" -> ((s, d) =>
       // Cross-doc novelty: fraction of each doc's distinct 3-gram
       // shingles first seen in THIS doc (min-doc-id index join, no
@@ -3783,6 +3793,43 @@ object Queries {
          |      - ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
          |    AS entropy_nats
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_drift_ref" ->
+      // Reference LM from even docs, add-1 smoothed over support+OOV
+      // (' oov' cannot collide: whitespace tokens never contain spaces);
+      // four-term micro-nat surprisal, one final division chain.
+      s"""WITH tok AS (SELECT source, r, t AS token
+         |  FROM (SELECT source, doc_id % 2 = 0 AS r,
+         |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |    FROM documents)
+         |  WHERE t <> ''),
+         |ref AS (SELECT token, CAST(count(*) AS BIGINT) AS rc
+         |  FROM tok WHERE r GROUP BY 1),
+         |rt AS (SELECT CAST(coalesce(sum(rc), 0) AS BIGINT) AS nref,
+         |    CAST(count(*) AS BIGINT) AS v FROM ref),
+         |sc AS (SELECT tok.source,
+         |    CASE WHEN ref.token IS NULL THEN ' oov' ELSE tok.token END AS k
+         |  FROM tok LEFT JOIN ref ON tok.token = ref.token
+         |  WHERE NOT tok.r),
+         |kc AS (SELECT source, k, CAST(count(*) AS BIGINT) AS c
+         |  FROM sc GROUP BY 1, 2),
+         |kcr AS (SELECT kc.source, kc.k, kc.c,
+         |    CAST(coalesce(ref.rc, 0) AS BIGINT) AS rc
+         |  FROM kc LEFT JOIN ref ON kc.k = ref.token),
+         |ng AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+         |  FROM kcr GROUP BY 1),
+         |w AS (SELECT kcr.source, ng.n,
+         |    kcr.c * (
+         |      CAST(floor(ln(CAST(kcr.c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |      - CAST(floor(ln(CAST(ng.n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |      - CAST(floor(ln(CAST(kcr.rc + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |      + CAST(floor(ln(CAST(rt.nref + rt.v + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |    ) AS w
+         |  FROM kcr JOIN ng USING (source), rt)
+         |SELECT source, CAST(max(n) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+         |    / 1000000.0 AS kl_nats
+         |FROM w GROUP BY source ORDER BY source""".stripMargin,
 
     "q_ngram_novelty" ->
       // Mirrors Dedup.shinglesFromTokens exactly: normTokens (an empty

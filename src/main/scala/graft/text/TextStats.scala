@@ -671,6 +671,49 @@ object TextStats {
           lit(1000000.0)).as("entropy_nats"))
   }
 
+  /** Distribution drift vs a FROZEN reference — the monitoring read (vs
+    * [[sourceDivergence]]'s corpus-internal comparison): per `groupCol`
+    * group of the SCORING rows (¬`refPred`), KL(group ‖ reference) where
+    * the reference unigram LM is built from the `refPred` rows and
+    * add-1-smoothed over its V+1-outcome support (V reference tokens +
+    * one OOV bucket that absorbs every unseen token). The streaming twin
+    * ([[graft.streaming.StreamingDrift]]) computes the identical
+    * micro-nat integers incrementally; parity is asserted bitwise.
+    *
+    * Scale shape: reference counts are one aggregate of the same scan
+    * (a filter, not a second pass); scoring tokens LEFT-join the
+    * reference vocabulary (token-keyed — the only open-ended join),
+    * collapse to support+OOV, and aggregate per (group, token) then per
+    * group. Two 1-row broadcasts carry (N_ref, V). */
+  def referenceDrift(df: DataFrame, groupCol: String, textCol: String,
+                     refPred: Column): DataFrame = {
+    val oov = lit(" oov")
+    val tok = df
+      .select(col(groupCol), refPred.as("_r"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+    val ref = tok.filter(col("_r")).groupBy("token").agg(count(lit(1)).as("rc"))
+    val refTot = ref.agg(coalesce(sum("rc"), lit(0L)).as("nref"),
+      count(lit(1)).as("v"))
+    val sc0 = tok.filter(!col("_r"))
+      .join(ref, Seq("token"), "left")
+      .select(col(groupCol),
+        when(col("rc").isNotNull, col("token")).otherwise(oov).as("k"))
+    val kc = sc0.groupBy(groupCol, "k").agg(count(lit(1)).as("c"))
+      .join(ref.withColumnRenamed("token", "k"), Seq("k"), "left")
+      .withColumn("rc", coalesce(col("rc"), lit(0L)))
+    val ng = kc.groupBy(groupCol).agg(sum("c").as("n"))
+    kc.join(broadcast(ng), Seq(groupCol))
+      .crossJoin(broadcast(refTot))
+      .select(col(groupCol), col("n"),
+        (col("c") * (qln(col("c")) - qln(col("n")) - qln(col("rc") + lit(1L)) +
+          qln(col("nref") + col("v") + lit(1L)))).as("_w"))
+      .groupBy(groupCol)
+      .agg(max("n").as("n_tokens"), sum("_w").as("ssum"))
+      .select(col(groupCol), col("n_tokens"),
+        (col("ssum").cast("double") / col("n_tokens").cast("double") /
+          lit(1000000.0)).as("kl_nats"))
+  }
+
   /** Cross-document n-gram novelty: for each document, the fraction of
     * its DISTINCT k-gram shingles that no earlier document (smaller id)
     * contains — the "how much new text does this doc add" curation read,
