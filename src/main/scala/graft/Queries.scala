@@ -1970,8 +1970,10 @@ object Queries {
     "q_char_entropy" -> ((s, d) =>
       // Gibberish/binary-spill detector: per-doc code-point entropy,
       // H = (n·qln(n) − Σ c·qln(c))/n/1e6 — exact-integer numerator,
-      // one final division chain. No join; scan-dominated.
-      graft.text.TextStats.charEntropy(
+      // one final division chain. Runs the graft_char_entropy codegen
+      // kernel (ONE zero-shuffle scan; the compositional twin shuffles
+      // corpus-characters rows twice — parity bit-exact, CharEntropySpec).
+      graft.text.TextStats.charEntropyAuto(
           Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 

@@ -351,6 +351,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         NearestCell(children(0), children(1), children(2))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
+      (children: Seq[Expression]) => CharEntropy(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_vec_sum_long"),
       new ExpressionInfo(classOf[VectorSumLong].getName, "graft_vec_sum_long"),
       (children: Seq[Expression]) =>

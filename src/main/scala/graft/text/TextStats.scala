@@ -651,6 +651,24 @@ object TextStats {
     * Scale shape: per-row code-point explode (n_chars rows — the scan
     * dominates), one (doc, char) count, one per-doc aggregate, both
     * map-side combinable; no join at all. */
+  /** Kernel-dispatch face of [[charEntropy]]: when the
+    * `graft_char_entropy` extension is registered, the whole computation
+    * is ONE zero-shuffle scan expression (the compositional plan below
+    * shuffles ~corpus-characters rows twice); values are bit-identical
+    * (CharEntropySpec parity). Empty documents are absent either way
+    * (the explode emits nothing; here an explicit filter mirrors it). */
+  def charEntropyAuto(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hasKernel = scala.util.Try(
+      df.sparkSession.catalog.functionExists("graft_char_entropy"))
+      .getOrElse(false)
+    if (hasKernel)
+      df.filter(length(col(textCol)) > 0)
+        .select(col(idCol),
+          length(col(textCol)).cast("long").as("n_chars_cp"),
+          call_function("graft_char_entropy", col(textCol)).as("entropy_nats"))
+    else charEntropy(df, idCol, textCol)
+  }
+
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cf = df
       .select(col(idCol), col(textCol).as("_t"))
