@@ -1329,6 +1329,27 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_incremental" -> ((s, d) => {
+      // Incremental ingest dedup: a synthetic re-crawl batch (every
+      // third doc re-ingested verbatim; every third-plus-one doc edited
+      // with a ' v2' suffix, delivered TWICE to exercise within-batch
+      // keep-first) deduped against the existing corpus. Survivors are
+      // exactly the first copy of each edited doc.
+      val docs = Tables.documents(s, d)
+      val reingest = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val edited = docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"))
+      val editedDup = docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"))
+      val batch = reingest.unionByName(edited).unionByName(editedDup)
+      graft.dedup.Dedup.exactDedupIncremental(batch, "doc_id", "text",
+          docs, "text")
+        .orderBy("doc_id")
+    }),
+
     "q_neardup_quality" -> ((s, d) => {
       // Quality retention per near-dup CLUSTER: keep the longest member
       // (n_chars desc, min-id ties) of each connected component — the
@@ -3135,6 +3156,29 @@ object Queries {
          |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
          |WHERE cl.doc_id = cl.cluster
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      // Same batch construction; base-fingerprint anti-filter + min-id
+      // keep-first within the remainder.
+      s"""WITH basefp AS (SELECT DISTINCT
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text
+         |  FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' v2' AS text
+         |  FROM documents WHERE doc_id % 3 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text || ' v2' AS text
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |bf AS (SELECT doc_id, text,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM batch),
+         |fresh AS (SELECT * FROM bf WHERE fp NOT IN (SELECT fp FROM basefp)),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+         |SELECT f.doc_id, f.text FROM fresh f JOIN keep USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_neardup_quality" ->
       // Same gaps-and-islands clustering; keeper = rank-1 by n_chars desc

@@ -381,6 +381,27 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup — the nightly-ingest shape: a NEW batch is
+    * deduplicated against an already-curated BASE corpus (drop any new
+    * doc whose normalized fingerprint the base already holds) and then
+    * within itself (keep-first). The base is NEVER rescanned beyond one
+    * fingerprint projection, and the corpus-sized side shuffles only on
+    * the fingerprint key — at 100 TB the base fingerprint table is the
+    * thing you keep materialized between ingests, so the recurring cost
+    * is one anti-join of batch-sized against base-fingerprint-sized.
+    * Returns the surviving NEW rows. */
+  def exactDedupIncremental(newDf: DataFrame, idCol: String, textCol: String,
+                            base: DataFrame, baseTextCol: String): DataFrame = {
+    val baseFp = base
+      .select(graft.text.TextStats.fingerprintMd5(col(baseTextCol)).as("_fp"))
+      .distinct()
+    val fresh = newDf
+      .withColumn("_fp", graft.text.TextStats.fingerprintMd5(col(textCol)))
+      .join(baseFp, Seq("_fp"), "left_anti")
+      .drop("_fp")
+    exactDedupSurvivors(fresh, idCol, textCol)
+  }
+
   /** Exact-dedup survivors by QUALITY: keep the row maximizing `scoreCol`
     * per fingerprint group (ties → smallest `idCol`) — the retention
     * policy real pipelines use (keep the best-quality duplicate, not the

@@ -103,6 +103,20 @@ class DedupSpec extends SparkSpec {
     assert(s == Seq(1L, 4L, 5L)) // 2,3 collapse into 1; 4,5 untouched
   }
 
+  test("exactDedupIncremental: base hits dropped, keep-first within the batch") {
+    import spark.implicits._
+    val base = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "aa"),   // already in base -> dropped
+      (11L, "cc"),   // new -> survives
+      (12L, "cc"),   // within-batch dup of 11 -> dropped (keep-first)
+      (13L, "dd"))   // new -> survives
+      .toDF("doc_id", "text")
+    val s = Dedup.exactDedupIncremental(batch, "doc_id", "text", base, "text")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(s == Seq(11L, 13L))
+  }
+
   test("nearDupSurvivorsByQuality: best score wins the cluster, min id breaks ties") {
     import spark.implicits._
     val d = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L))
