@@ -162,6 +162,11 @@ object ScaleProbe {
         graft.text.TextStats.importanceWeights(
           salted, "doc_id", "text", col("doc_id") % 2 === 0).count()
       }
+      time("reference_drift_salted", m) {
+        graft.text.TextStats.referenceDrift(
+          salted.withColumn("source", (col("doc_id") % 16).cast("string")),
+          "source", "text", col("doc_id") % 2 === 0).count()
+      }
 
       // Hamming pair family, claim 1 (corpus independence): UNSALTED
       // replication multiplies the corpus m× while the distinct-hash set

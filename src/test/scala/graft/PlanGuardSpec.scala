@@ -403,6 +403,36 @@ class PlanGuardSpec extends SparkSpec {
       "q_ngram_novelty lost the first-seen index join")
     assert(!nv.exists(_.nodeName.toLowerCase.contains("window")),
       s"q_ngram_novelty grew a window over the corpus: ${nv.map(_.nodeName).distinct}")
+
+    // q_oov_rate: the k-row vocabulary must come back BROADCAST — a
+    // sort-merge join here would shuffle the whole per-doc count table
+    // against a 100-row dimension
+    val ov = nodesOf("q_oov_rate")
+    assert(ov.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"q_oov_rate lost the broadcast vocabulary join: ${ov.map(_.nodeName).distinct}")
+
+    // q_char_entropy: the codegen-kernel path is a pure scan — no join,
+    // no hash exchange, and the kernel expression inside the projection
+    val ce = nodesOf("q_char_entropy")
+    assert(!ce.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"q_char_entropy grew a join: ${ce.map(_.nodeName).distinct}")
+    assert(!ce.exists(n => n.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] &&
+        n.asInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]
+          .outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]),
+      s"q_char_entropy fell back off the zero-shuffle kernel: ${ce.map(_.nodeName).distinct}")
+
+    // q_dedup_incremental: the base-corpus filter must be an ANTI join
+    // (an inner+distinct or except formulation would widen and reshuffle)
+    val di = nodesOf("q_dedup_incremental")
+    assert(di.exists(n => n.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec] &&
+        n.asInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]
+          .joinType.toString.toLowerCase.contains("anti")),
+      s"q_dedup_incremental lost the anti-join base filter: ${di.map(_.nodeName).distinct}")
   }
 
   test("hot scan-shaped queries run inside WholeStageCodegen") {
