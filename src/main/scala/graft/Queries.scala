@@ -764,11 +764,15 @@ object Queries {
       // to HLL/quantile in q_sketch_bounds): ONE distributed CMS build
       // over all corpus tokens (eps=1e-3, delta=0.01, fixed seed —
       // deterministic for fixed data), then the top-20 exact tokens are
-      // probed driver-side (20 lookups against a ~2.7k×5-counter sketch
+      // probed driver-side (20 lookups against a 2000×7-counter sketch
       // — bounded by construction). Sketch counters aren't cross-engine
       // replayable, so the oracle-visible contract is the two CMS
       // guarantees as literal-1 flags riding next to the exact counts:
-      // estimates never under-count, and stay within eps·N above truth.
+      // estimates never under-count, and stay within eps·N above truth
+      // (3× headroom on the probabilistic bound, as in q_bloom_bounds:
+      // the guarantee is per-probe 1−2^-depth, and a regenerated corpus
+      // resamples the data against the fixed seed — width 2000 × depth 7
+      // at eps=1e-3, δ=0.01).
       val docs = Tables.documents(s, d)
       val toks = docs.select(
         explode(graft.text.TextStats.tokens(lower(col("text")))).as("token"))
@@ -777,7 +781,7 @@ object Queries {
         .orderBy(col("c").desc, col("token")).limit(20).collect()
       val n = toks.count()
       val cms = toks.stat.countMinSketch("token", 0.001, 0.99, 42)
-      val bound = math.ceil(0.001 * n).toLong
+      val bound = 3L * math.ceil(0.001 * n).toLong
       val rows = top.toSeq.map { r =>
         val t = r.getString(0); val c = r.getLong(1)
         val est = cms.estimateCount(t)
@@ -3826,9 +3830,12 @@ object Queries {
     "q_char_entropy" ->
       // Code-point split on both sides (BMP-only corpus: code point ≡
       // UTF-16 unit); micro-nat integer numerator, one division chain.
+      // length(text) > 0 mirrors the Spark side's empty-doc absence —
+      // DuckDB's string_split('', '') is [''] (one empty element), which
+      // would otherwise fabricate a row Spark never emits.
       s"""WITH cf AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
          |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
-         |    FROM documents)
+         |    FROM documents WHERE length(text) > 0)
          |  GROUP BY 1, 2),
          |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
          |    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)

@@ -22,8 +22,11 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Session-level conf is also set by Verify/Bench/test builders; this is a
-    // safety net for ad-hoc sessions (idempotent).
+    // safety net for ad-hoc sessions (idempotent). The timeZone pin matters
+    // for the µs branch below: its NTZ→TZ cast feeding unix_micros reads the
+    // session zone, and only UTC makes ts_us equal DuckDB's epoch_us.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

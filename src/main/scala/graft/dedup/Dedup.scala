@@ -395,11 +395,15 @@ object Dedup {
     val baseFp = base
       .select(graft.text.TextStats.fingerprintMd5(col(baseTextCol)).as("_fp"))
       .distinct()
+    // the fingerprint is computed ONCE per batch row and reused for both
+    // the base anti-join and the within-batch keep-first (re-deriving it
+    // via exactDedupSurvivors would pay the normalize+digest scan twice)
     val fresh = newDf
       .withColumn("_fp", graft.text.TextStats.fingerprintMd5(col(textCol)))
       .join(baseFp, Seq("_fp"), "left_anti")
-      .drop("_fp")
-    exactDedupSurvivors(fresh, idCol, textCol)
+    val keep = fresh.groupBy("_fp").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    fresh.drop("_fp").join(keep, Seq(idCol), "left_semi")
   }
 
   /** Exact-dedup survivors by QUALITY: keep the row maximizing `scoreCol`

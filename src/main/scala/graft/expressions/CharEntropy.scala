@@ -18,7 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * run the fast path without weakening the check. */
 object CharEntropyUtil {
 
-  private def qln(x: Long): Long =
+  /** THE scalar micro-nat quantization — floor(ln·1e6 + 0.5) as a Long.
+    * Single definition for every scalar consumer (this kernel,
+    * StreamingDrift's fold, spec replicas); TextStats' Column-typed qln
+    * mirrors the identical formula for the Catalyst side. The bitwise
+    * batch/stream/kernel parity contracts all rest on these staying one
+    * formula. */
+  def qln(x: Long): Long =
     math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
 
   def entropy(s: UTF8String): Double = {

@@ -38,10 +38,10 @@ object StreamingDrift {
     * can never produce, so it cannot collide with a real token. */
   val OovToken = " oov"
 
-  /** floor(ln·1e6 + 0.5) micro-nat integer log — the TextStats
-    * quantization, shared so batch and stream agree bitwise. */
-  def qln(x: Long): Long =
-    math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+  /** The shared scalar micro-nat log
+    * ([[graft.expressions.CharEntropyUtil.qln]]) — one definition, so
+    * batch and stream agree bitwise by construction. */
+  def qln(x: Long): Long = graft.expressions.CharEntropyUtil.qln(x)
 
   /** KL(counts ‖ ref) in nats from exact integer counts; the reference is
     * add-1-smoothed over its V+1-outcome support (V tokens + OOV). Pure —

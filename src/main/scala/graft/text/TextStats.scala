@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace tokens of trimmed text; empty text → empty array (a bare
-    * split would yield [""]). */
+  /** Whitespace tokens of trimmed text; empty tokens are DROPPED, so an
+    * empty text → empty array and a text starting with a tab/newline
+    * (which `trim` — space-only on both engines — does not strip, so the
+    * regex split emits a leading "") → real tokens only. Every DuckDB
+    * oracle tokenizes as `string_split_regex(trim(lower(text)), '\s+')`
+    * with `t <> ''` filtered, and this is the exact Spark mirror of that
+    * — the filter is what keeps the parity total rather than
+    * space-prefix-only. */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
 
   /** BPE-ish subword pre-tokenization: word pieces, number runs, and single
     * punctuation marks (the GPT-2-style contraction/word/number/punct split,
@@ -474,7 +479,10 @@ object TextStats {
           .as("dup_frac"))
   }
 
-  /** Quantized natural log: floor(ln·1e6 + 0.5) as a BIGINT micro-nat.
+  /** Quantized natural log: floor(ln·1e6 + 0.5) as a BIGINT micro-nat —
+    * the Column face of the scalar contract at
+    * [[graft.expressions.CharEntropyUtil.qln]] (same formula; keep them
+    * in lockstep — the bitwise parity specs rest on it).
     * Probed bit-identical vs DuckDB `ln` after the same quantization for
     * every count ≤ 2e6 (see [[unigramSurprisal]]); all LM scoring below
     * carries surprisal as these exact integers and defers floats to one
