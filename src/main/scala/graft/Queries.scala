@@ -776,10 +776,14 @@ object Queries {
       val docs = Tables.documents(s, d)
       val toks = docs.select(
         explode(graft.text.TextStats.tokens(lower(col("text")))).as("token"))
-        .localCheckpoint(true) // three consumers: top-20, N, the sketch
-      val top = toks.groupBy("token").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("token")).limit(20).collect()
-      val n = toks.count()
+      // Checkpoint only the AGGREGATED (token, count) table — O(vocab), not
+      // O(corpus tokens) — and derive both the top-20 and N from it; the
+      // sketch re-derives the explode, which is scan-cheap and streamed
+      // straight into the CMS without materialization.
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val top = counts.orderBy(col("c").desc, col("token")).limit(20).collect()
+      val n = counts.agg(coalesce(sum("c"), lit(0L))).collect()(0).getLong(0)
       val cms = toks.stat.countMinSketch("token", 0.001, 0.99, 42)
       val bound = 3L * math.ceil(0.001 * n).toLong
       val rows = top.toSeq.map { r =>
@@ -819,7 +823,10 @@ object Queries {
       import s.implicits._
       Seq((nm, nProbes,
         if (falseNeg == 0L) 1L else 0L,
-        if (falsePos.toDouble <= 0.03 * nProbes) 1L else 0L))
+        // 3× the 1% fpp PLUS an absolute +3 slack: at small probe counts
+        // (tiny SFs, unlucky regenerated corpus) a single false positive
+        // would otherwise flip the flag when nProbes < 34.
+        if (falsePos.toDouble <= 0.03 * nProbes + 3) 1L else 0L))
         .toDF("n_members", "n_probes", "no_false_neg", "fp_ok")
     }),
 
@@ -2981,8 +2988,8 @@ object Queries {
          |  FROM kept k JOIN fluent USING (doc_id)
          |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000 < 500),
          |tk AS (SELECT doc_id, lang,
-         |    CASE WHEN length(trim(text)) = 0 THEN []
-         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      y -> y <> '') AS t
          |  FROM samp),
          |st AS (SELECT doc_id, lang, t,
          |    CAST(greatest(floor((len(t) - 32 + 15) / 16.0), 0) AS BIGINT) AS last
@@ -2996,9 +3003,11 @@ object Queries {
          |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_doc_chunks" ->
+      // list_filter mirrors tokens(): empty-token-free arrays, which also
+      // covers the whitespace-only-text case the old CASE handled.
       s"""WITH tk AS (SELECT doc_id,
-         |    CASE WHEN length(trim(text)) = 0 THEN []
-         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      y -> y <> '') AS t
          |  FROM documents),
          |st AS (SELECT doc_id, t,
          |    CAST(greatest(floor((len(t) - 32 + 15) / 16.0), 0) AS BIGINT) AS last
@@ -3262,19 +3271,31 @@ object Queries {
          |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_stats" ->
-      s"""SELECT doc_id,
+      // n_tokens mirrors tokens() exactly (empty tokens filtered), with the
+      // same n_tokens=0 / n_chars=0 → 0.0 guards the Spark projection has —
+      // so texts with \t/\n edges or whitespace-only bodies stay cross-engine
+      // equal no matter what corpus the driver regenerates.
+      s"""WITH tk AS (SELECT doc_id, text,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> t <> '')) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id,
          |  length(text) AS n_chars_calc,
-         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-         |    / len(string_split_regex(trim(text), '\\s+')) AS mean_token_len,
-         |  CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE)
-         |    / length(text) AS punct_ratio,
-         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-         |    / length(text) AS digit_ratio,
-         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-         |    t -> t IN $stopIn)) AS DOUBLE)
-         |    / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |  n_tokens,
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      / n_tokens ELSE 0.0 END AS mean_token_len,
+         |  CASE WHEN length(text) > 0
+         |    THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE)
+         |      / length(text) ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN length(text) > 0
+         |    THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |      / length(text) ELSE 0.0 END AS digit_ratio,
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> t <> '' AND t IN $stopIn)) AS DOUBLE)
+         |      / n_tokens ELSE 0.0 END AS stopword_ratio
+         |FROM tk ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" -> langIdSql,
 
@@ -3572,7 +3593,8 @@ object Queries {
          |  SELECT doc_id + 1000000 AS doc_id, text
          |  FROM documents WHERE doc_id % 7 = 0),
          |tm AS (SELECT doc_id,
-         |  list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+         |  list_transform(list_filter(string_split_regex(trim(lower(text)),
+         |      '\\s+'), y -> y <> ''),
          |    t -> md5(t)) AS m
          |  FROM corpus),
          |fp AS (SELECT doc_id, ${Simhash64Terms} AS sh FROM tm)
@@ -3974,7 +3996,8 @@ object Queries {
       // the stopword list is interpolated from the SAME Scala constant the
       // Spark side uses. mean_tok_len is one division of exact BIGINTs.
       s"""WITH tk AS (SELECT doc_id,
-         |    string_split_regex(trim(lower(text)), '\\s+') AS ts,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      y -> y <> '') AS ts,
          |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
          |      AS sum_tok_chars
          |  FROM documents),
@@ -4120,8 +4143,11 @@ object Queries {
   /** Per-token md5 array CTE + the 32 SimHash bit terms (shared by the
     * fingerprint and Hamming oracle queries). */
   private lazy val TokenMd5Sql: String =
+    // list_filter mirrors tokens(): an empty token would otherwise inject a
+    // phantom md5('') into the bit-count votes and len(m).
     s"""SELECT doc_id,
-       |  list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+       |  list_transform(list_filter(string_split_regex(trim(lower(text)),
+       |      '\\s+'), y -> y <> ''),
        |    t -> md5(t)) AS m
        |  FROM documents""".stripMargin
 

@@ -108,6 +108,15 @@ object Logit {
     fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 
   def toJson(m: Model): String = {
+    // The self-format parser below splits arrays on commas and strips bare
+    // quotes — a feature name containing either would round-trip corrupt.
+    // Checkpoint names are column identifiers, so reject the unsafe chars
+    // at WRITE time rather than emitting a file that silently mis-parses.
+    m.features.foreach { f =>
+      require(!f.exists(c => c == '"' || c == ',' || c == '[' || c == ']' ||
+          c == '\\'),
+        s"feature name not checkpoint-safe (quote/comma/bracket/backslash): $f")
+    }
     val fs = m.features.map(f => "\"" + f + "\"").mkString(",")
     s"""{"features":[$fs],"weights":[${m.weights.mkString(",")}],""" +
       s""""bias":${m.bias},"loss":[${m.lossHistory.mkString(",")}]}"""

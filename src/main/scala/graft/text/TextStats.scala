@@ -16,10 +16,12 @@ object TextStats {
     * empty text → empty array and a text starting with a tab/newline
     * (which `trim` — space-only on both engines — does not strip, so the
     * regex split emits a leading "") → real tokens only. Every DuckDB
-    * oracle tokenizes as `string_split_regex(trim(lower(text)), '\s+')`
-    * with `t <> ''` filtered, and this is the exact Spark mirror of that
-    * — the filter is what keeps the parity total rather than
-    * space-prefix-only. */
+    * oracle that feeds a count, chunk, or hash from this tokenization
+    * filters empties the same way (`t <> ''` / `list_filter(..., y -> y <>
+    * '')`, or a `^[a-z]+$`-style match that can never accept ''); the only
+    * unfiltered oracle split is langIdSql, where empties cannot score
+    * against any profile word. The filter is what keeps the parity total
+    * rather than space-prefix-only. */
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= lit(""))
 
