@@ -543,6 +543,33 @@ object Queries {
           round(col("sum_v"), 4).as("sum_v"))
         .orderBy("event_type")),
 
+    "q_join_skewed" -> ((s, d) => {
+      // Deliberately skewed join, statically salted: ~90% of lineitem rows
+      // are remapped onto ONE hot order key (the minimum — a bounded
+      // one-row lookup), then joined to orders via Skew.saltedJoin, which
+      // spreads the hot key over 16 salt sub-keys instead of one sort-merge
+      // task. merge hint keeps the dim off the broadcast path so the query
+      // exercises the actual skewed-shuffle shape it mitigates. The result
+      // is salt-invariant (SkewSpec asserts equality with the unsalted
+      // join; AqeSkewSpec demonstrates the AQE runtime alternative).
+      val orders = Tables.orders(s, d)
+      val hot = orders.agg(min(col("o_orderkey")).cast("long"))
+        .collect()(0).getLong(0) // driver-sized by construction: one row
+      val fact = Tables.lineitem(s, d)
+        .withColumn("jk",
+          when(pmod(col("l_suppkey"), lit(10)) < 9, lit(hot))
+            .otherwise(col("l_orderkey").cast("long")))
+      val dim = orders
+        .select(col("o_orderkey").cast("long").as("jk"),
+          col("o_orderstatus"))
+        .hint("merge")
+      graft.operators.Skew.saltedJoin(fact, dim, Seq("jk"), saltFactor = 16)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q3_shipping" -> ((s, d) =>
       // Q3-style 3-way join with a pushed filter: market segment revenue
       // for recent orders. Filter reaches the orders scan; dims broadcast.
@@ -1460,7 +1487,7 @@ object Queries {
     "q_ngram_jaccard" -> ((s, d) => {
       // Exact 3-gram Jaccard over consecutive doc pairs (deterministic,
       // oracle-expressible candidate set; the LSH-generated candidate path is
-      // covered by q_minhash_lsh below).
+      // covered by q_minhash_lsh_md5 below and ProductionTwinSpec).
       val docs = Tables.documents(s, d)
       val pairs = docs.select(col("doc_id").as("id1"),
         (col("doc_id") + 1).as("id2"))
@@ -1592,21 +1619,18 @@ object Queries {
           round(graft.sim.Ann.norm(col("embedding")), 6).as("l2_norm"))
         .orderBy("vec_id")),
 
-    "q_minhash_lsh" -> ((s, d) =>
-      // Banded MinHash near-dup candidates — no oracle (xxhash64 is not
-      // reproducible in DuckDB); plan contract: equi-join on band buckets,
-      // never a cartesian product.
-      // bands of r=2 signature rows: collision prob per band = jaccard², so
-      // the shared-vocabulary corpus yields a bounded candidate set (r=1
-      // degenerates to ~all-pairs on word-soup data).
-      graft.dedup.Dedup.minhashCandidates(Tables.documents(s, d), "doc_id",
-          "text", k = 2, numHashes = 32, bands = 16)
-        .orderBy("id1", "id2")),
+    // The xxhash64-basis production variants of the four hash-twin families
+    // (minhashCandidates, simhashFromHashes, lshTopK, cosineNearDup) used to
+    // sit here as rows-only registry entries; DuckDB cannot replay xxhash64,
+    // so they could never be oracle-green. They now live in
+    // ProductionTwinSpec, which executes them against real testdata and
+    // asserts the md5-twin structural contracts — the registry carries only
+    // oracle-checkable rows.
 
     "q_minhash_lsh_md5" -> ((s, d) =>
-      // The md5-parity twin of q_minhash_lsh: md5 minwise signatures + md5
-      // band buckets make the ENTIRE banded candidate set DuckDB-checkable
-      // (same plan shape: equi-join on (band_id, band_hash), no cartesian).
+      // md5 minwise signatures + md5 band buckets make the ENTIRE banded
+      // candidate set DuckDB-checkable (same plan shape as the xxhash64
+      // production path: equi-join on (band_id, band_hash), no cartesian).
       graft.dedup.Dedup.minhashCandidatesMd5(Tables.documents(s, d), "doc_id",
           "text", k = 2, numHashes = 32, bands = 16)
         .orderBy("id1", "id2")),
@@ -1735,13 +1759,6 @@ object Queries {
         .orderBy("id1")
     }),
 
-    "q_simhash" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), graft.dedup.Dedup.tokenHashes(col("text")).as("_h"))
-        .select(col("doc_id"),
-          graft.dedup.Dedup.simhashFromHashes(col("_h")).as("simhash"))
-        .orderBy("doc_id")),
-
     "q_ann_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = emb.filter(col("vec_id") < 10)
@@ -1751,24 +1768,6 @@ object Queries {
           col("rank"))
         .orderBy("qid", "rank")
     }),
-
-    "q_ann_lsh" -> ((s, d) => {
-      // LSH-bucketed ANN — no oracle (bucket keys are xxhash64-derived);
-      // plan contract: equi-join on bucket, no cartesian product.
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      graft.sim.Ann.lshTopK(q, "qid", "qv", emb, "vec_id", "embedding", 5, bits = 4)
-        .orderBy("qid", "rank")
-    }),
-
-    "q_cosine_neardup" -> ((s, d) =>
-      // Embedding-cosine near-dup pairs via LSH buckets — rows-only (bucket
-      // keys are hash-derived); plan contract: equi-join, no cartesian.
-      graft.sim.Ann.cosineNearDup(Tables.embeddings(s, d), "vec_id",
-          "embedding", threshold = 0.15, bits = 4)
-        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
-        .orderBy("id1", "id2")),
 
     "q_ann_ivf" -> ((s, d) => {
       // IVF two-stage ANN: label-centroid coarse quantizer (6-dp rounded →
@@ -2513,6 +2512,19 @@ object Queries {
       s"""SELECT event_type, count(value) AS cnt, min(value) AS min_v,
          |  max(value) AS max_v, round(sum(value), 4) AS sum_v
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_join_skewed" ->
+      // The oracle is the UNSALTED join — salting must not change results.
+      s"""WITH f AS (SELECT
+         |    CASE WHEN l_suppkey % 10 < 9
+         |      THEN (SELECT min(o_orderkey) FROM orders)
+         |      ELSE l_orderkey END AS jk,
+         |    l_quantity
+         |  FROM lineitem)
+         |SELECT o_orderstatus, count(*) AS cnt,
+         |  round(sum(l_quantity), 2) AS sum_qty
+         |FROM f JOIN orders ON jk = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_semi_anti" ->
       s"""WITH r AS (SELECT o_custkey FROM orders

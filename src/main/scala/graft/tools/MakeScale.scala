@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: materialize an N× scale-up of a testdata directory so scaling
+  * claims can be MEASURED, not argued (VERDICT r7 item 1). The driver only
+  * ships sf0.001/0.01/0.1; this derives sfX = N shifted copies of sf0.1
+  * with keys remapped so every join/FK relationship survives:
+  *
+  *  - fact/dim keys shift by copy·(max+1) per key domain (orders↔lineitem,
+  *    customer, supplier, part, events.user_id all stay consistent);
+  *  - region/nation are genuine dims — copied once, never replicated;
+  *  - document TEXTS are perturbed per copy (every 4th token gets a copy
+  *    suffix) so the scale-up grows the corpus like new crawl data rather
+  *    than planting every doc in a 10-way exact/near-dup clique that would
+  *    make dedup queries measure data pathology instead of engine scaling;
+  *    n_chars is recomputed to stay = length(text);
+  *  - embeddings get small deterministic per-copy, per-dim offsets —
+  *    distinct vectors, clusters intact;
+  *  - doc_id/vec_id shift by copy·10⁷, far above the +10⁶ twin-corpus
+  *    offsets some queries build internally.
+  *
+  * Usage: {{{ runMain graft.tools.MakeScale /root/testdata/sf0.1 /root/repo/.scratch/sf1 10 }}} */
+object MakeScale {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: MakeScale <srcDir> <outDir> <copies>")
+    val Array(src, out, copiesS) = args
+    val copies = copiesS.toInt
+    require(copies >= 1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    def span(df: DataFrame, key: String): Long =
+      df.agg(max(col(key)).cast("long")).collect()(0).getLong(0) + 1L
+
+    // dims: copy once
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    val custSpan = span(read("customer"), "c_custkey")
+    val suppSpan = span(read("supplier"), "s_suppkey")
+    val partSpan = span(read("part"), "p_partkey")
+    val orderSpan = span(read("orders"), "o_orderkey")
+    val eventSpan = span(read("events"), "event_id")
+    val userSpan = span(read("events"), "user_id")
+
+    /** Union `copies` shifted copies; `shifts` maps column → key-domain span. */
+    def replicate(t: String, shifts: Map[String, Long],
+                  extra: (DataFrame, Int) => DataFrame = (df, _) => df): DataFrame =
+      (0 until copies).map { c =>
+        val base = shifts.foldLeft(read(t)) { case (df, (k, s)) =>
+          df.withColumn(k, col(k) + lit(c * s))
+        }
+        extra(base, c)
+      }.reduce(_ unionByName _)
+
+    write(replicate("customer", Map("c_custkey" -> custSpan)), "customer")
+    write(replicate("supplier", Map("s_suppkey" -> suppSpan)), "supplier")
+    write(replicate("part", Map("p_partkey" -> partSpan)), "part")
+    write(replicate("orders",
+      Map("o_orderkey" -> orderSpan, "o_custkey" -> custSpan)), "orders")
+    write(replicate("lineitem",
+      Map("l_orderkey" -> orderSpan, "l_partkey" -> partSpan,
+        "l_suppkey" -> suppSpan)), "lineitem")
+    write(replicate("events",
+      Map("event_id" -> eventSpan, "user_id" -> userSpan)), "events")
+
+    write(replicate("documents", Map("doc_id" -> 10000000L),
+      extra = (df, c) =>
+        if (c == 0) df
+        else df
+          .withColumn("text", when(length(trim(col("text"))) === 0, col("text"))
+            .otherwise(concat_ws(" ",
+            // every 4th token gets a copy suffix: breaks 3-gram shingle
+            // overlap across copies (Jaccard « 0.5) while keeping 75% of
+            // the token mass on the shared vocabulary
+            zip_with(split(trim(col("text")), "\\s+"),
+              sequence(lit(0), size(split(trim(col("text")), "\\s+")) - 1),
+              (t, i) => when(pmod(i + lit(c), lit(4)) === 0,
+                concat(t, lit(c.toString))).otherwise(t)))))
+          .withColumn("n_chars", length(col("text")).cast("long"))),
+      "documents")
+
+    write(replicate("embeddings", Map("vec_id" -> 10000000L),
+      extra = (df, c) =>
+        if (c == 0) df
+        else df.withColumn("embedding",
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (e, i) => e + (pmod(lit(c * 31) + i * 17, lit(11)) - lit(5))
+              .cast("float") * lit(0.01f)))),
+      "embeddings")
+
+    val counts = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+      .map(t => s"$t=${spark.read.parquet(s"$out/$t.parquet").count()}")
+    println(s"[MakeScale] wrote $out (${copies}x $src): ${counts.mkString(", ")}")
+    spark.stop()
+  }
+}

@@ -435,6 +435,25 @@ class PlanGuardSpec extends SparkSpec {
       s"q_dedup_incremental lost the anti-join base filter: ${di.map(_.nodeName).distinct}")
   }
 
+  test("q_join_skewed contract: salted sort-merge join, dim never broadcast") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      SortMergeJoinExec, ShuffledHashJoinExec}
+    val nodes = allNodes(
+      Queries.queries("q_join_skewed")(spark, dir).queryExecution.executedPlan)
+    // the salt must be a join key (that IS the mitigation: the hot key's
+    // rows hash-split across saltFactor sub-keys before the merge join)
+    val shuffleJoins = nodes.collect {
+      case s: SortMergeJoinExec => s.leftKeys.map(_.toString)
+      case s: ShuffledHashJoinExec => s.leftKeys.map(_.toString)
+    }
+    assert(shuffleJoins.nonEmpty,
+      s"q_join_skewed lost its shuffle join: ${nodes.map(_.nodeName).distinct}")
+    assert(shuffleJoins.exists(_.exists(_.contains("_salt"))),
+      s"salt left the join keys: $shuffleJoins")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "dim side got broadcast — the skewed-shuffle demo is vacuous")
+  }
+
   test("hot scan-shaped queries run inside WholeStageCodegen") {
     // codegen stages (`*(n)` markers) only appear once AQE finalizes the
     // plan, so run the query (cheap at sf0.001) and inspect the final plan

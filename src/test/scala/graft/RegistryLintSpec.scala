@@ -8,25 +8,24 @@ import org.scalatest.funsuite.AnyFunSuite
   * oracle key silently weakens the round's correctness gate). */
 class RegistryLintSpec extends AnyFunSuite {
 
-  /** The documented rows-only queries: xxhash64 bucket bases DuckDB can't
-    * reproduce; each has an oracle-green md5-basis twin in the registry. */
-  private val rowsOnly = Set(
-    "q_ann_lsh", "q_cosine_neardup", "q_minhash_lsh", "q_simhash")
-
   test("every oracle key names a registered query") {
     val stray = Queries.oracleSql.keySet -- Queries.queries.keySet
     assert(stray.isEmpty, s"oracle entries without a query: $stray")
   }
 
-  test("every query is oracle-checked except the documented rows-only set") {
+  test("every registry query is oracle-checked — zero rows-only entries") {
+    // The xxhash64-basis production variants live in ProductionTwinSpec,
+    // not the registry: a registry row the driver can only count is a
+    // permanently-yellow row, and the invariant here is total greenness.
     val missing = Queries.queries.keySet -- Queries.oracleSql.keySet
-    assert(missing == rowsOnly,
-      s"oracle coverage drifted: missing=$missing expected=$rowsOnly")
-    // and each rows-only query's md5 twin IS oracle-checked
-    rowsOnly.foreach { q =>
-      val twin = q + "_md5"
+    assert(missing.isEmpty, s"queries without an oracle: $missing")
+  }
+
+  test("the md5 twins certifying the production hash paths stay registered") {
+    Seq("q_ann_lsh_md5", "q_cosine_neardup_md5", "q_minhash_lsh_md5",
+        "q_simhash_md5").foreach { twin =>
       assert(Queries.oracleSql.contains(twin),
-        s"$q lost its oracle-green twin $twin")
+        s"production-path certification twin $twin left the registry")
     }
   }
 

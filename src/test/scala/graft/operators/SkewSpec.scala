@@ -47,4 +47,37 @@ class SkewSpec extends SparkSpec {
       Skew.saltedAggregate(skewed, Seq("k"), Map("m" -> ("v", "median")))
     }
   }
+
+  test("saltedJoin equals the unsalted inner join on a 90%-hot key") {
+    val fact = skewed
+    val dim = Seq(("hot", 100L)) ++ (0 until 7).map(i => (s"cold_$i", i.toLong))
+    val dimDf = dim.toDF("k", "attr")
+    val salted = Skew.saltedJoin(fact, dimDf, Seq("k"), saltFactor = 8)
+      .groupBy("k", "attr").agg(count(lit(1)).as("cnt"), sum("v").as("s"))
+      .orderBy("k").collect()
+    val plain = fact.join(dimDf, Seq("k"))
+      .groupBy("k", "attr").agg(count(lit(1)).as("cnt"), sum("v").as("s"))
+      .orderBy("k").collect()
+    assert(salted.length == plain.length && salted.length == 8)
+    salted.zip(plain).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1))
+      assert(a.getLong(2) == b.getLong(2))
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) < 1e-6)
+    }
+  }
+
+  test("saltedJoin keys the join on (k, _salt): hot rows split across sub-keys") {
+    val joined = Skew.saltedJoin(skewed,
+      Seq(("hot", 1L)).toDF("k", "attr"), Seq("k"), saltFactor = 8)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"salt key missing from the join plan:\n$plan")
+    // every salt sub-key actually receives hot rows (the split is real,
+    // not one degenerate salt value)
+    val saltCounts = skewed.withColumn("_salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(8))
+          .cast("int"))
+      .filter($"k" === "hot").groupBy("_salt").count().count()
+    assert(saltCounts > 1, "salting degenerated to a single sub-key")
+  }
 }
