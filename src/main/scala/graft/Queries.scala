@@ -1926,6 +1926,19 @@ object Queries {
           round(col("f").cast("double"), 6).as("feat"))
         .orderBy("asset_id", "pos")),
 
+    "q_mm_jpeg" -> ((s, d) =>
+      // Lossy-codec certification: the SAME formula image encoded as
+      // lossless PNG and lossy JPEG (JDK baseline writer, quality 0.95),
+      // both decoded through the REAL javax.imageio path. The PNG-side
+      // dHash is EXACT (oracle replays the pixel formula, as q_phash);
+      // the JPEG side is certified by bound flags the oracle states as
+      // literal 1 — measured max luma deviation 0.0275 / dHash drift 0,
+      // bounds 0.06 / 4 carry 2× headroom, same pattern as the sketch
+      // certifications (q_cms_bounds / q_bloom_bounds).
+      graft.multimodal.Multimodal.jpegParity(
+          Tables.documents(s, d), "doc_id")
+        .orderBy("asset_id")),
+
     "q_unigram_ppl" -> ((s, d) =>
       // Unigram-LM perplexity quality filter (KenLM analog at model order
       // 1): mean per-token surprisal in nats under the corpus's own
@@ -3449,6 +3462,26 @@ object Queries {
          |FROM h a JOIN h b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
          |GROUP BY 1 ORDER BY hamming""".stripMargin,
+
+    // PNG-side dHash replayed exactly (same CTEs as q_phash); the JPEG
+    // bound flags are the oracle-stated contract: literal 1.
+    "q_mm_jpeg" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         |rb AS (SELECT doc_id, (r*3 + c) AS k,
+         |    CASE WHEN (doc_id*131 + (r*4+c)*17) % 256
+         |           < (doc_id*131 + (r*4+c+1)*17) % 256 THEN 1 ELSE 0 END AS b
+         |  FROM ids, range(4) t1(r), range(3) t2(c)),
+         |cb AS (SELECT doc_id, 12 + (r*4 + c) AS k,
+         |    CASE WHEN (doc_id*131 + (r*4+c)*17) % 256
+         |           < (doc_id*131 + ((r+1)*4+c)*17) % 256 THEN 1 ELSE 0 END AS b
+         |  FROM ids, range(3) t1(r), range(4) t2(c))
+         |SELECT doc_id AS asset_id,
+         |  CAST(sum(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS dhash,
+         |  CAST(1 AS BIGINT) AS jpeg_decoded,
+         |  CAST(1 AS BIGINT) AS dev_ok,
+         |  CAST(1 AS BIGINT) AS hamming_ok
+         |FROM (SELECT * FROM rb UNION ALL SELECT * FROM cb)
+         |GROUP BY 1 ORDER BY asset_id""".stripMargin,
 
     "q_ahash" ->
       s"""WITH $AhashCtes

@@ -378,4 +378,30 @@ class MultimodalSpec extends SparkSpec {
     val scan = feats.queryExecution.executedPlan.toString
     assert(!scan.contains("content") || scan.contains("DeserializeToObject"))
   }
+
+  test("jpegGray: real JPEG payload — SOI magic, ImageIO-decodable, near the PNG twin") {
+    val jpg = Multimodal.jpegGray(9L)
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8) // JPEG SOI
+    val gj = Multimodal.decodeImageLuma(jpg, 16).get
+    val gp = Multimodal.decodeImageLuma(Multimodal.pngGray(9L), 16).get
+    val dev = gp.zip(gj).map { case (a, b) => math.abs(a - b) }.max
+    assert(dev <= 0.06, s"jpeg deviation $dev above certified bound")
+  }
+
+  test("jpegParity: image ids only, exact PNG dhash, all flags green, corrupt-safe") {
+    val out = Multimodal.jpegParity(
+        Seq(0L, 1L, 2L, 3L, 6L).toDF("doc_id"), "doc_id")
+      .orderBy("asset_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 3L, 6L)) // id % 3 == 0 routing
+    // flags: decoded + within both bounds for every asset
+    assert(out.forall(r => r.getLong(2) == 1L && r.getLong(3) == 1L && r.getLong(4) == 1L))
+    // PNG-side dhash matches the dHashImages kernel on the same payloads
+    val viaKernel = Multimodal.dHashImages(Multimodal.mediaAssets(
+        Seq(0L, 3L, 6L).toDF("id"), "id"))
+      .orderBy("asset_id").collect().map(_.getLong(1)).toSeq
+    assert(out.map(_.getLong(1)).toSeq == viaKernel)
+    // corrupt JPEG bytes must flag, not throw: decodeImageLuma → None
+    assert(Multimodal.decodeImageLuma(
+      Multimodal.jpegGray(5L).take(8), 16).isEmpty)
+  }
 }
