@@ -50,14 +50,23 @@ object ShuffleProbe {
     val ops = if (args.length > 2) args(2).split(",").map(_.trim).toSeq
       else DefaultOps
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SQUEEZE mode: starve the unified memory manager (fraction 0.05 ≈
+    // a few hundred MB of execution+storage across 32 cores) and narrow
+    // the shuffle to 4 partitions so each task holds 8× the rows — the
+    // graceful-degradation drill. Pass = queries COMPLETE with
+    // diskBytesSpilled > 0 where sorts/aggs exceed memory, instead of
+    // OOM: the cluster-sizing claim ("partitions that overflow executor
+    // memory spill, they don't kill the job") made measurable.
+    val squeeze = sys.env.get("SPARK_GRAFT_SQUEEZE").exists(_ == "1")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", if (squeeze) "4" else cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (squeeze) builder.config("spark.memory.fraction", "0.05")
+      else builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val acc = new Acc
     spark.sparkContext.addSparkListener(acc)
