@@ -1706,6 +1706,20 @@ object Queries {
           .select(simhashMd5Col(s, col("_m"), 32).as("simhash32")),
         "simhash32", nBands = 4, bandBits = 8, maxDist = 3)),
 
+    "q_banding_capacity" -> ((s, d) =>
+      // The capacity plan for q_simhash_pairs' 4×8-bit banding, as a
+      // first-class operator: per band — buckets, largest bucket, and the
+      // candidate fan-out Σ C(n,2) the banded join WOULD generate, read
+      // ahead of running it (the sf4 q_simhash_pairs blow-up in SCALE.md
+      // is visible in this table for pennies). DuckDB replays the
+      // fingerprints and the banding arithmetic exactly.
+      graft.sim.Hamming.bandingStats(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
+          .select(simhashMd5Col(s, col("_m"), 32).as("simhash32")),
+        "simhash32", bandWidths = Seq(8, 8, 8, 8))),
+
     "q_simhash64" -> ((s, d) =>
       // SimHash-64 on the md5-ascii-bit basis — the wider-fingerprint
       // lever for large distinct-hash cardinalities (SCALE.md): every
@@ -3625,6 +3639,18 @@ object Queries {
          |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
          |FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1
          |ORDER BY id1""".stripMargin,
+
+    "q_banding_capacity" ->
+      s"""WITH fp AS (SELECT doc_id, ${Simhash32Terms} AS sh FROM ($TokenMd5Sql)),
+         |d AS (SELECT sh, count(*) AS cnt FROM fp GROUP BY sh),
+         |b AS (SELECT CAST(t.i AS INTEGER) AS band,
+         |    (sh >> CAST(t.i * 8 AS INTEGER)) & 255 AS bv
+         |  FROM d, range(4) t(i)),
+         |g AS (SELECT band, bv, count(*) AS n FROM b GROUP BY 1, 2)
+         |SELECT band, count(*) AS n_buckets,
+         |  CAST(max(n) AS BIGINT) AS max_bucket,
+         |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidates
+         |FROM g GROUP BY band ORDER BY band""".stripMargin,
 
     "q_simhash64" ->
       s"""SELECT doc_id, ${Simhash64Terms} AS simhash64

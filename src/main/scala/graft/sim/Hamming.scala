@@ -106,4 +106,42 @@ object Hamming {
   def pairCounts(hashes: DataFrame, hashCol: String, nBands: Int,
                  bandBits: Int, maxDist: Int): DataFrame =
     pairCounts(hashes, hashCol, Seq.fill(nBands)(bandBits), maxDist)
+
+  /** Banding CAPACITY PLAN — the candidate law measured without running
+    * the join. Per band: bucket count, the largest bucket, and the
+    * candidate-pair count the banded self-join would generate from that
+    * band (Σ_buckets C(n,2) over DISTINCT hashes — the join's actual
+    * fan-out; duplicate multiplicities expand arithmetically afterwards
+    * and never enter the join). This is the query to run BEFORE
+    * committing to a banding at scale: the sf4 measurement in SCALE.md
+    * (SimHash-32 saturating at 78M candidates while SimHash-64 runs the
+    * same corpus 57× faster) is exactly this table read ahead of time —
+    * when `candidates` approaches D²/(2·buckets) the band is saturated
+    * and the fix is a wider band or a wider fingerprint, not a bigger
+    * cluster. Cost: one map-side band explode + two partial-aggregated
+    * groupBys over DISTINCT hashes; no join, no checkpoint (single
+    * consumer), scales with D — never corpus size. */
+  def bandingStats(hashes: DataFrame, hashCol: String,
+                   bandWidths: Seq[Int]): DataFrame = {
+    require(bandWidths.nonEmpty && bandWidths.forall(w => w > 0 && w <= 62),
+      "band widths must be in 1..62")
+    require(bandWidths.sum <= 64, "bands must fit a 64-bit hash")
+    val grouped = hashes.filter(col(hashCol).isNotNull)
+      .groupBy(col(hashCol).as("h")).agg(count(lit(1)).as("cnt"))
+    val offsets = bandWidths.scanLeft(0)(_ + _).init
+    val bandCols = bandWidths.zip(offsets).zipWithIndex.map {
+      case ((w, off), i) =>
+        struct(lit(i).as("band"),
+          expr(s"shiftright(h, $off) & ${(1L << w) - 1}").as("bv"))
+    }
+    grouped
+      .select(explode(array(bandCols: _*)).as("b"))
+      .select(col("b.band").as("band"), col("b.bv").as("bv"))
+      .groupBy("band", "bv").agg(count(lit(1)).as("n"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(expr("n * (n - 1) div 2")).as("candidates"))
+      .orderBy("band")
+  }
 }

@@ -56,4 +56,25 @@ class HammingSpec extends SparkSpec {
         s"widths=$widths maxDist=$maxDist got=$got expected=${brute(all, maxDist)}")
     }
   }
+
+  test("bandingStats == hand-computed capacity plan; candidates sum matches join fan-out") {
+    import spark.implicits._
+    // 6 distinct hashes over 2×4-bit bands; h=1 appears 3× (multiplicity
+    // must NOT inflate the plan — capacity is over distinct hashes)
+    val hashes = Seq(0x01L, 0x01L, 0x01L, 0x11L, 0x21L, 0x02L, 0x12L, 0x30L)
+    val stats = Hamming.bandingStats(hashes.toDF("h"), "h", Seq(4, 4))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // band 0 (low nibble): buckets {1:3 distinct, 2:2, 0:1} → C(3,2)+C(2,2)=3+1=4
+    // band 1 (high nibble): {0:2, 1:2, 2:1, 3:1} → 1+1=2
+    assert(stats.toSeq == Seq((0, 3L, 3L, 4L), (1, 4L, 2L, 2L)))
+    // the plan's candidate total equals the real banded join's distinct
+    // fan-out (bandedCandidates dedups pairs across bands, so it can only
+    // be <= the per-band sum; equality holds when no pair shares 2 bands)
+    val joinPairs = Hamming.bandedCandidates(
+      Hamming.distinctHashes(hashes.toDF("h"), "h"), Seq(4, 4)).count()
+    assert(joinPairs <= stats.map(_._4).sum)
+    // band0: (01,11)(01,21)(11,21)(02,12); band1: (01,02)(11,12) — no
+    // pair collides in both bands, so the union is the full per-band sum
+    assert(joinPairs == 6)
+  }
 }
