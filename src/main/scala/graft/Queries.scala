@@ -1681,6 +1681,17 @@ object Queries {
           "embedding", "label", threshold = 0.30)
         .orderBy("vec_id")),
 
+    "q_semdedup_auto" -> ((s, d) =>
+      // SemDeDup in the operating regime: the coarse quantizer SCALES
+      // with the corpus — cell count 2^b where b is the smallest with
+      // 64·2^b >= N (pure-integer rule, oracle-replayed), cells are
+      // md5-plane sign-LSH buckets. Per-cell population stays ~64 at
+      // every corpus size, so the within-cell pair join grows linearly
+      // in N — the engineered fix for the fixed-k variant's N²/k law.
+      graft.sim.Ann.semDedupAuto(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.30)
+        .orderBy("vec_id")),
+
     "q_simhash_md5" -> ((s, d) =>
       // Oracle-checkable SimHash-32 (md5-parity bit basis — md5 is
       // identical cross-engine, unlike xxhash64): verifies the sign-sum
@@ -3712,6 +3723,38 @@ object Queries {
          |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cell) AS rk
          |  FROM embeddings e CROSS JOIN cvec c),
          |cells AS (SELECT vec_id, embedding, cell FROM assign WHERE rk = 1),
+         |drp AS (SELECT DISTINCT b.vec_id
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.30)
+         |SELECT c.vec_id, c.cell FROM cells c
+         |WHERE c.vec_id NOT IN (SELECT vec_id FROM drp)
+         |ORDER BY c.vec_id""".stripMargin,
+
+    "q_semdedup_auto" ->
+      // Replays Ann.semDedupAuto: b = min bits with 64·2^b >= count(*)
+      // (integer inequality, no float log2), the b-bit md5-plane sign-LSH
+      // bucket per vector (exact integer projections, identical to
+      // annBucketMd5Cte but with the plane range bounded by the computed
+      // b), then the same within-cell min-id prune as q_semdedup.
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         |bb AS (SELECT min(b) AS bits FROM generate_series(0, 32) s(b), nn
+         |  WHERE 64 * (CAST(1 AS BIGINT) << b) >= nn.n),
+         |fx AS (
+         |  SELECT vec_id, CAST(g.i AS INTEGER) AS i,
+         |    CAST(floor(CAST(embedding[CAST(g.i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)),
+         |proj AS (
+         |  SELECT vec_id, p.p AS p,
+         |    CAST(sum(vi * (CAST('0x' || substr(md5(concat(p.p, '_', i - 1)), 1, 6) AS BIGINT) - 8388608)) AS BIGINT) AS pr
+         |  FROM fx CROSS JOIN generate_series(0, 31) p(p), bb
+         |  WHERE p.p < bb.bits
+         |  GROUP BY vec_id, p.p),
+         |bkt AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |cells AS (
+         |  SELECT e.vec_id, e.embedding, CAST(coalesce(k.bucket, 0) AS BIGINT) AS cell
+         |  FROM embeddings e LEFT JOIN bkt k USING (vec_id)),
          |drp AS (SELECT DISTINCT b.vec_id
          |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.30)

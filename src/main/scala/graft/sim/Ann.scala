@@ -884,4 +884,66 @@ object Ann {
     cells.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("_cell").as("cell"))
   }
+
+  /** Smallest b ≥ 0 with targetCell·2^b ≥ n — [[semDedupAuto]]'s cell-count
+    * rule, pure integer arithmetic so the DuckDB oracle's replay
+    * (min b over a generate_series with the same shift inequality) cannot
+    * diverge on a float log2 near a power-of-two boundary. */
+  def autoBits(n: Long, targetCell: Int): Int = {
+    require(targetCell > 0, "targetCell must be positive")
+    var b = 0
+    while (b < 32 && (targetCell.toLong << b) < n) b += 1
+    b
+  }
+
+  /** SemDeDup in the OPERATING REGIME — the quantizer scales with the
+    * corpus instead of being pinned by a fixture column. [[semDedup]]'s
+    * cell count is the label cardinality, so its within-cell pair join
+    * grows as Σ n_c²/2 ≈ N²/2k with k frozen: correct, oracle-simple, and
+    * deliberately super-linear (the measured q_semdedup sf1/sf4 rows).
+    * This variant derives the cell count FROM the corpus: one count()
+    * aggregate gives N, [[autoBits]] picks the smallest b with
+    * targetCell·2^b ≥ N, and the coarse quantizer is the b-bit md5-plane
+    * sign-LSH bucket ([[lshBucketMd5]] — data-independent, no training
+    * pass, bit-stable cross-engine). Expected cell population stays
+    * ≤ targetCell at every corpus size, so candidate pairs grow as
+    * ≈ N·targetCell/2 — LINEAR in N by construction; doubling the corpus
+    * adds one bucket bit instead of doubling every cell.
+    *
+    * Trade versus the learned quantizer: sign-LSH cells are only as
+    * balanced as the embedding distribution (a mass of near-identical
+    * vectors shares a bucket — exactly the duplicates this operator
+    * exists to drop, so the skew is self-limiting: the prune empties the
+    * hot cell), and recall is approximate — a near-dup pair split across
+    * a hyperplane survives, same contract as [[cosineNearDup]]. For
+    * balanced learned cells at a quantizer-refresh boundary, feed
+    * [[kmeansCentroidsFixedPoint]] with k = 2^autoBits instead.
+    *
+    * Scale shape: count() is one aggregate job; bucket assignment is a
+    * map-only projection (plane constants are plan literals); the pair
+    * join, prune, and survivor anti-join are [[semDedup]]'s cell-keyed
+    * shapes unchanged. Nothing touches all-pairs across cells and no
+    * stage's cost law degrades as N grows — the property the fixed-k
+    * variant gives up. */
+  def semDedupAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, targetCell: Int = 64,
+                   dims: Int = 64): DataFrame = {
+    val n = corpus.count()
+    val bits = autoBits(n, targetCell)
+    val bucket = if (bits == 0) lit(0L) else lshBucketMd5(col(vecCol), bits, dims)
+    val cells = corpus.withColumn("_cell", bucket)
+      .select(col(idCol), col(vecCol), col("_cell"))
+      .localCheckpoint(true)
+    val l = cells.select(col("_cell"), col(idCol).as("_id1"),
+      col(vecCol).as("_v1"))
+    val r = cells.select(col("_cell"), col(idCol).as("_id2"),
+      col(vecCol).as("_v2"))
+    val dropped = l.join(r, Seq("_cell"))
+      .filter(col("_id1") < col("_id2"))
+      .filter(cosine(col("_v1").cast("array<double>"),
+        col("_v2").cast("array<double>")) >= threshold)
+      .select(col("_id2").as(idCol)).distinct()
+    cells.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("_cell").as("cell"))
+  }
 }

@@ -264,6 +264,15 @@ object ScaleProbe {
         graft.sim.Ann.semDedup(embSd, "vec_id", "embedding", "label",
           threshold = 0.30).count()
       }
+      // The self-tuning variant on the SAME rotated corpus: cell count
+      // 2^autoBits(N) grows with N with no label column and no manual
+      // quantizer refresh — near-linear wall is the pass signal, and
+      // matching semdedup_k_scaled's shape shows auto-bits lands the
+      // operating regime the fixed-k registry row only documents.
+      time("semdedup_auto", m) {
+        graft.sim.Ann.semDedupAuto(embSd, "vec_id", "embedding",
+          threshold = 0.30).count()
+      }
     }
     spark.stop()
   }

@@ -420,4 +420,48 @@ class AnnSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getString(1)))
     assert(r.toSeq == Seq((0L, "0"), (2L, "1"), (5L, "0")))
   }
+
+  test("autoBits: smallest b with targetCell·2^b >= n, exact at powers of two") {
+    assert(Ann.autoBits(0L, 64) == 0)
+    assert(Ann.autoBits(1L, 64) == 0)
+    assert(Ann.autoBits(64L, 64) == 0)
+    assert(Ann.autoBits(65L, 64) == 1)
+    assert(Ann.autoBits(128L, 64) == 1)
+    assert(Ann.autoBits(500L, 64) == 3)  // 64·8 = 512 >= 500
+    assert(Ann.autoBits(512L, 64) == 3)  // boundary stays at 3
+    assert(Ann.autoBits(513L, 64) == 4)
+    assert(Ann.autoBits(2000L, 64) == 5) // 64·32 = 2048 >= 2000
+    assert(Ann.autoBits(Int.MaxValue.toLong, 1) == 31)
+  }
+
+  test("semDedupAuto: bits=0 degenerates to one cell, pure threshold prune") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // keeper
+      (1L, Seq(1.0f, 0.01f)),  // ~parallel to 0 -> dropped
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal -> kept
+      (3L, Seq(0.01f, 1.0f)))  // ~parallel to 2 -> dropped
+      .toDF("vec_id", "embedding")
+    // n=4 <= targetCell=64 -> bits 0, single cell, all pairs compared
+    val r = Ann.semDedupAuto(df, "vec_id", "embedding", threshold = 0.9)
+      .orderBy("vec_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((0L, 0L), (2L, 0L)))
+  }
+
+  test("semDedupAuto: bits>0 — identical copies collapse to min id, distinct directions survive") {
+    // 4 direction groups × 10 identical copies: identical vectors always
+    // share a bucket so each group collapses to its min id; orthogonal
+    // directions have cosine 0 < threshold, so a shared bucket across
+    // groups (possible at 2 sign-bits... bits here: 16·2^b >= 40 -> b=2)
+    // never drops a group keeper.
+    val dirs = Seq(
+      Seq(1.0f, 0.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f, 0.0f),
+      Seq(0.0f, 0.0f, 1.0f, 0.0f), Seq(0.0f, 0.0f, 0.0f, 1.0f))
+    val df = (for (g <- 0 until 4; j <- 0 until 10)
+      yield ((g * 10 + j).toLong, dirs(g))).toDF("vec_id", "embedding")
+    val out = Ann.semDedupAuto(df, "vec_id", "embedding", threshold = 0.9,
+      targetCell = 16, dims = 4)
+    assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val r = out.orderBy("vec_id").collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(0L, 10L, 20L, 30L))
+  }
 }
