@@ -1570,6 +1570,40 @@ object Queries {
         .orderBy(col("cnt").desc, col("token"))
         .limit(100)),
 
+    "q_vocab_coverage" -> ((s, d) => {
+      // Tokenizer-sizing curve: what fraction of the corpus PIECE MASS a
+      // top-k head vocabulary covers, at k = 10 / 100 / 1000 — the
+      // number that decides the vocab size before training a tokenizer
+      // (q_oov_rate's corpus-level complement). Pieces are word bigrams
+      // (the phrase-merge candidates a BPE pass would face; the
+      // whitespace unigram vocabulary of this fixture is 31 tokens, which
+      // every head covers — vacuous). Shape: ONE exploded map-side-
+      // combined piece count (checkpointed — four consumers), then each
+      // head mass is a TakeOrdered over the DISTINCT-piece table
+      // (O(V·log k), no global sort or window over V) + a 1-row
+      // broadcast total.
+      val tk = Tables.documents(s, d)
+        .select(graft.text.TextStats.tokens(lower(col("text"))).as("_tk"))
+      val tc = tk.filter(size(col("_tk")) >= 2)
+        .select(explode(zip_with(
+          slice(col("_tk"), lit(1), size(col("_tk")) - 1),
+          slice(col("_tk"), lit(2), size(col("_tk")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val total = tc.agg(sum("cnt").as("total_mass"))
+      val rows = Seq(10, 100, 1000).map { k =>
+        tc.orderBy(col("cnt").desc, col("piece")).limit(k)
+          .agg(coalesce(sum("cnt"), lit(0L)).as("head_mass"))
+          .select(lit(k).as("k"), col("head_mass"))
+      }.reduce(_ unionByName _)
+      rows.crossJoin(broadcast(total))
+        .select(col("k"), col("head_mass"), col("total_mass"),
+          round(col("head_mass").cast("double") / col("total_mass"), 6)
+            .as("coverage"))
+        .orderBy("k")
+    }),
+
     "q_pii_scrub" -> ((s, d) => {
       // PII redaction. The fixture text carries no PII, so a deterministic
       // email + IPv4 are synthesized from doc_id IDENTICALLY on both
@@ -3360,6 +3394,29 @@ object Queries {
          |      FROM documents)
          |WHERE t <> ''
          |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+
+    "q_vocab_coverage" ->
+      // Same tokenizer + bigram formation as q_bigram_ppl; rank over the
+      // distinct-piece table, head mass per k by rank cutoff, one total.
+      s"""WITH tk AS (SELECT
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      y -> y <> '') AS t
+         |  FROM documents),
+         |tc AS (SELECT bg AS piece, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(list_transform(range(0, len(t) - 1),
+         |      i -> concat_ws(' ', t[i+1], t[i+2]))) AS bg
+         |    FROM tk WHERE len(t) >= 2)
+         |  GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total_mass FROM tc),
+         |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS r FROM tc),
+         |ks AS (SELECT unnest([10, 100, 1000]) AS k)
+         |SELECT CAST(ks.k AS INTEGER) AS k,
+         |  CAST(coalesce(sum(CASE WHEN rk.r <= ks.k THEN rk.cnt END), 0) AS BIGINT) AS head_mass,
+         |  CAST(any_value(tot.total_mass) AS BIGINT) AS total_mass,
+         |  round(coalesce(sum(CASE WHEN rk.r <= ks.k THEN rk.cnt END), 0)
+         |    / CAST(any_value(tot.total_mass) AS DOUBLE), 6) AS coverage
+         |FROM ks CROSS JOIN rk CROSS JOIN tot
+         |GROUP BY ks.k ORDER BY k""".stripMargin,
 
     "q_bpe_vocab" ->
       // Same extraction pattern as TextStats.BpeTokenPattern, verbatim —

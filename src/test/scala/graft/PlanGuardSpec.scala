@@ -454,6 +454,25 @@ class PlanGuardSpec extends SparkSpec {
       "dim side got broadcast — the skewed-shuffle demo is vacuous")
   }
 
+  test("round-8 q_semdedup_auto contract: checkpointed assignment, cell-keyed prune, no window") {
+    // Assignment (auto-bits LSH projection — map-only, no centroid
+    // broadcast at all) runs inside the eager localCheckpoint, so the
+    // visible contract mirrors q_semdedup's: every consumer scans the
+    // checkpointed assignment (never recomputes the plane projections),
+    // the prune stays a join pair (cell-keyed pair join + id-keyed
+    // anti-join), and no window over the corpus.
+    val sa = allNodes(
+      Queries.queries("q_semdedup_auto")(spark, dir).queryExecution.executedPlan)
+    assert(sa.count(_.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]) >= 2,
+      "q_semdedup_auto must scan the checkpointed assignment, " +
+        s"got: ${sa.map(_.nodeName).distinct}")
+    assert(sa.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec]) >= 2,
+      s"q_semdedup_auto lost the pair/anti join pair: ${sa.map(_.nodeName).distinct}")
+    assert(!sa.exists(_.nodeName.toLowerCase.contains("window")),
+      s"q_semdedup_auto grew a window: ${sa.map(_.nodeName).distinct}")
+  }
+
   test("hot scan-shaped queries run inside WholeStageCodegen") {
     // codegen stages (`*(n)` markers) only appear once AQE finalizes the
     // plan, so run the query (cheap at sf0.001) and inspect the final plan
