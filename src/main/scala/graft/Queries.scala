@@ -1726,6 +1726,26 @@ object Queries {
           "embedding", threshold = 0.30)
         .orderBy("vec_id")),
 
+    "q_semdedup_incremental" -> ((s, d) => {
+      // The embedding re-crawl shape: vec_id < 250 is the existing
+      // corpus — deduped once, its survivors forming the index with the
+      // quantizer frozen at autoBits(base count) — and the rest arrive
+      // as a batch. Incoming vectors drop on a near-dup base survivor
+      // in their cell or a smaller-id near-dup batch mate; both prune
+      // joins are cell-keyed, the base never re-shuffles against itself.
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") < 250)
+      val incoming = emb.filter(col("vec_id") >= 250)
+      val bits = graft.sim.Ann.autoBits(base.count(), targetCell = 64)
+      val baseSurv = graft.sim.Ann.semDedupAuto(base, "vec_id",
+          "embedding", threshold = 0.30)
+        .join(base, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      graft.sim.Ann.semDedupAutoIncremental(incoming, baseSurv, "vec_id",
+          "embedding", threshold = 0.30, bits = bits)
+        .orderBy("vec_id")
+    }),
+
     "q_simhash_md5" -> ((s, d) =>
       // Oracle-checkable SimHash-32 (md5-parity bit basis — md5 is
       // identical cross-engine, unlike xxhash64): verifies the sign-sum
@@ -3817,6 +3837,50 @@ object Queries {
          |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.30)
          |SELECT c.vec_id, c.cell FROM cells c
          |WHERE c.vec_id NOT IN (SELECT vec_id FROM drp)
+         |ORDER BY c.vec_id""".stripMargin,
+
+    "q_semdedup_incremental" ->
+      // Replays the full incremental pipeline: bits frozen at
+      // autoBits(base count) (base = vec_id < 250), md5-plane buckets
+      // for ALL vectors at those bits, base deduped with the min-id
+      // rule, then incoming dropped on a same-cell base survivor OR a
+      // smaller-id same-cell batch mate at cosine >= 0.30.
+      s"""WITH nb AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < 250),
+         |bb AS (SELECT min(b) AS bits FROM generate_series(0, 32) s(b), nb
+         |  WHERE 64 * (CAST(1 AS BIGINT) << b) >= nb.n),
+         |fx AS (
+         |  SELECT vec_id, CAST(g.i AS INTEGER) AS i,
+         |    CAST(floor(CAST(embedding[CAST(g.i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)),
+         |proj AS (
+         |  SELECT vec_id, p.p AS p,
+         |    CAST(sum(vi * (CAST('0x' || substr(md5(concat(p.p, '_', i - 1)), 1, 6) AS BIGINT) - 8388608)) AS BIGINT) AS pr
+         |  FROM fx CROSS JOIN generate_series(0, 31) p(p), bb
+         |  WHERE p.p < bb.bits
+         |  GROUP BY vec_id, p.p),
+         |bkt AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |cells AS (
+         |  SELECT e.vec_id, e.embedding, CAST(coalesce(k.bucket, 0) AS BIGINT) AS cell
+         |  FROM embeddings e LEFT JOIN bkt k USING (vec_id)),
+         |bcells AS (SELECT * FROM cells WHERE vec_id < 250),
+         |icells AS (SELECT * FROM cells WHERE vec_id >= 250),
+         |bdrp AS (SELECT DISTINCT b.vec_id
+         |  FROM bcells a JOIN bcells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.30),
+         |bsurv AS (SELECT * FROM bcells
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM bdrp)),
+         |idrp AS (
+         |  SELECT DISTINCT i.vec_id
+         |  FROM icells i JOIN bsurv s ON i.cell = s.cell
+         |  WHERE list_cosine_similarity(i.embedding::DOUBLE[], s.embedding::DOUBLE[]) >= 0.30
+         |  UNION
+         |  SELECT DISTINCT b.vec_id
+         |  FROM icells a JOIN icells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.30)
+         |SELECT c.vec_id, c.cell FROM icells c
+         |WHERE c.vec_id NOT IN (SELECT vec_id FROM idrp)
          |ORDER BY c.vec_id""".stripMargin,
 
     "q_ann_ivf" ->

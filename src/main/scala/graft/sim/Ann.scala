@@ -946,4 +946,54 @@ object Ann {
     cells.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("_cell").as("cell"))
   }
+
+  /** Incremental SemDeDup — the re-crawl shape ([[graft.dedup.Dedup]]'s
+    * `exactDedupIncremental`, lifted to embeddings): a new batch is
+    * deduped against an EXISTING deduped corpus without ever re-scoring
+    * the base. `baseSurvivors` is the materialized survivor set of the
+    * base corpus (in production: the bucketed index table persisted at
+    * build time — the bucket recompute here is a scan-cheap projection,
+    * kept so the API stays storage-free); `bits` is the quantizer the
+    * base index was built with ([[autoBits]] of the BASE count — frozen
+    * at build, as any incremental index must be: re-deriving bits from
+    * base+batch would silently re-bucket the base every batch).
+    *
+    * An incoming vector is dropped when (a) some base survivor in its
+    * cell has cosine ≥ threshold, or (b) some smaller-id incoming vector
+    * in its cell does — (b) is [[semDedup]]'s non-transitive min-id rule
+    * unchanged, and (a)∪(b) keeps the prune one-pass. Returns the
+    * incoming survivors as (id, cell).
+    *
+    * Scale shape: both prune joins are cell-keyed (incoming ⋈ base
+    * survivors, incoming ⋈ incoming) — candidates ≈ batch·targetCell,
+    * linear in the BATCH, independent of base size beyond the per-cell
+    * survivor population. The base never re-shuffles against itself. */
+  def semDedupAutoIncremental(incoming: DataFrame, baseSurvivors: DataFrame,
+                              idCol: String, vecCol: String,
+                              threshold: Double, bits: Int,
+                              dims: Int = 64): DataFrame = {
+    require(bits >= 0 && bits <= 32, "bits must be in 0..32")
+    val bucket = if (bits == 0) lit(0L) else lshBucketMd5(col(vecCol), bits, dims)
+    val icells = incoming.withColumn("_cell", bucket)
+      .select(col(idCol), col(vecCol), col("_cell"))
+      .localCheckpoint(true)
+    val bcells = baseSurvivors.withColumn("_cell", bucket)
+      .select(col("_cell"), col(vecCol).as("_bv"))
+    val dropBase = icells.join(bcells, Seq("_cell"))
+      .filter(cosine(col(vecCol).cast("array<double>"),
+        col("_bv").cast("array<double>")) >= threshold)
+      .select(col(idCol)).distinct()
+    val l = icells.select(col("_cell"), col(idCol).as("_id1"),
+      col(vecCol).as("_v1"))
+    val r = icells.select(col("_cell"), col(idCol).as("_id2"),
+      col(vecCol).as("_v2"))
+    val dropWithin = l.join(r, Seq("_cell"))
+      .filter(col("_id1") < col("_id2"))
+      .filter(cosine(col("_v1").cast("array<double>"),
+        col("_v2").cast("array<double>")) >= threshold)
+      .select(col("_id2").as(idCol)).distinct()
+    icells.join(dropBase.unionByName(dropWithin).distinct(),
+        Seq(idCol), "left_anti")
+      .select(col(idCol), col("_cell").as("cell"))
+  }
 }

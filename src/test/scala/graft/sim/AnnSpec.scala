@@ -464,4 +464,23 @@ class AnnSpec extends SparkSpec {
     val r = out.orderBy("vec_id").collect().map(_.getLong(0))
     assert(r.toSeq == Seq(0L, 10L, 20L, 30L))
   }
+
+  test("semDedupAutoIncremental: batch pruned against base survivors and batch mates") {
+    val base = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (10L, Seq(1.0f, 0.01f)),   // near-dup of base 0 -> dropped
+      (11L, Seq(0.0f, 1.0f)),    // identical to base 1 -> dropped
+      (12L, Seq(0.7f, -0.7f)),   // novel direction -> kept
+      (13L, Seq(0.71f, -0.7f)),  // near-dup of batch mate 12 -> dropped
+      (14L, Seq(-1.0f, 0.0f)))   // cosine -1 to base 0 -> kept
+      .toDF("vec_id", "embedding")
+    // bits=0: one cell, so the prune is purely the threshold rule
+    val r = Ann.semDedupAutoIncremental(incoming, base, "vec_id",
+        "embedding", threshold = 0.9, bits = 0)
+      .orderBy("vec_id").collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(12L, 14L))
+  }
 }
