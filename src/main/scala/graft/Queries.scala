@@ -2205,6 +2205,35 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q_quality_pr" -> ((s, d) => {
+      // Classifier operating-point sweep: precision/recall of the frozen
+      // logit (q_quality_logit's scorer) against the Gopher rule gate
+      // (q_gopher_rules' pass flag) as pseudo-truth, at five z cutoffs —
+      // the "can the cheap model replace the expensive gate, and where
+      // to cut" read. One scan joins score and truth per doc, a
+      // broadcast 5-row threshold frame fans out, and the confusion
+      // counts are map-side-combinable sums. Exact-int features +
+      // dyadic weights keep every comparison bitwise cross-engine.
+      val doc = Tables.documents(s, d)
+      val scored = doc.select(col("doc_id"),
+          size(graft.text.TextStats.tokens(lower(col("text"))))
+            .cast("long").as("n_tokens"),
+          col("n_chars"),
+          length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("long").as("n_digits"),
+          length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+            .cast("long").as("n_punct"))
+        .withColumn("score_z", graft.model.Logit.scoreCol(
+          Seq(col("n_tokens"), col("n_chars"), col("n_digits"),
+            col("n_punct")),
+          Seq(0.03125, 0.00390625, -0.0625, -0.125), bias = -3.0))
+      val truth = graft.text.TextStats.gopherRules(doc, "doc_id", "text")
+        .select(col("doc_id"), col("pass"))
+      graft.model.Logit.prCurve(
+        scored.join(truth, Seq("doc_id")), "score_z", "pass",
+        Seq(-2.0, -1.0, 0.0, 1.0, 2.0))
+    }),
+
     "q_pq_codes" -> ((s, d) =>
       // Product quantization (the IVF-PQ compression stage): 4 subspaces
       // × 16 dims, 4-centroid codebooks trained with the deterministic
@@ -4225,6 +4254,48 @@ object Queries {
          |    + (-0.0625) * n_digits + (-0.125) * n_punct > 0
          |    THEN 1 ELSE 0 END AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_quality_pr" ->
+      // The same exact-int features/score as q_quality_logit and the
+      // same rule gate as q_gopher_rules, confusion-counted per
+      // threshold; precision/recall null (not a sentinel) on a zero
+      // denominator.
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)),
+         |      '\\s+'), y -> y <> '')) AS BIGINT) AS n_tokens,
+         |    n_chars,
+         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+         |      AS n_digits,
+         |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+         |      AS n_punct,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+         |      AS sum_tok_chars,
+         |    CAST(len(list_filter(list_filter(string_split_regex(trim(lower(text)),
+         |      '\\s+'), y -> y <> ''), y -> list_contains([${
+           graft.text.TextStats.DefaultStopwords.map(w => s"'$w'")
+             .mkString(", ")}], y))) AS BIGINT) AS stop_count
+         |  FROM documents),
+         |st AS (SELECT doc_id,
+         |    -3.0 + 0.03125 * n_tokens + 0.00390625 * n_chars
+         |      + (-0.0625) * n_digits + (-0.125) * n_punct AS score_z,
+         |    CASE WHEN n_tokens BETWEEN 50 AND 100000
+         |      AND 3 * n_tokens <= sum_tok_chars
+         |      AND sum_tok_chars <= 10 * n_tokens
+         |      AND stop_count >= 2 THEN 1 ELSE 0 END AS truth
+         |  FROM f),
+         |ks AS (SELECT unnest([-2.0, -1.0, 0.0, 1.0, 2.0]) AS thr),
+         |c AS (SELECT ks.thr,
+         |    CAST(sum(CASE WHEN score_z > ks.thr AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score_z > ks.thr AND truth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN score_z <= ks.thr AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN score_z <= ks.thr AND truth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM st CROSS JOIN ks GROUP BY ks.thr)
+         |SELECT thr, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0
+         |    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+         |  CASE WHEN tp + fn > 0
+         |    THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+         |FROM c ORDER BY thr""".stripMargin,
 
     "q_gopher_rules" ->
       // Rule flags are exact-int comparisons (mean band cross-multiplied);

@@ -99,6 +99,45 @@ object Logit {
     }
   }
 
+  /** Operating-point sweep: confusion counts and precision/recall of the
+    * thresholded score against a 0/1 truth column, one row per
+    * threshold — the read that decides WHERE to cut a quality scorer
+    * before a filtering run (e.g. "can the cheap linear model replace
+    * the rule gate, and at which cutoff"). Precision/recall are null
+    * when their denominator is zero (no predicted / no true positives)
+    * rather than a sentinel, identically cross-engine.
+    *
+    * Scale shape: ONE scan of the scored frame cross-joined with the
+    * broadcast k-row threshold frame, then a map-side-combinable
+    * groupBy(threshold) of four conditional sums — candidates are
+    * rows×k with k a literal handful, no corpus-keyed shuffle at all.
+    * Score comparisons are exact when the score is ([[scoreCol]])'s
+    * dyadic-exact linear form, so the curve replays bitwise in the
+    * oracle. */
+  def prCurve(scored: DataFrame, scoreCol: String, truthCol: String,
+              thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = scored.sparkSession
+    val tf = spark.createDataFrame(thresholds.map(Tuple1(_))).toDF("thr")
+    val pred = (col(scoreCol) > col("thr")).cast("int")
+    val truth = col(truthCol).cast("int")
+    scored.crossJoin(broadcast(tf))
+      .select(col("thr"), pred.as("_p"), truth.as("_t"))
+      .groupBy("thr").agg(
+        sum(when(col("_p") === 1 && col("_t") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("_p") === 1 && col("_t") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("_p") === 0 && col("_t") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("_p") === 0 && col("_t") === 0, 1L).otherwise(0L)).as("tn"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+          .as("recall"))
+      .orderBy("thr")
+  }
+
   // --- S8-style checkpoint persistence (JSON, self-format parser) ---
 
   def save(m: Model, path: String): Unit =
