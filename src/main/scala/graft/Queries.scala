@@ -3869,14 +3869,20 @@ object Queries {
          |ORDER BY c.vec_id""".stripMargin,
 
     "q_semdedup_incremental" ->
-      // Replays the full incremental pipeline: bits frozen at
-      // autoBits(base count) (base = vec_id < 250), md5-plane buckets
-      // for ALL vectors at those bits, base deduped with the min-id
-      // rule, then incoming dropped on a same-cell base survivor OR a
-      // smaller-id same-cell batch mate at cosine >= 0.30.
+      // Replays the full incremental pipeline: index bits frozen at
+      // autoBits(base count) (base = vec_id < 250), batch bits
+      // max(index, autoBits(batch count)); ONE md5-plane projection at
+      // batch bits whose low-bits mask is the index cell (per-plane
+      // sign independence); base deduped with the min-id rule at index
+      // bits, then incoming dropped on a same-INDEX-cell base survivor
+      // OR a smaller-id same-BATCH-cell mate at cosine >= 0.30.
       s"""WITH nb AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < 250),
+         |ni AS (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 250),
          |bb AS (SELECT min(b) AS bits FROM generate_series(0, 32) s(b), nb
          |  WHERE 64 * (CAST(1 AS BIGINT) << b) >= nb.n),
+         |bi AS (SELECT greatest(bb.bits,
+         |    (SELECT min(b) FROM generate_series(0, 32) s(b), ni
+         |     WHERE 64 * (CAST(1 AS BIGINT) << b) >= ni.n)) AS bits FROM bb),
          |fx AS (
          |  SELECT vec_id, CAST(g.i AS INTEGER) AS i,
          |    CAST(floor(CAST(embedding[CAST(g.i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS vi
@@ -3884,15 +3890,17 @@ object Queries {
          |proj AS (
          |  SELECT vec_id, p.p AS p,
          |    CAST(sum(vi * (CAST('0x' || substr(md5(concat(p.p, '_', i - 1)), 1, 6) AS BIGINT) - 8388608)) AS BIGINT) AS pr
-         |  FROM fx CROSS JOIN generate_series(0, 31) p(p), bb
-         |  WHERE p.p < bb.bits
+         |  FROM fx CROSS JOIN generate_series(0, 31) p(p), bi
+         |  WHERE p.p < bi.bits
          |  GROUP BY vec_id, p.p),
          |bkt AS (
          |  SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
          |  FROM proj GROUP BY vec_id),
          |cells AS (
-         |  SELECT e.vec_id, e.embedding, CAST(coalesce(k.bucket, 0) AS BIGINT) AS cell
-         |  FROM embeddings e LEFT JOIN bkt k USING (vec_id)),
+         |  SELECT e.vec_id, e.embedding,
+         |    CAST(coalesce(k.bucket, 0) AS BIGINT) & ((CAST(1 AS BIGINT) << bb.bits) - 1) AS cell,
+         |    CAST(coalesce(k.bucket, 0) AS BIGINT) AS bcell
+         |  FROM embeddings e LEFT JOIN bkt k USING (vec_id), bb),
          |bcells AS (SELECT * FROM cells WHERE vec_id < 250),
          |icells AS (SELECT * FROM cells WHERE vec_id >= 250),
          |bdrp AS (SELECT DISTINCT b.vec_id
@@ -3906,7 +3914,7 @@ object Queries {
          |  WHERE list_cosine_similarity(i.embedding::DOUBLE[], s.embedding::DOUBLE[]) >= 0.30
          |  UNION
          |  SELECT DISTINCT b.vec_id
-         |  FROM icells a JOIN icells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  FROM icells a JOIN icells b ON a.bcell = b.bcell AND a.vec_id < b.vec_id
          |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.30)
          |SELECT c.vec_id, c.cell FROM icells c
          |WHERE c.vec_id NOT IN (SELECT vec_id FROM idrp)

@@ -959,35 +959,58 @@ object Ann {
     * base+batch would silently re-bucket the base every batch).
     *
     * An incoming vector is dropped when (a) some base survivor in its
-    * cell has cosine ≥ threshold, or (b) some smaller-id incoming vector
-    * in its cell does — (b) is [[semDedup]]'s non-transitive min-id rule
-    * unchanged, and (a)∪(b) keeps the prune one-pass. Returns the
-    * incoming survivors as (id, cell).
+    * INDEX cell has cosine ≥ threshold, or (b) some smaller-id incoming
+    * vector in its BATCH cell does — (b) is [[semDedup]]'s
+    * non-transitive min-id rule unchanged, and (a)∪(b) keeps the prune
+    * one-pass. Returns the incoming survivors as (id, cell) with `cell`
+    * the index cell (what an insert into the base index would key on).
     *
-    * Scale shape: both prune joins are cell-keyed (incoming ⋈ base
-    * survivors, incoming ⋈ incoming) — candidates ≈ batch·targetCell,
-    * linear in the BATCH, independent of base size beyond the per-cell
-    * survivor population. The base never re-shuffles against itself. */
+    * TWO bucketings, one projection: the vs-base join keys on the
+    * frozen `bits`, but the within-batch self-join gets its own
+    * `batchBits = max(bits, autoBits(batch count))` — a batch much
+    * larger than the base would otherwise pile ~batch/2^bits vectors
+    * into each frozen cell and the self-join would go quadratic in the
+    * batch (measured at 10× batch: 10.6× wall before this split, the
+    * N²/k law sneaking back in through the frozen index; the fix is the
+    * same capacity rule the base index was built with, applied to the
+    * batch). Because each md5-plane sign bit is independent, the bucket
+    * at `bits` is the low-bits mask of the bucket at `batchBits` — so
+    * ONE projection at `batchBits` yields both cells and the masked
+    * base cell stays bit-identical to the index's own bucketing.
+    *
+    * Scale shape: vs-base candidates ≈ batch × (base survivors per
+    * index cell, ≤ targetCell when the index used [[autoBits]]);
+    * within-batch candidates ≈ batch × targetCell by the capacity
+    * rule — both linear in the BATCH, independent of base size beyond
+    * the per-cell survivor population. The base never re-shuffles
+    * against itself. */
   def semDedupAutoIncremental(incoming: DataFrame, baseSurvivors: DataFrame,
                               idCol: String, vecCol: String,
                               threshold: Double, bits: Int,
+                              targetCell: Int = 64,
                               dims: Int = 64): DataFrame = {
     require(bits >= 0 && bits <= 32, "bits must be in 0..32")
-    val bucket = if (bits == 0) lit(0L) else lshBucketMd5(col(vecCol), bits, dims)
-    val icells = incoming.withColumn("_cell", bucket)
-      .select(col(idCol), col(vecCol), col("_cell"))
+    val batchBits = math.max(bits, autoBits(incoming.count(), targetCell))
+    val mask = (1L << bits) - 1
+    val bucket =
+      if (batchBits == 0) lit(0L) else lshBucketMd5(col(vecCol), batchBits, dims)
+    val icells = incoming.withColumn("_bcell", bucket)
+      .withColumn("_cell", col("_bcell").bitwiseAND(lit(mask)))
+      .select(col(idCol), col(vecCol), col("_cell"), col("_bcell"))
       .localCheckpoint(true)
-    val bcells = baseSurvivors.withColumn("_cell", bucket)
+    val baseBucket =
+      if (bits == 0) lit(0L) else lshBucketMd5(col(vecCol), bits, dims)
+    val bcells = baseSurvivors.withColumn("_cell", baseBucket)
       .select(col("_cell"), col(vecCol).as("_bv"))
     val dropBase = icells.join(bcells, Seq("_cell"))
       .filter(cosine(col(vecCol).cast("array<double>"),
         col("_bv").cast("array<double>")) >= threshold)
       .select(col(idCol)).distinct()
-    val l = icells.select(col("_cell"), col(idCol).as("_id1"),
+    val l = icells.select(col("_bcell"), col(idCol).as("_id1"),
       col(vecCol).as("_v1"))
-    val r = icells.select(col("_cell"), col(idCol).as("_id2"),
+    val r = icells.select(col("_bcell"), col(idCol).as("_id2"),
       col(vecCol).as("_v2"))
-    val dropWithin = l.join(r, Seq("_cell"))
+    val dropWithin = l.join(r, Seq("_bcell"))
       .filter(col("_id1") < col("_id2"))
       .filter(cosine(col("_v1").cast("array<double>"),
         col("_v2").cast("array<double>")) >= threshold)

@@ -477,10 +477,34 @@ class AnnSpec extends SparkSpec {
       (13L, Seq(0.71f, -0.7f)),  // near-dup of batch mate 12 -> dropped
       (14L, Seq(-1.0f, 0.0f)))   // cosine -1 to base 0 -> kept
       .toDF("vec_id", "embedding")
-    // bits=0: one cell, so the prune is purely the threshold rule
+    // bits=0 and a 5-row batch: both bucketings degenerate to one cell,
+    // so the prune is purely the threshold rule
     val r = Ann.semDedupAutoIncremental(incoming, base, "vec_id",
         "embedding", threshold = 0.9, bits = 0)
       .orderBy("vec_id").collect().map(_.getLong(0))
     assert(r.toSeq == Seq(12L, 14L))
+  }
+
+  test("semDedupAutoIncremental: oversized batch gets finer within-batch cells, identical copies still collapse") {
+    // base: 10 identical copies of dir 0 (index bits = autoBits(10,16) = 0);
+    // batch: 30 vectors in 3 identical-copy groups — batchBits =
+    // max(0, autoBits(30,16)) = 1, so the self-join runs on finer cells
+    // than the frozen index. Identical vectors share every sign bit, so
+    // each group still collapses to its min id; group 0 arrivals are
+    // killed by the base survivor through the index-cell join.
+    val dirs = Seq(
+      Seq(1.0f, 0.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f, 0.0f),
+      Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    val base = (0 until 10).map(j => (j.toLong, dirs(0)))
+      .toDF("vec_id", "embedding")
+      .filter(col("vec_id") === 0L) // the deduped survivor set
+    val incoming = (for (g <- 0 until 3; j <- 0 until 10)
+      yield ((100 + g * 10 + j).toLong, dirs(g))).toDF("vec_id", "embedding")
+    val r = Ann.semDedupAutoIncremental(incoming, base, "vec_id",
+        "embedding", threshold = 0.9, bits = 0, targetCell = 16, dims = 4)
+      .orderBy("vec_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    // survivors: min id of groups 1 and 2; every cell is the INDEX cell
+    // (bits=0 -> 0) regardless of the finer batch bucketing
+    assert(r.toSeq == Seq((110L, 0L), (120L, 0L)))
   }
 }
