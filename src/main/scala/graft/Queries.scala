@@ -2018,6 +2018,16 @@ object Queries {
           Tables.documents(s, d), "doc_id")
         .orderBy("asset_id")),
 
+    "q_mm_adpcm" -> ((s, d) =>
+      // Compressed-audio certification: IMA-ADPCM (WAV tag 0x11, a real
+      // 4:1 codec the JDK cannot decode) through the in-JVM decoder in
+      // the production decodePcm16 path. first_sample is a hard
+      // cross-engine value (block header stores sample 0 verbatim);
+      // n/first/deviation bounds are literal-1 flags, jpegParity-style.
+      graft.multimodal.Multimodal.adpcmParity(
+          Tables.documents(s, d), "doc_id")
+        .orderBy("asset_id")),
+
     "q_unigram_ppl" -> ((s, d) =>
       // Unigram-LM perplexity quality filter (KenLM analog at model order
       // 1): mean per-token surprisal in nats under the corpus's own
@@ -3613,6 +3623,18 @@ object Queries {
          |  CAST(1 AS BIGINT) AS hamming_ok
          |FROM (SELECT * FROM rb UNION ALL SELECT * FROM cb)
          |GROUP BY 1 ORDER BY asset_id""".stripMargin,
+
+    "q_mm_adpcm" ->
+      // first_sample replays adpcmSamples' closed-form s(0); the codec
+      // bounds are literal-1 flags (jpegParity pattern).
+      s"""SELECT doc_id AS asset_id,
+         |  CAST(((doc_id * 7919) % 4001) - 2000 AS BIGINT) AS first_sample,
+         |  CAST(1 AS BIGINT) AS decoded,
+         |  CAST(1 AS BIGINT) AS n_ok,
+         |  CAST(1 AS BIGINT) AS first_exact,
+         |  CAST(1 AS BIGINT) AS dev_ok
+         |FROM documents WHERE doc_id % 3 = 1
+         |ORDER BY asset_id""".stripMargin,
 
     "q_ahash" ->
       s"""WITH $AhashCtes

