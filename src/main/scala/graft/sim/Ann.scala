@@ -438,7 +438,7 @@ object Ann {
     * assignment has no float near-tie anywhere (the md5-parity playbook
     * applied to clustering: components ≤ ~2^11, squared distances over 64
     * dims ≤ ~2^50 — Long-safe). */
-  private def quantize3(vec: Column): Column =
+  private[sim] def quantize3(vec: Column): Column =
     transform(vec, v => floor(v.cast("double") * 1000).cast("long"))
 
   /** Integer squared L2 distance between a 10⁻³-grid vector (scaled ×1000)
@@ -450,7 +450,7 @@ object Ann {
 
   /** (distance, cell) struct per centroid — centroids are plan literals
     * (k·dims longs), so this is map-only with zero shuffle/broadcast. */
-  private def cellScores(q: Column, cents: Seq[(Int, Array[Long])]): Column =
+  private[sim] def cellScores(q: Column, cents: Seq[(Int, Array[Long])]): Column =
     array(cents.map { case (cell, arr) =>
       struct(intDist(q, arr).as("d"), lit(cell).as("cell")) }: _*)
 
@@ -460,7 +460,7 @@ object Ann {
     * k-struct array per row interpreted, and its ~k·dims-literal tree is
     * codegen-compiled once per assignment pass); falls back to the
     * bit-identical `array_min(cellScores(...))` composition otherwise. */
-  private def nearestCellInt(q: Column, cents: Seq[(Int, Array[Long])]): Column = {
+  private[sim] def nearestCellInt(q: Column, cents: Seq[(Int, Array[Long])]): Column = {
     require(cents.nonEmpty, "nearestCellInt: empty centroid set (empty corpus?)")
     org.apache.spark.sql.SparkSession.getActiveSession
       .filter(s => scala.util.Try(s.catalog.functionExists("graft_nearest_cell"))

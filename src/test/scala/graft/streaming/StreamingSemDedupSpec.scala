@@ -121,4 +121,30 @@ class StreamingSemDedupSpec extends SparkSpec {
       assert(streamed == batch, s"stream $streamed vs batch $batch")
     } finally q.stop()
   }
+
+  test("survivor state survives a checkpointed restart (drop-at-ingest across crashes)") {
+    import scala.jdk.CollectionConverters._
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssd_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    def start() = admittedStream(input.toDF().toDF("id", "vec"), "id", "vec",
+        threshold = 0.9, bits = 0)
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Admitted], bid: Long) =>
+        got.put(bid, ds.collect().toSeq.map(_.id)); ()
+      }.start()
+    val q1 = start()
+    try { input.addData(Seq((0L, Seq(1.0f, 0.0f)))); q1.processAllAvailable() }
+    finally q1.stop()
+    // a near-dup of the admitted survivor arrives while the query is down
+    input.addData(Seq((5L, Seq(1.0f, 0.01f))))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // the restarted query still holds survivor 0's vector: 5 is dropped
+    val admitted = got.values().asScala.flatten.toSeq.distinct.sorted
+    assert(admitted == Seq(0L), admitted.toString)
+  }
 }
