@@ -1736,9 +1736,11 @@ object Queries {
       val emb = Tables.embeddings(s, d)
       val base = emb.filter(col("vec_id") < 250)
       val incoming = emb.filter(col("vec_id") >= 250)
+      // ONE count job: the same bits feed the base dedup and the
+      // incremental index (semDedupAutoWithBits skips the internal count)
       val bits = graft.sim.Ann.autoBits(base.count(), targetCell = 64)
-      val baseSurv = graft.sim.Ann.semDedupAuto(base, "vec_id",
-          "embedding", threshold = 0.30)
+      val baseSurv = graft.sim.Ann.semDedupAutoWithBits(base, "vec_id",
+          "embedding", threshold = 0.30, bits = bits)
         .join(base, Seq("vec_id"))
         .select(col("vec_id"), col("embedding"))
       graft.sim.Ann.semDedupAutoIncremental(incoming, baseSurv, "vec_id",
@@ -3466,16 +3468,14 @@ object Queries {
          |      i -> concat_ws(' ', t[i+1], t[i+2]))) AS bg
          |    FROM tk WHERE len(t) >= 2)
          |  GROUP BY 1),
-         |tot AS (SELECT sum(cnt) AS total_mass FROM tc),
          |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS r FROM tc),
          |ks AS (SELECT unnest([10, 100, 1000]) AS k)
          |SELECT CAST(ks.k AS INTEGER) AS k,
-         |  CAST(coalesce(sum(CASE WHEN rk.r <= ks.k THEN rk.cnt END), 0) AS BIGINT) AS head_mass,
-         |  CAST(any_value(tot.total_mass) AS BIGINT) AS total_mass,
-         |  round(coalesce(sum(CASE WHEN rk.r <= ks.k THEN rk.cnt END), 0)
-         |    / CAST(any_value(tot.total_mass) AS DOUBLE), 6) AS coverage
-         |FROM ks CROSS JOIN rk CROSS JOIN tot
-         |GROUP BY ks.k ORDER BY k""".stripMargin,
+         |  (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM rk WHERE r <= ks.k) AS head_mass,
+         |  (SELECT CAST(sum(cnt) AS BIGINT) FROM tc) AS total_mass,
+         |  round((SELECT coalesce(sum(cnt), 0) FROM rk WHERE r <= ks.k)
+         |    / (SELECT CAST(sum(cnt) AS DOUBLE) FROM tc), 6) AS coverage
+         |FROM ks ORDER BY k""".stripMargin,
 
     "q_bpe_vocab" ->
       // Same extraction pattern as TextStats.BpeTokenPattern, verbatim —
@@ -3865,7 +3865,7 @@ object Queries {
       // annBucketMd5Cte but with the plane range bounded by the computed
       // b), then the same within-cell min-id prune as q_semdedup.
       s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
-         |bb AS (SELECT min(b) AS bits FROM generate_series(0, 32) s(b), nn
+         |bb AS (SELECT coalesce(min(b), 32) AS bits FROM generate_series(0, 32) s(b), nn
          |  WHERE 64 * (CAST(1 AS BIGINT) << b) >= nn.n),
          |fx AS (
          |  SELECT vec_id, CAST(g.i AS INTEGER) AS i,
@@ -3900,10 +3900,10 @@ object Queries {
       // OR a smaller-id same-BATCH-cell mate at cosine >= 0.30.
       s"""WITH nb AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < 250),
          |ni AS (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 250),
-         |bb AS (SELECT min(b) AS bits FROM generate_series(0, 32) s(b), nb
+         |bb AS (SELECT coalesce(min(b), 32) AS bits FROM generate_series(0, 32) s(b), nb
          |  WHERE 64 * (CAST(1 AS BIGINT) << b) >= nb.n),
          |bi AS (SELECT greatest(bb.bits,
-         |    (SELECT min(b) FROM generate_series(0, 32) s(b), ni
+         |    (SELECT coalesce(min(b), 32) FROM generate_series(0, 32) s(b), ni
          |     WHERE 64 * (CAST(1 AS BIGINT) << b) >= ni.n)) AS bits FROM bb),
          |fx AS (
          |  SELECT vec_id, CAST(g.i AS INTEGER) AS i,

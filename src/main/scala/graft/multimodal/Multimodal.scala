@@ -1100,6 +1100,9 @@ object Multimodal {
     * the 4-byte-header block from [[encodeImaAdpcmBlock]]. The JDK cannot
     * decode this tag; only the in-JVM [[decodeImaAdpcmWav]] branch can. */
   def wavAdpcm(id: Long, n: Int = 249, rate: Int = 8000): Array[Byte] = {
+    // both samplesPerBlock and blockAlign are uint16 header fields; a
+    // larger n would silently wrap through toShort into a corrupt header
+    require(n >= 1 && n <= 0x7fff, s"n must be in 1..32767 (got $n)")
     val block = encodeImaAdpcmBlock(adpcmSamples(id, n))
     val ba = block.length
     val out = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + ba)

@@ -872,17 +872,29 @@ object Ann {
         nearestCell(col(vecCol).cast("array<double>"), col("cents")))
       .select(col(idCol), col(vecCol), col("_cell"))
       .localCheckpoint(true)
-    val l = cells.select(col("_cell"), col(idCol).as("_id1"),
+    cells.join(dropWithinCells(cells, "_cell", idCol, vecCol, threshold),
+        Seq(idCol), "left_anti")
+      .select(col(idCol), col("_cell").as("cell"))
+  }
+
+  /** THE SemDeDup prune, shared by every variant: ids dropped because
+    * some SMALLER-id vector in the same `cellCol` cell has cosine ≥
+    * `threshold` — the non-transitive min-id rule every oracle replays.
+    * One cell-keyed self-join, never all-pairs across cells. `cells`
+    * should be materialized (localCheckpoint) by the caller: it feeds
+    * both join sides here plus the caller's anti-join. */
+  private def dropWithinCells(cells: DataFrame, cellCol: String,
+                              idCol: String, vecCol: String,
+                              threshold: Double): DataFrame = {
+    val l = cells.select(col(cellCol), col(idCol).as("_id1"),
       col(vecCol).as("_v1"))
-    val r = cells.select(col("_cell"), col(idCol).as("_id2"),
+    val r = cells.select(col(cellCol), col(idCol).as("_id2"),
       col(vecCol).as("_v2"))
-    val dropped = l.join(r, Seq("_cell"))
+    l.join(r, Seq(cellCol))
       .filter(col("_id1") < col("_id2"))
       .filter(cosine(col("_v1").cast("array<double>"),
         col("_v2").cast("array<double>")) >= threshold)
       .select(col("_id2").as(idCol)).distinct()
-    cells.join(dropped, Seq(idCol), "left_anti")
-      .select(col(idCol), col("_cell").as("cell"))
   }
 
   /** Smallest b ≥ 0 with targetCell·2^b ≥ n — [[semDedupAuto]]'s cell-count
@@ -927,23 +939,24 @@ object Ann {
     * variant gives up. */
   def semDedupAuto(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, targetCell: Int = 64,
-                   dims: Int = 64): DataFrame = {
-    val n = corpus.count()
-    val bits = autoBits(n, targetCell)
+                   dims: Int = 64): DataFrame =
+    semDedupAutoWithBits(corpus, idCol, vecCol, threshold,
+      autoBits(corpus.count(), targetCell), dims)
+
+  /** [[semDedupAuto]] with the bit count supplied by the caller — for
+    * when N is already known (a metastore rowcount, or a caller that
+    * needs the same count for its own bits arithmetic, as
+    * `q_semdedup_incremental` does) so the count() job is not re-run. */
+  def semDedupAutoWithBits(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, bits: Int,
+                           dims: Int = 64): DataFrame = {
+    require(bits >= 0 && bits <= 32, "bits must be in 0..32")
     val bucket = if (bits == 0) lit(0L) else lshBucketMd5(col(vecCol), bits, dims)
     val cells = corpus.withColumn("_cell", bucket)
       .select(col(idCol), col(vecCol), col("_cell"))
       .localCheckpoint(true)
-    val l = cells.select(col("_cell"), col(idCol).as("_id1"),
-      col(vecCol).as("_v1"))
-    val r = cells.select(col("_cell"), col(idCol).as("_id2"),
-      col(vecCol).as("_v2"))
-    val dropped = l.join(r, Seq("_cell"))
-      .filter(col("_id1") < col("_id2"))
-      .filter(cosine(col("_v1").cast("array<double>"),
-        col("_v2").cast("array<double>")) >= threshold)
-      .select(col("_id2").as(idCol)).distinct()
-    cells.join(dropped, Seq(idCol), "left_anti")
+    cells.join(dropWithinCells(cells, "_cell", idCol, vecCol, threshold),
+        Seq(idCol), "left_anti")
       .select(col(idCol), col("_cell").as("cell"))
   }
 
@@ -1006,15 +1019,7 @@ object Ann {
       .filter(cosine(col(vecCol).cast("array<double>"),
         col("_bv").cast("array<double>")) >= threshold)
       .select(col(idCol)).distinct()
-    val l = icells.select(col("_bcell"), col(idCol).as("_id1"),
-      col(vecCol).as("_v1"))
-    val r = icells.select(col("_bcell"), col(idCol).as("_id2"),
-      col(vecCol).as("_v2"))
-    val dropWithin = l.join(r, Seq("_bcell"))
-      .filter(col("_id1") < col("_id2"))
-      .filter(cosine(col("_v1").cast("array<double>"),
-        col("_v2").cast("array<double>")) >= threshold)
-      .select(col("_id2").as(idCol)).distinct()
+    val dropWithin = dropWithinCells(icells, "_bcell", idCol, vecCol, threshold)
     icells.join(dropBase.unionByName(dropWithin).distinct(),
         Seq(idCol), "left_anti")
       .select(col(idCol), col("_cell").as("cell"))

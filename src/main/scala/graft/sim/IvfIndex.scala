@@ -81,6 +81,10 @@ object IvfIndex {
       .withColumn("_rk", row_number().over(wq))
       .filter(col("_rk") <= nprobe)
       .select(col(qidCol), col(qvecCol), col("_s.cell").as("_cell"))
+      // materialized once (eager, reference-tracked): the k-literal
+      // distance explode otherwise re-runs for the driver collect below
+      // AND the broadcast join side
+      .localCheckpoint(true)
     val probedCells = probes.select("_cell").distinct()
       .collect().map(_.getInt(0)) // ≤ queries × nprobe — driver-sized
     val joined = cells

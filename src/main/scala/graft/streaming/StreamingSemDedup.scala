@@ -52,7 +52,13 @@ object StreamingSemDedup {
 
   /** Bit-identical JVM replica of the batch cosine composition
     * (`Ann.cosine` fallback form: left-to-right double folds, then
-    * dot / (sqrt·sqrt)) — the parity contract with the batch prune. */
+    * dot / (sqrt·sqrt)) — the parity contract with the batch prune.
+    * NaN (zero-norm inputs) compares FALSE against the threshold on
+    * both sides: Spark SQL's `GreaterThanOrEqual` codegen emits the raw
+    * primitive `>=` (the "NaN largest" rule applies to sorting/grouping,
+    * NOT comparison operators — pinned by the zero-vector spec test), so
+    * the JVM `>=` here is already bit-parity and zero-norm vectors are
+    * ADMITTED by both paths. */
   private[streaming] def cosine(a: Array[Float], b: Array[Float]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

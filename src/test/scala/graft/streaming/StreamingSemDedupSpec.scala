@@ -122,6 +122,31 @@ class StreamingSemDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("NaN cosine (zero-norm vectors): both paths ADMIT — comparison ops are not nan-safe") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // Spark SQL's "NaN largest" rule applies to sorting/grouping, NOT to
+    // comparison operators: GreaterThanOrEqual codegen emits the raw
+    // primitive >=, so NaN >= threshold is FALSE and zero-norm pairs are
+    // never pruned. This pins the semantics so neither path can silently
+    // change its mind about it.
+    val rows = Seq(0L -> Seq(0.0f, 0.0f), 1L -> Seq(0.0f, 0.0f))
+    val batch = graft.sim.Ann.semDedupAuto(rows.toDF("id", "vec"), "id", "vec",
+      threshold = 0.9).collect().map(_.getLong(0)).sorted.toSeq
+    assert(batch == Seq(0L, 1L), s"batch must admit both zero vectors, got $batch")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = admittedStream(input.toDF().toDF("id", "vec"), "id", "vec",
+        threshold = 0.9, bits = 0)
+      .writeStream.format("memory").queryName("ssd_nan")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      assert(spark.table("ssd_nan").as[Admitted].collect().map(_.id).sorted.toSeq
+        == Seq(0L, 1L))
+    } finally q.stop()
+  }
+
   test("survivor state survives a checkpointed restart (drop-at-ingest across crashes)") {
     import scala.jdk.CollectionConverters._
     implicit val sq = spark.sqlContext
