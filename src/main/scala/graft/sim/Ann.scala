@@ -766,9 +766,22 @@ object Ann {
              corpus: DataFrame, idCol: String, vecCol: String, k: Int,
              m: Int, ksub: Int, iters: Int, dims: Int): DataFrame = {
     val cbooks = pqTrain(corpus, idCol, vecCol, m, ksub, iters, dims)
-    val d = dims / m
     val codes = pqCodesWith(corpus, idCol, vecCol, cbooks, dims)
       .drop("recon_err")
+    adcTopKFromCodes(queries, qidCol, qvecCol, codes, idCol, cbooks, k, dims)
+  }
+
+  /** The ADC scan against an ALREADY-CODED corpus — the search primitive
+    * a persisted PQ index calls ([[PqIndex.search]]): `codes` carries
+    * (idCol, code_0..code_{m-1}) and never the vectors, `cbooks` are the
+    * trained codebooks (plan literals). Split out of [[pqTopK]] so the
+    * train+code build can happen once and the scan many times. */
+  def adcTopKFromCodes(queries: DataFrame, qidCol: String, qvecCol: String,
+                       codes: DataFrame, idCol: String,
+                       cbooks: Array[Seq[(Int, Array[Long])]],
+                       k: Int, dims: Int): DataFrame = {
+    val m = cbooks.length
+    val d = dims / m
     val q = queries.select(col(qidCol), quantize3(col(qvecCol)).as("_qq"))
     // ADC term for subspace j: distance from the query's j-th subvector to
     // the centroid the candidate's code names. CASE over cell ids (not
