@@ -473,6 +473,52 @@ class PlanGuardSpec extends SparkSpec {
       s"q_semdedup_auto grew a window: ${sa.map(_.nodeName).distinct}")
   }
 
+  test("round-8 incremental/coverage/PR contracts: cell-keyed prunes, TakeOrdered heads, scan-side sweep") {
+    import org.apache.spark.sql.execution.SparkPlan
+    def nodesOf(q: String): Seq[SparkPlan] =
+      allNodes(Queries.queries(q)(spark, dir).queryExecution.executedPlan)
+
+    // q_semdedup_incremental: three joins (vs-base prune, within-batch
+    // prune, survivor anti) + the base-dedup pair/anti behind the
+    // checkpoint; all cell- or id-keyed, no window, no cartesian
+    // (registry-wide test covers cartesian — assert the join family and
+    // the checkpointed batch scan here)
+    val si = nodesOf("q_semdedup_incremental")
+    assert(si.count(_.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]) >= 2,
+      s"q_semdedup_incremental must scan the checkpointed batch: ${si.map(_.nodeName).distinct}")
+    assert(si.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec]) >= 3,
+      s"q_semdedup_incremental lost a prune join: ${si.map(_.nodeName).distinct}")
+    assert(!si.exists(_.nodeName.toLowerCase.contains("window")),
+      s"q_semdedup_incremental grew a window: ${si.map(_.nodeName).distinct}")
+
+    // q_vocab_coverage: each head mass is a TakeOrdered over the
+    // distinct-piece table — a global Sort over the vocabulary would be
+    // the regression this pins against
+    val vc = nodesOf("q_vocab_coverage")
+    assert(vc.exists(_.nodeName.contains("TakeOrdered")),
+      s"q_vocab_coverage lost its TakeOrdered heads: ${vc.map(_.nodeName).distinct}")
+    // the only global sort allowed is the k-row OUTPUT ordering (it sits
+    // above the 3-row Union); a global sort over the vocabulary would
+    // appear below it, without a Union in its subtree
+    val badSorts = vc.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global &&
+        !allNodes(s).exists(_.isInstanceOf[org.apache.spark.sql.execution.UnionExec]) => s
+    }
+    assert(badSorts.isEmpty,
+      s"q_vocab_coverage grew a global sort over the vocabulary: ${vc.map(_.nodeName).distinct}")
+
+    // q_quality_pr: one broadcast of the 5-row threshold frame; the
+    // score+truth join is doc-keyed; no corpus window
+    val pr = nodesOf("q_quality_pr")
+    assert(pr.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]) ||
+      pr.exists(_.nodeName.contains("Broadcast")),
+      s"q_quality_pr lost the broadcast threshold fan-out: ${pr.map(_.nodeName).distinct}")
+    assert(!pr.exists(_.nodeName.toLowerCase.contains("window")),
+      s"q_quality_pr grew a window: ${pr.map(_.nodeName).distinct}")
+  }
+
   test("hot scan-shaped queries run inside WholeStageCodegen") {
     // codegen stages (`*(n)` markers) only appear once AQE finalizes the
     // plan, so run the query (cheap at sf0.001) and inspect the final plan
