@@ -1715,6 +1715,22 @@ object Queries {
           "embedding", "label", threshold = 0.30)
         .orderBy("vec_id")),
 
+    "q_table_profile" -> ((s, d) =>
+      // Dataset-card profiler: one row per orders column with null /
+      // exact-distinct counts and type-appropriate min/max/mean (means
+      // on the exact decimal grid — no float avg). ONE aggregate job;
+      // the schema drives the projection, never the data.
+      graft.operators.Profile.profile(Tables.orders(s, d))),
+
+    "q_embed_drift" -> ((s, d) =>
+      // Embedding-distribution drift: per-dim mean of the even-id
+      // (reference) vs odd-id (current) halves on the exact 1e-6 grid —
+      // the batch-health read before trusting a new encoder/crawl
+      // against existing quantizers. One explode + one map-side
+      // combinable aggregate; dims output rows.
+      graft.sim.Ann.embeddingDrift(Tables.embeddings(s, d), "embedding",
+        refPred = pmod(col("vec_id"), lit(2)) === 0)),
+
     "q_semdedup_auto" -> ((s, d) =>
       // SemDeDup in the operating regime: the coarse quantizer SCALES
       // with the corpus — cell count 2^b where b is the smallest with
@@ -3857,6 +3873,63 @@ object Queries {
          |SELECT c.vec_id, c.cell FROM cells c
          |WHERE c.vec_id NOT IN (SELECT vec_id FROM drp)
          |ORDER BY c.vec_id""".stripMargin,
+
+    "q_table_profile" -> {
+      // One UNION ALL branch per orders column (the oracle may scan
+      // per-column; the Spark side is the one-aggregate shape). Means
+      // replay the decimal-grid sum with the identical division order;
+      // timestamps profile as epoch seconds.
+      def num(name: String, dtype: String, expr: String) =
+        s"""SELECT '$name' AS col_name, '$dtype' AS dtype,
+           |  count(*) AS n_rows,
+           |  count(*) - count($expr) AS n_nulls,
+           |  count(DISTINCT $expr) AS n_distinct,
+           |  round(min(CAST($expr AS DOUBLE)), 6) AS min_num,
+           |  round(max(CAST($expr AS DOUBLE)), 6) AS max_num,
+           |  round(CAST(sum(CAST(floor(CAST($expr AS DOUBLE) * 1000000) AS DECIMAL(38,0))) AS DOUBLE)
+           |    / 1000000.0 / count($expr), 6) AS mean_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(name: String) =
+        s"""SELECT '$name' AS col_name, 'string' AS dtype,
+           |  count(*) AS n_rows,
+           |  count(*) - count($name) AS n_nulls,
+           |  count(DISTINCT $name) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  CAST(NULL AS DOUBLE) AS mean_num,
+           |  min($name) AS min_str, max($name) AS max_str
+           |FROM orders""".stripMargin
+      Seq(
+        num("o_orderkey", "bigint", "o_orderkey"),
+        num("o_custkey", "bigint", "o_custkey"),
+        str("o_orderstatus"),
+        num("o_totalprice", "double", "o_totalprice"),
+        num("o_orderdate", "timestamp_ntz", "epoch(o_orderdate)"),
+        str("o_orderpriority")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q_embed_drift" ->
+      // Same 1e-6 grid, same conditional-sum aggregate, same op order on
+      // the two divisions and the delta subtraction.
+      s"""WITH fx AS (
+         |  SELECT CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS r,
+         |    CAST(g.i - 1 AS INTEGER) AS pos,
+         |    CAST(floor(CAST(embedding[CAST(g.i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS v
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)),
+         |ag AS (SELECT pos,
+         |    CAST(sum(CASE WHEN r = 1 THEN v ELSE 0 END) AS BIGINT) AS sr,
+         |    CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |    CAST(sum(CASE WHEN r = 0 THEN v ELSE 0 END) AS BIGINT) AS sc,
+         |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+         |  FROM fx GROUP BY pos)
+         |SELECT pos,
+         |  round(CAST(sr AS DOUBLE) / n_ref / 1000000.0, 6) AS mean_ref,
+         |  round(CAST(sc AS DOUBLE) / n_cur / 1000000.0, 6) AS mean_cur,
+         |  round(CAST(sc AS DOUBLE) / n_cur / 1000000.0
+         |    - CAST(sr AS DOUBLE) / n_ref / 1000000.0, 6) AS delta,
+         |  n_ref, n_cur
+         |FROM ag ORDER BY pos""".stripMargin,
 
     "q_semdedup_auto" ->
       // Replays Ann.semDedupAuto: b = min bits with 64·2^b >= count(*)

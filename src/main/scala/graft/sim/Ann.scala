@@ -973,6 +973,53 @@ object Ann {
       .select(col(idCol), col("_cell").as("cell"))
   }
 
+  /** Embedding-distribution drift vs a frozen reference batch — the
+    * batch-health read an embedding pipeline runs before trusting a new
+    * encoder version or crawl slice (the vector-space sibling of the
+    * token-distribution `TextStats.referenceDrift`): per dimension, the
+    * mean of the reference rows vs the mean of the current rows and
+    * their delta. A systematic per-dim shift means the encoder or the
+    * upstream corpus moved; noise-level deltas mean the batch is safe to
+    * index against the existing quantizers.
+    *
+    * Exactness: inputs quantize to the ⌊v·10⁶⌋ integer grid, per-dim
+    * sums and counts are exact BIGINTs, and each mean is ONE
+    * correctly-rounded division (round 6) — bit-stable cross-engine.
+    *
+    * Scale shape: one (pos, value, side) explode → ONE map-side-
+    * combinable groupBy(pos) with conditional sums — dims output rows,
+    * never a corpus-keyed shuffle; both "sides" ride in the same
+    * aggregate so the corpus scans once. */
+  def embeddingDrift(corpus: DataFrame, vecCol: String,
+                     refPred: Column, dims: Int = 64): DataFrame = {
+    val q = quantize3transform(corpus, vecCol)
+    q.select(refPred.cast("int").as("_ref"),
+        posexplode(col("_q")).as(Seq("pos", "_v")))
+      .groupBy("pos")
+      .agg(
+        sum(when(col("_ref") === 1, col("_v")).otherwise(lit(0L))).as("_sr"),
+        sum(when(col("_ref") === 1, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("_ref") === 0, col("_v")).otherwise(lit(0L))).as("_sc"),
+        sum(when(col("_ref") === 0, 1L).otherwise(0L)).as("n_cur"))
+      .select(col("pos"),
+        round(col("_sr").cast("double") / col("n_ref") / lit(1e6), 6)
+          .as("mean_ref"),
+        round(col("_sc").cast("double") / col("n_cur") / lit(1e6), 6)
+          .as("mean_cur"),
+        round(col("_sc").cast("double") / col("n_cur") / lit(1e6)
+          - col("_sr").cast("double") / col("n_ref") / lit(1e6), 6)
+          .as("delta"),
+        col("n_ref"), col("n_cur"))
+      .orderBy("pos")
+  }
+
+  /** ⌊v·10⁶⌋ per-component quantization as a (_q) projection — the
+    * drift/mean grid (coarser 10³ grid stays with the k-means family). */
+  private def quantize3transform(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.select(transform(col(vecCol),
+      v => floor(v.cast("double") * 1e6).cast("long")).as("_q"),
+      col("*"))
+
   /** Incremental SemDeDup — the re-crawl shape ([[graft.dedup.Dedup]]'s
     * `exactDedupIncremental`, lifted to embeddings): a new batch is
     * deduped against an EXISTING deduped corpus without ever re-scoring

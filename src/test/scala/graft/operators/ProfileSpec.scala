@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: per-column nulls, exact distincts, typed min/max/mean") {
+    val df = Seq(
+      (1L, Some(2.0), Some("b")),
+      (2L, Some(4.0), Some("a")),
+      (3L, None, Some("a")),
+      (4L, Some(-1.5), None))
+      .toDF("id", "v", "s")
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("id", "v", "s"))
+    val id = p("id")
+    assert(id.getLong(2) == 4 && id.getLong(3) == 0 && id.getLong(4) == 4)
+    assert(id.getDouble(5) == 1.0 && id.getDouble(6) == 4.0 &&
+      id.getDouble(7) == 2.5)
+    val v = p("v")
+    assert(v.getLong(3) == 1 && v.getLong(4) == 3)
+    assert(v.getDouble(5) == -1.5 && v.getDouble(6) == 4.0)
+    // mean on the floor-1e6 grid over 3 non-nulls: (2 + 4 - 1.5) / 3
+    assert(v.getDouble(7) == 1.5)
+    assert(v.isNullAt(8) && v.isNullAt(9))
+    val s = p("s")
+    assert(s.getLong(3) == 1 && s.getLong(4) == 2)
+    assert(s.isNullAt(5) && s.isNullAt(6) && s.isNullAt(7))
+    assert(s.getString(8) == "a" && s.getString(9) == "b")
+  }
+
+  test("profile is ONE aggregate job: no per-column scans of the data") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("a", "b")
+    val plan = Profile.profile(df).queryExecution.executedPlan.toString
+    // a single scan feeds the whole profile (the RDD/LocalTableScan
+    // appears once; per-column profiling would multiply it)
+    val scans = plan.split('\n').count(l =>
+      l.contains("LocalTableScan") || l.contains("Scan ExistingRDD"))
+    assert(scans == 1, s"expected one scan, plan:\n$plan")
+  }
+}
