@@ -1353,6 +1353,16 @@ object Queries {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    "q_segment_dedup" -> ((s, d) =>
+      // Sub-document "line dedup" rewrite: 4-token segments occurring in
+      // >= 2 distinct docs removed from every carrier; the oracle replays
+      // the segmentation, md5 document-frequency count, and the ordered
+      // surviving-segment rejoin verbatim (at sf0.01: 771 of 6974 segment
+      // positions are hot — non-vacuous, far from total erasure).
+      graft.dedup.Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text",
+          segTokens = 4, minDf = 2)
+        .orderBy("doc_id")),
+
     "q_neardup_survivors" -> ((s, d) => {
       // Near-dup retention: anti-join away every non-representative
       // cluster member (same deterministic consecutive-Jaccard pair set as
@@ -1496,6 +1506,15 @@ object Queries {
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1")
     }),
+
+    "q_pca_cert" -> ((s, d) =>
+      // Distributed PCA certification: exact corpus facts (n, dims,
+      // var_pop-trace) next to literal-1 invariant flags (orthonormal
+      // basis, descending spectrum, trace preservation, and the
+      // Pythagoras reconstruction identity measured against the DATA in
+      // a second pass) — the sketch-certification pattern, since
+      // eigenvectors aren't cross-engine replayable. k=8 of 64.
+      graft.sim.Pca.certify(Tables.embeddings(s, d), "embedding", k = 8)),
 
     "q_embed_quant" -> ((s, d) => {
       // int8 embedding quantization report: symmetric codes, per-vector
@@ -3255,6 +3274,21 @@ object Queries {
          |  min(doc_id) AS doc_id, count(*) AS dup_count
          |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // Exact n/dims plus the var_pop trace (the one eigen-invariant DuckDB
+    // can replay without an eigensolver); the four invariants ride as
+    // literal 1s (q_sketch_bounds pattern).
+    "q_pca_cert" ->
+      s"""WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |dm AS (SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM e),
+         |vr AS (SELECT sum(vp) AS tr, count(*) AS nd
+         |  FROM (SELECT i, var_pop(x) AS vp FROM dm GROUP BY i))
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n,
+         |  CAST((SELECT nd FROM vr) AS INTEGER) AS dims,
+         |  round((SELECT tr FROM vr), 6) AS trace,
+         |  CAST(1 AS BIGINT) AS orth_ok, CAST(1 AS BIGINT) AS desc_ok,
+         |  CAST(1 AS BIGINT) AS trace_ok, CAST(1 AS BIGINT) AS recon_ok""".stripMargin,
+
     "q_embed_quant" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -3311,6 +3345,40 @@ object Queries {
          |  SELECT min(doc_id) FROM documents
          |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
          |ORDER BY doc_id""".stripMargin,
+
+    // Replays segmentDedup verbatim: normalized tokens, non-overlapping
+    // 4-token segments (final partial kept), md5 fingerprint, distinct-doc
+    // frequency >= 2 -> hot, hot segments removed everywhere, survivors
+    // rejoined in position order (string_agg ORDER BY; coalesce mirrors
+    // Spark's concat_ws('') on an all-hot doc). Whitespace-only docs have
+    // no segments and are absent on both sides.
+    "q_segment_dedup" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      y -> y <> '') AS t
+         |  FROM documents),
+         |st AS (SELECT doc_id, t, CAST(ceil(len(t) / 4.0) AS BIGINT) AS nseg
+         |  FROM tk WHERE len(t) > 0),
+         |ex AS (SELECT doc_id, t, unnest(range(0, nseg)) AS i FROM st),
+         |sg AS (SELECT doc_id, i,
+         |    array_to_string(list_slice(t, i*4 + 1, i*4 + 4), ' ') AS seg,
+         |    len(list_slice(t, i*4 + 1, i*4 + 4)) AS ntok
+         |  FROM ex),
+         |fp AS (SELECT doc_id, i, seg, ntok, md5(seg) AS f FROM sg),
+         |hot AS (SELECT f FROM (
+         |    SELECT f, count(DISTINCT doc_id) AS df FROM fp GROUP BY 1)
+         |  WHERE df >= 2),
+         |kd AS (SELECT doc_id, i, seg, ntok,
+         |    CASE WHEN f IN (SELECT f FROM hot) THEN 1 ELSE 0 END AS h
+         |  FROM fp)
+         |SELECT doc_id,
+         |  count(*) AS n_segs,
+         |  CAST(sum(h) AS BIGINT) AS n_dup_segs,
+         |  CAST(coalesce(sum(CASE WHEN h = 1 THEN ntok END), 0) AS BIGINT)
+         |    AS tokens_removed,
+         |  coalesce(string_agg(CASE WHEN h = 0 THEN seg END, ' ' ORDER BY i), '')
+         |    AS cleaned
+         |FROM kd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_neardup_survivors" ->
       // survivors = docs that are their own cluster representative under

@@ -553,4 +553,66 @@ object Dedup {
       .select((-col("_b._negid")).as(idCol))
     df.join(best, Seq(idCol), "left_semi")
   }
+
+  /** Sub-document SEGMENT dedup — the CCNet/RefinedWeb "line dedup" curation
+    * stage (remove lines repeated across pages: navigation chrome, cookie
+    * banners, license blurbs) adapted to newline-free corpora: each document
+    * is cut into consecutive NON-overlapping `segTokens`-token segments (the
+    * "lines"; the final partial segment is kept), each segment is md5-
+    * fingerprinted, and a segment occurring in ≥ `minDf` DISTINCT documents
+    * is removed from EVERY document carrying it (line dedup keeps no copy —
+    * unlike document-level dedup, a repeated line is boilerplate evidence,
+    * not content to preserve once). Output: one row per tokenizable doc —
+    * the REWRITTEN text (surviving segments rejoined in order) plus audit
+    * counts (`n_segs`, `n_dup_segs`, `tokens_removed`).
+    *
+    * Complements the rest of the family: [[exactDedup]] drops whole
+    * duplicate documents, [[duplicatedSpans]] REPORTS repeated spans between
+    * rare-anchored pairs, [[graft.text.TextStats.boilerplate]] SCORES hot
+    * k-gram coverage — this is the operator that actually rewrites the
+    * corpus. Whitespace-only documents have no segments and are absent from
+    * the output (mirrored by the oracle).
+    *
+    * Scale shape: the segment explode is per-row (corpus-linear, ~1/seg of
+    * token count); the document-frequency count is ONE segment-keyed
+    * aggregate (map-side combinable); the hot table (≤ positions/minDf rows,
+    * usually far fewer) joins back onto the segments by fingerprint — left
+    * to AQE, which broadcasts when the filtered aggregate lands small; the
+    * rewrite is ONE id-keyed aggregate whose per-group state is document-
+    * sized (the same bound as any per-doc reassembly). No all-pairs shape
+    * anywhere; everything keys on fingerprints or ids. */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int = 4, minDf: Int = 2): DataFrame = {
+    require(segTokens > 0 && minDf > 1,
+      s"need segTokens > 0 and minDf > 1, got segTokens=$segTokens minDf=$minDf")
+    // filter the empty token a whitespace-only text collapses to — the
+    // same empty-free contract as TextStats.tokens, so blank docs have
+    // zero segments (absent from output) rather than one "" segment
+    val tk = docs.select(col(idCol),
+        filter(normTokens(col(textCol)), t => t =!= lit("")).as("_tk"))
+      .filter(size(col("_tk")) > 0)
+    val lastSeg = ceil(size(col("_tk")).cast("double") / segTokens)
+      .cast("long") - 1L
+    val piece = slice(col("_tk"), (col("_i") * segTokens + 1).cast("int"),
+      lit(segTokens))
+    val sg = tk.withColumn("_i", explode(sequence(lit(0L), lastSeg)))
+      .select(col(idCol), col("_i"),
+        concat_ws(" ", piece).as("_seg"), size(piece).as("_ntok"))
+      .withColumn("_f", md5(col("_seg")))
+    val hot = sg.groupBy("_f")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("_f"), lit(1L).as("_hot"))
+    sg.join(hot, Seq("_f"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_segs"),
+        coalesce(sum(col("_hot")), lit(0L)).as("n_dup_segs"),
+        coalesce(sum(when(col("_hot").isNotNull, col("_ntok"))), lit(0L))
+          .as("tokens_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("_hot").isNull, struct(col("_i"), col("_seg"))))),
+          x => x("_seg"))).as("cleaned"))
+  }
 }

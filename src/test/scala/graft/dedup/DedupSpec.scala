@@ -174,4 +174,44 @@ class DedupSpec extends SparkSpec {
     val far = java.lang.Long.bitCount(s(0) ^ s(4))
     assert(near < far, s"near=$near far=$far")
   }
+
+  test("segmentDedup: hot segments removed everywhere, survivors rejoined in order") {
+    val d = Seq(
+      (1L, "a b c d e f"), // segs (k=2): [a b][c d][e f]
+      (2L, "A  b x y"),    // [a b][x y] — normalization matches doc 1's head
+      (3L, "z w q"),       // [z w][q] — final partial segment
+      (6L, "p r q")        // [p r][q] — partial "q" hot with doc 3's
+    ).toDF("doc_id", "text")
+    val r = Dedup.segmentDedup(d, "doc_id", "text", segTokens = 2, minDf = 2)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 6L))
+    // (n_segs, n_dup_segs, tokens_removed, cleaned)
+    def row(i: Int) = (r(i).getLong(1), r(i).getLong(2), r(i).getLong(3),
+      r(i).getString(4))
+    assert(row(0) == ((3L, 1L, 2L, "c d e f")))
+    assert(row(1) == ((2L, 1L, 2L, "x y")))
+    assert(row(2) == ((2L, 1L, 1L, "z w"))) // partial "q" is removable too
+    assert(row(3) == ((2L, 1L, 1L, "p r")))
+  }
+
+  test("segmentDedup: all-hot doc keeps an empty-string rewrite, whitespace-only doc absent") {
+    val d = Seq(
+      (1L, "a b longer tail here"),
+      (2L, "a b"),      // its only segment is hot → cleaned = ""
+      (3L, "   ")       // no tokens → no row
+    ).toDF("doc_id", "text")
+    val r = Dedup.segmentDedup(d, "doc_id", "text", segTokens = 2, minDf = 2)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(r(1).getLong(2) == 1L && r(1).getString(4) == "")
+    assert(r(0).getString(4) == "longer tail here")
+  }
+
+  test("segmentDedup: minDf binds on distinct docs, not occurrences") {
+    // "a b" twice WITHIN doc 1 only — df=1, so minDf=2 keeps it
+    val d = Seq((1L, "a b c c a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val r = Dedup.segmentDedup(d, "doc_id", "text", segTokens = 2, minDf = 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(2) == 0L && r(0).getString(4) == "a b c c a b")
+  }
 }
