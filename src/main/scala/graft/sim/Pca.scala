@@ -194,6 +194,46 @@ object Pca {
       projUdf(transform(col(vecCol), x => x.cast("double"))))
   }
 
+  /** PCA-reduced ANN: the "PCA + rerank" read path (shortlist in the
+    * reduced space, exact rerank in the original space) — the standard
+    * cheap-candidates trick when embeddings are too wide for brute
+    * distances but the corpus is too small (or too churned) to justify a
+    * trained IVF/PQ index. At 100 TB the reduced space is where the IVF
+    * cells would live; here the shortlist is a broadcast-BNLJ scan like
+    * [[Ann.bruteForceTopK]], so the plan properties carry: the corpus is
+    * never reshuffled — two map-only projections, one broadcast scan, and
+    * a shortlist-keyed (Q·shortlist rows, broadcastable) rerank join.
+    *
+    * Shortlist metric is cosine over the PROJECTED (centered) vectors;
+    * the final ranking is exact full-dim cosine over shortlist members
+    * only, so shortlist quality affects recall, never correctness of the
+    * returned ordering. With shortlist ≥ corpus size this IS brute force
+    * (spec-asserted). */
+  def shortlistTopK(queries: DataFrame, qidCol: String, qvecCol: String,
+                    corpus: DataFrame, idCol: String, vecCol: String,
+                    model: Model, kdims: Int, shortlist: Int,
+                    k: Int): DataFrame = {
+    require(shortlist >= k, s"need shortlist >= k, got $shortlist < $k")
+    val pc = project(corpus, vecCol, model, kdims, "_pv")
+      .select(col(idCol), col(vecCol), col("_pv"))
+    val pq = project(queries, qvecCol, model, kdims, "_pq")
+      .select(col(qidCol), col(qvecCol).as("_qv"), col("_pq"))
+    val reduced = pc.crossJoin(broadcast(pq)) // Q×N, Q tiny: BNLJ scan
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("_rcos", Ann.cosine(col("_pq"), col("_pv")))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("_rcos").desc, col(idCol))
+    val cand = reduced.withColumn("_r", row_number().over(ws))
+      .filter(col("_r") <= shortlist)
+      .select(col(qidCol), col(idCol), col("_qv"), col(vecCol))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    cand.withColumn("cosine", Ann.cosine(col("_qv"), col(vecCol)))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** Certification report — ONE row of exact corpus facts plus literal-1
     * flags (the sketch-certification pattern: eigenvectors are not
     * cross-engine replayable, so the oracle-visible contract is the

@@ -33,7 +33,7 @@ class RegistryLintSpec extends AnyFunSuite {
     * (the driver's hash sees exactly one row either way). */
   private val singleRow =
     Set("q_nan_report_a5", "q_sketch_bounds", "q6_forecast_revenue",
-      "q_hist_stats", "q_bloom_bounds", "q_pca_cert")
+      "q_hist_stats", "q_bloom_bounds", "q_pca_cert", "q_ann_pca")
 
   test("every oracle ends in a deterministic ORDER BY (single-row aggregates exempt)") {
     val unordered = Queries.oracleSql.collect {

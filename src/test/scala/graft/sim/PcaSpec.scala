@@ -72,6 +72,39 @@ class PcaSpec extends SparkSpec {
     assert((3 to 6).forall(r.getLong(_) == 1L), r.toString)
   }
 
+  test("shortlistTopK: shortlist covering the corpus equals brute force exactly") {
+    val corpus = (0L until 30L).map { i =>
+      (i, Seq(((i * 13) % 17).toDouble, ((i * 5) % 7).toDouble,
+        ((i * i) % 23).toDouble, (i % 3).toDouble))
+    }.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val m = Pca.fit(corpus, "embedding")
+    val brute = Ann.bruteForceTopK(q, "qid", "qv", corpus, "vec_id", "embedding", 4)
+      .orderBy("qid", "rank").collect()
+    val pca = Pca.shortlistTopK(q, "qid", "qv", corpus, "vec_id", "embedding",
+        m, kdims = 4, shortlist = Int.MaxValue, k = 4)
+      .orderBy("qid", "rank").collect()
+    assert(brute.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq ==
+      pca.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq)
+  }
+
+  test("shortlistTopK: pruned shortlist returns k exact-cosine-ranked rows per query") {
+    val corpus = (0L until 40L).map { i =>
+      (i, Seq((i % 11).toDouble, ((i * 3) % 13).toDouble,
+        ((i * 7) % 5).toDouble))
+    }.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 1) // vec 0 is the zero vector
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val m = Pca.fit(corpus, "embedding")
+    val r = Pca.shortlistTopK(q, "qid", "qv", corpus, "vec_id", "embedding",
+        m, kdims = 2, shortlist = 10, k = 3).orderBy("rank").collect()
+    assert(r.length == 3 && r.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    // ranks are by full-dim cosine, descending
+    val cos = r.map(_.getDouble(2))
+    assert(cos.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("certify: recon identity is non-vacuous (k=1 leaves a real tail)") {
     val rows = (0 until 30).map { i =>
       Seq((i % 5).toDouble, ((i * 7) % 11).toDouble, ((i * 2) % 9).toDouble)
