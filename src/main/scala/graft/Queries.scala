@@ -1363,6 +1363,21 @@ object Queries {
           segTokens = 4, minDf = 2)
         .orderBy("doc_id")),
 
+    "q_segment_dedup_incremental" -> ((s, d) => {
+      // Nightly-ingest segment dedup: even docs are the frozen base (its
+      // per-segment df table), odd docs the arriving batch; hot iff
+      // base df + batch df >= 2, only the batch is rewritten. By the
+      // distinct-count additivity of disjoint id sets this equals the
+      // full-corpus q_segment_dedup restricted to odd ids — which is
+      // exactly what the oracle replays.
+      val docs = Tables.documents(s, d)
+      graft.dedup.Dedup.segmentDedupIncremental(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          segTokens = 4, minDf = 2)
+        .orderBy("doc_id")
+    }),
+
     "q_neardup_survivors" -> ((s, d) => {
       // Near-dup retention: anti-join away every non-representative
       // cluster member (same deterministic consecutive-Jaccard pair set as
@@ -3427,6 +3442,37 @@ object Queries {
          |  coalesce(string_agg(CASE WHEN h = 0 THEN seg END, ' ' ORDER BY i), '')
          |    AS cleaned
          |FROM kd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The q_segment_dedup replay restricted to the odd-id batch — the
+    // incremental path's spec-asserted equivalence target, stated directly.
+    "q_segment_dedup_incremental" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      y -> y <> '') AS t
+         |  FROM documents),
+         |st AS (SELECT doc_id, t, CAST(ceil(len(t) / 4.0) AS BIGINT) AS nseg
+         |  FROM tk WHERE len(t) > 0),
+         |ex AS (SELECT doc_id, t, unnest(range(0, nseg)) AS i FROM st),
+         |sg AS (SELECT doc_id, i,
+         |    array_to_string(list_slice(t, i*4 + 1, i*4 + 4), ' ') AS seg,
+         |    len(list_slice(t, i*4 + 1, i*4 + 4)) AS ntok
+         |  FROM ex),
+         |fp AS (SELECT doc_id, i, seg, ntok, md5(seg) AS f FROM sg),
+         |hot AS (SELECT f FROM (
+         |    SELECT f, count(DISTINCT doc_id) AS df FROM fp GROUP BY 1)
+         |  WHERE df >= 2),
+         |kd AS (SELECT doc_id, i, seg, ntok,
+         |    CASE WHEN f IN (SELECT f FROM hot) THEN 1 ELSE 0 END AS h
+         |  FROM fp)
+         |SELECT doc_id,
+         |  count(*) AS n_segs,
+         |  CAST(sum(h) AS BIGINT) AS n_dup_segs,
+         |  CAST(coalesce(sum(CASE WHEN h = 1 THEN ntok END), 0) AS BIGINT)
+         |    AS tokens_removed,
+         |  coalesce(string_agg(CASE WHEN h = 0 THEN seg END, ' ' ORDER BY i), '')
+         |    AS cleaned
+         |FROM kd WHERE doc_id % 2 = 1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_neardup_survivors" ->
       // survivors = docs that are their own cluster representative under

@@ -585,9 +585,21 @@ object Dedup {
                    segTokens: Int = 4, minDf: Int = 2): DataFrame = {
     require(segTokens > 0 && minDf > 1,
       s"need segTokens > 0 and minDf > 1, got segTokens=$segTokens minDf=$minDf")
-    // filter the empty token a whitespace-only text collapses to — the
-    // same empty-free contract as TextStats.tokens, so blank docs have
-    // zero segments (absent from output) rather than one "" segment
+    val sg = segmentTable(docs, idCol, textCol, segTokens)
+    val hot = sg.groupBy("_f")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("_f"), lit(1L).as("_hot"))
+    rewriteSegments(sg.join(hot, Seq("_f"), "left"), idCol)
+  }
+
+  /** The positional-segment table behind [[segmentDedup]]: one row per
+    * non-overlapping `segTokens`-token segment — (id, _i position, _seg
+    * text, _ntok length, _f md5 fingerprint). The empty token a
+    * whitespace-only text collapses to is filtered (the TextStats.tokens
+    * contract), so blank docs contribute zero rows. */
+  private def segmentTable(docs: DataFrame, idCol: String, textCol: String,
+                           segTokens: Int): DataFrame = {
     val tk = docs.select(col(idCol),
         filter(normTokens(col(textCol)), t => t =!= lit("")).as("_tk"))
       .filter(size(col("_tk")) > 0)
@@ -595,16 +607,17 @@ object Dedup {
       .cast("long") - 1L
     val piece = slice(col("_tk"), (col("_i") * segTokens + 1).cast("int"),
       lit(segTokens))
-    val sg = tk.withColumn("_i", explode(sequence(lit(0L), lastSeg)))
+    tk.withColumn("_i", explode(sequence(lit(0L), lastSeg)))
       .select(col(idCol), col("_i"),
         concat_ws(" ", piece).as("_seg"), size(piece).as("_ntok"))
       .withColumn("_f", md5(col("_seg")))
-    val hot = sg.groupBy("_f")
-      .agg(countDistinct(col(idCol)).as("_df"))
-      .filter(col("_df") >= minDf)
-      .select(col("_f"), lit(1L).as("_hot"))
-    sg.join(hot, Seq("_f"), "left")
-      .groupBy(idCol)
+  }
+
+  /** Per-doc rewrite from a flagged segment table (`_hot` = 1 on removable
+    * rows, null otherwise): audit counts + surviving segments rejoined in
+    * position order. Per-group state is document-sized. */
+  private def rewriteSegments(flagged: DataFrame, idCol: String): DataFrame =
+    flagged.groupBy(idCol)
       .agg(
         count(lit(1)).as("n_segs"),
         coalesce(sum(col("_hot")), lit(0L)).as("n_dup_segs"),
@@ -614,5 +627,35 @@ object Dedup {
           array_sort(collect_list(
             when(col("_hot").isNull, struct(col("_i"), col("_seg"))))),
           x => x("_seg"))).as("cleaned"))
+
+  /** Incremental [[segmentDedup]] — the nightly-ingest shape (the
+    * [[exactDedupIncremental]] pattern one grain finer): the base corpus
+    * keeps a materialized per-segment distinct-doc-frequency table; a NEW
+    * batch is segmented, its fingerprints join the base table (batch-sized
+    * join — the recurring cost), and a segment is hot iff base df + batch
+    * df reaches `minDf`. Only batch documents are rewritten. Ids must be
+    * disjoint from the base (ingest batches are).
+    *
+    * EQUIVALENCE: the output is exactly `segmentDedup(base ∪ batch)`
+    * restricted to batch ids (distinct-doc counts add across disjoint id
+    * sets) — spec-asserted, so the incremental path can never drift from
+    * the batch semantics. Here the base df table is derived in-query; a
+    * production pipeline materializes it once per ingest epoch and the
+    * recurring cost is one fingerprint-keyed join per batch. */
+  def segmentDedupIncremental(newDf: DataFrame, idCol: String, textCol: String,
+                              base: DataFrame, baseIdCol: String,
+                              baseTextCol: String, segTokens: Int = 4,
+                              minDf: Int = 2): DataFrame = {
+    require(segTokens > 0 && minDf > 1,
+      s"need segTokens > 0 and minDf > 1, got segTokens=$segTokens minDf=$minDf")
+    val baseDf = segmentTable(base, baseIdCol, baseTextCol, segTokens)
+      .groupBy("_f").agg(countDistinct(col(baseIdCol)).as("_bdf"))
+    val sg = segmentTable(newDf, idCol, textCol, segTokens)
+    val hot = sg.groupBy("_f")
+      .agg(countDistinct(col(idCol)).as("_ndf"))
+      .join(baseDf, Seq("_f"), "left")
+      .filter(col("_ndf") + coalesce(col("_bdf"), lit(0L)) >= minDf)
+      .select(col("_f"), lit(1L).as("_hot"))
+    rewriteSegments(sg.join(hot, Seq("_f"), "left"), idCol)
   }
 }

@@ -207,6 +207,29 @@ class DedupSpec extends SparkSpec {
     assert(r(0).getString(4) == "longer tail here")
   }
 
+  test("segmentDedupIncremental equals full-corpus segmentDedup restricted to the batch") {
+    val base = Seq(
+      (2L, "a b c d"),      // contributes "a b" and "c d" to the base df
+      (4L, "a b z z"),      // "a b" base df = 2 (hot from the base alone)
+      (6L, "m m n n")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "a b fresh stuff"),   // "a b" hot via base
+      (3L, "c d unique tail"),   // "c d" base df 1 + batch df 1 -> hot
+      (5L, "m m p q"),           // "m m" same
+      (7L, "only new words here")
+    ).toDF("doc_id", "text")
+    val inc = Dedup.segmentDedupIncremental(batch, "doc_id", "text",
+        base, "doc_id", "text", segTokens = 2, minDf = 2)
+      .orderBy("doc_id").collect()
+    val full = Dedup.segmentDedup(base.union(batch), "doc_id", "text",
+        segTokens = 2, minDf = 2)
+      .filter(col("doc_id") % 2 === 1).orderBy("doc_id").collect()
+    assert(inc.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+    // and it is non-vacuous: doc 1 lost its base-hot head segment
+    assert(inc(0).getString(4) == "fresh stuff")
+  }
+
   test("segmentDedup: minDf binds on distinct docs, not occurrences") {
     // "a b" twice WITHIN doc 1 only — df=1, so minDf=2 keeps it
     val d = Seq((1L, "a b c c a b"), (2L, "x y z")).toDF("doc_id", "text")
