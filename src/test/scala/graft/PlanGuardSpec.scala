@@ -519,6 +519,40 @@ class PlanGuardSpec extends SparkSpec {
       s"q_quality_pr grew a window: ${pr.map(_.nodeName).distinct}")
   }
 
+  test("round-8b segment-dedup/PCA contracts: fingerprint-keyed joins, no corpus window, broadcast rerank") {
+    import org.apache.spark.sql.execution.SparkPlan
+    def nodesOf(q: String): Seq[SparkPlan] =
+      allNodes(Queries.queries(q)(spark, dir).queryExecution.executedPlan)
+
+    // q_segment_dedup: the rewrite is aggregate-shaped — a hot-table join
+    // (fingerprint-keyed, AQE decides broadcast) plus the doc-keyed
+    // reassembly aggregate; a window over the segment table (a ranked
+    // rewrite) would be the scale regression this pins against
+    val sd = nodesOf("q_segment_dedup")
+    assert(sd.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"q_segment_dedup lost the hot-segment join: ${sd.map(_.nodeName).distinct}")
+    assert(!sd.exists(_.nodeName.toLowerCase.contains("window")),
+      s"q_segment_dedup grew a window: ${sd.map(_.nodeName).distinct}")
+
+    // incremental twin: one more join (the frozen base df table)
+    val sdi = nodesOf("q_segment_dedup_incremental")
+    assert(sdi.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec]) >= 2,
+      s"q_segment_dedup_incremental lost the base-table join: ${sdi.map(_.nodeName).distinct}")
+    assert(!sdi.exists(_.nodeName.toLowerCase.contains("window")),
+      s"q_segment_dedup_incremental grew a window: ${sdi.map(_.nodeName).distinct}")
+
+    // q_ann_pca: both scans are broadcast fan-outs of the tiny query set
+    // (BNLJ, the q_ann_brute family shape) — the corpus itself must never
+    // be the build side of anything, and the only windows are qid-keyed
+    // (registry-wide single-partition guard covers degenerate windows)
+    val ap = nodesOf("q_ann_pca")
+    assert(ap.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"q_ann_pca lost the broadcast query fan-out: ${ap.map(_.nodeName).distinct}")
+  }
+
   test("hot scan-shaped queries run inside WholeStageCodegen") {
     // codegen stages (`*(n)` markers) only appear once AQE finalizes the
     // plan, so run the query (cheap at sf0.001) and inspect the final plan
