@@ -633,22 +633,29 @@ object Dedup {
     * keeps a materialized per-segment distinct-doc-frequency table; a NEW
     * batch is segmented, its fingerprints join the base table (batch-sized
     * join — the recurring cost), and a segment is hot iff base df + batch
-    * df reaches `minDf`. Only batch documents are rewritten. Ids must be
-    * disjoint from the base (ingest batches are).
+    * df reaches `minDf`. Only batch documents are rewritten. An id on
+    * BOTH sides is a re-ingest: its base copy is excluded from the base
+    * df (the batch version supersedes it), so overlapping ids cannot
+    * double-count a genuinely unique segment into hotness.
     *
-    * EQUIVALENCE: the output is exactly `segmentDedup(base ∪ batch)`
-    * restricted to batch ids (distinct-doc counts add across disjoint id
-    * sets) — spec-asserted, so the incremental path can never drift from
-    * the batch semantics. Here the base df table is derived in-query; a
-    * production pipeline materializes it once per ingest epoch and the
-    * recurring cost is one fingerprint-keyed join per batch. */
+    * EQUIVALENCE: the output is exactly `segmentDedup((base ∖ batch ids)
+    * ∪ batch)` restricted to batch ids (distinct-doc counts add across
+    * the now-disjoint id sets) — spec-asserted, so the incremental path
+    * can never drift from the batch semantics. Here the base df table is
+    * derived in-query; a production pipeline materializes it once per
+    * ingest epoch (keyed by fingerprint WITH contributing ids, so
+    * supersession is a decrement) and the recurring cost is one
+    * fingerprint-keyed join per batch. */
   def segmentDedupIncremental(newDf: DataFrame, idCol: String, textCol: String,
                               base: DataFrame, baseIdCol: String,
                               baseTextCol: String, segTokens: Int = 4,
                               minDf: Int = 2): DataFrame = {
     require(segTokens > 0 && minDf > 1,
       s"need segTokens > 0 and minDf > 1, got segTokens=$segTokens minDf=$minDf")
-    val baseDf = segmentTable(base, baseIdCol, baseTextCol, segTokens)
+    val batchIds = newDf.select(col(idCol).as(baseIdCol)).distinct()
+    val baseDf = segmentTable(
+        base.join(batchIds, Seq(baseIdCol), "left_anti"),
+        baseIdCol, baseTextCol, segTokens)
       .groupBy("_f").agg(countDistinct(col(baseIdCol)).as("_bdf"))
     val sg = segmentTable(newDf, idCol, textCol, segTokens)
     val hot = sg.groupBy("_f")

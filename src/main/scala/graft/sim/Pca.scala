@@ -40,8 +40,10 @@ object Pca {
     * (divide by n — matches `var_pop`), accumulated in double precision
     * with each float widened first. */
   def fit(df: DataFrame, vecCol: String): Model = {
+    // null vectors and vectors with null ELEMENTS are both dropped —
+    // either would NPE on unboxing in the seqOp
     val data = df.select(transform(col(vecCol), x => x.cast("double")).as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && !exists(col("v"), x => x.isNull))
     val first = data.head(1)
     require(first.nonEmpty, "pca fit: empty input")
     val d = first(0).getSeq[Double](0).length
@@ -181,13 +183,18 @@ object Pca {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast((mean, comps))
     val projUdf = udf { (v: Seq[Double]) =>
-      val (mu, cs) = bc.value
-      val c = new Array[Double](d)
-      var i = 0; while (i < d) { c(i) = v(i) - mu(i); i += 1 }
-      cs.map { q =>
-        var s = 0.0
-        var j = 0; while (j < d) { s += q(j) * c(j); j += 1 }
-        s
+      // null vector → null projection (the fit-side filter's contract,
+      // so a single bad row degrades to null instead of an NPE'd task)
+      if (v == null) null
+      else {
+        val (mu, cs) = bc.value
+        val c = new Array[Double](d)
+        var i = 0; while (i < d) { c(i) = v(i) - mu(i); i += 1 }
+        cs.map { q =>
+          var s = 0.0
+          var j = 0; while (j < d) { s += q(j) * c(j); j += 1 }
+          s
+        }
       }
     }
     df.withColumn(outCol,
@@ -214,21 +221,42 @@ object Pca {
                     model: Model, kdims: Int, shortlist: Int,
                     k: Int): DataFrame = {
     require(shortlist >= k, s"need shortlist >= k, got $shortlist < $k")
+    // the reduced scan carries ONLY (qid, id, _rcos) into the shortlist
+    // window — the full-dim vectors must not ride through the qid
+    // exchange (Q copies of the corpus would); they are re-fetched below
+    // by id for shortlist members only
     val pc = project(corpus, vecCol, model, kdims, "_pv")
-      .select(col(idCol), col(vecCol), col("_pv"))
+      .select(col(idCol), col("_pv"))
     val pq = project(queries, qvecCol, model, kdims, "_pq")
-      .select(col(qidCol), col(qvecCol).as("_qv"), col("_pq"))
+      .select(col(qidCol), col("_pq"))
+    // a zero projection (query at the mean, or orthogonal to the kept
+    // basis) makes the reduced cosine NaN, which Spark sorts ABOVE every
+    // real value — clamp to below-minimum so such rows never crowd the
+    // shortlist; the exact rerank is unaffected either way
+    val rawCos = Ann.cosine(col("_pq"), col("_pv"))
     val reduced = pc.crossJoin(broadcast(pq)) // Q×N, Q tiny: BNLJ scan
       .filter(col(qidCol) =!= col(idCol))
-      .withColumn("_rcos", Ann.cosine(col("_pq"), col("_pv")))
+      .withColumn("_rcos",
+        when(isnan(rawCos), lit(-2.0)).otherwise(rawCos))
+      .select(col(qidCol), col(idCol), col("_rcos"))
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qidCol)).orderBy(col("_rcos").desc, col(idCol))
     val cand = reduced.withColumn("_r", row_number().over(ws))
       .filter(col("_r") <= shortlist)
-      .select(col(qidCol), col(idCol), col("_qv"), col(vecCol))
+      .select(col(qidCol), col(idCol))
+    // rerank join: Q·shortlist rows — broadcast onto the corpus to fetch
+    // full-dim vectors map-only, then the tiny query frame joins in.
+    // The broadcast hint is withheld for degenerate shortlists (the
+    // full-corpus certification twin) where Q·N ids would be the payload
+    // — AQE picks the shape there.
+    val candSide = if (shortlist <= 100000) broadcast(cand) else cand
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
-    cand.withColumn("cosine", Ann.cosine(col("_qv"), col(vecCol)))
+    corpus.select(col(idCol), col(vecCol))
+      .join(candSide, Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol).as("_qv"))),
+        Seq(qidCol))
+      .withColumn("cosine", Ann.cosine(col("_qv"), col(vecCol)))
       .withColumn("rank", row_number().over(wf))
       .filter(col("rank") <= k)
       .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
@@ -258,7 +286,7 @@ object Pca {
     // — deriving it from the eigenvalues would make trace_ok circular.
     val bc = spark.sparkContext.broadcast((model.mean, model.components.take(k)))
     val data = df.select(transform(col(vecCol), x => x.cast("double")).as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && !exists(col("v"), x => x.isNull))
     val acc = data.rdd.treeAggregate(new Array[Double](3))(
       seqOp = { (a, r: Row) =>
         val v = r.getSeq[Double](0)
@@ -310,10 +338,15 @@ object Pca {
       case _ => true
     }
     import spark.implicits._
-    // HALF_UP to 6 dp — DuckDB round() semantics (rint would be half-even)
+    // HALF_UP — DuckDB round() semantics (rint would be half-even). 4 dp,
+    // not the registry's usual 6: unlike the same-formula-both-sides
+    // roundings elsewhere, the oracle recomputes the trace as Σ var_pop
+    // with a DIFFERENT summation algorithm, so the cross-engine drift is
+    // ~1e-10 relative rather than ulp-level — 4 dp keeps the half-up
+    // boundary 4 orders of magnitude away from it.
     Seq((n.toLong, d,
       BigDecimal(traceMeasured)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
       if (orthMax <= 1e-8) 1L else 0L,
       if (descOk) 1L else 0L,
       if (math.abs(evalSum - traceMeasured) <= tol) 1L else 0L,

@@ -230,6 +230,27 @@ class DedupSpec extends SparkSpec {
     assert(inc(0).getString(4) == "fresh stuff")
   }
 
+  test("segmentDedupIncremental: a re-ingested id supersedes its base copy") {
+    // doc 2 exists in the base with a segment the batch version keeps:
+    // the base copy must NOT count toward df (else "u v", unique in the
+    // live corpus, would be deleted as a false duplicate)
+    val base = Seq((2L, "u v old tail"), (8L, "x y stale")).toDF("doc_id", "text")
+    val batch = Seq((2L, "u v new tail"), (9L, "x y fresh")).toDF("doc_id", "text")
+    val inc = Dedup.segmentDedupIncremental(batch, "doc_id", "text",
+        base, "doc_id", "text", segTokens = 2, minDf = 2)
+      .orderBy("doc_id").collect()
+    // "u v": batch df 1, base contribution excluded (re-ingest) -> kept
+    assert(inc(0).getString(4) == "u v new tail")
+    // "x y": base doc 8 (not re-ingested) + batch doc 9 -> hot, removed
+    assert(inc(1).getString(4) == "fresh")
+    // equivalence target: full run over (base without id 2) + batch
+    val full = Dedup.segmentDedup(
+        base.filter(col("doc_id") =!= 2L).union(batch), "doc_id", "text",
+        segTokens = 2, minDf = 2)
+      .filter(col("doc_id").isin(2L, 9L)).orderBy("doc_id").collect()
+    assert(inc.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+  }
+
   test("segmentDedup: minDf binds on distinct docs, not occurrences") {
     // "a b" twice WITHIN doc 1 only — df=1, so minDf=2 keeps it
     val d = Seq((1L, "a b c c a b"), (2L, "x y z")).toDF("doc_id", "text")
