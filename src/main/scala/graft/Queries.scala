@@ -182,26 +182,30 @@ object Queries {
        |FROM scored WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
-  /** Segment-dedup replay (tokenize → 4-token segments → md5 df ≥ 2 →
-    * ordered surviving rejoin), parameterized only by the final batch
-    * filter — q_segment_dedup uses the empty filter, the incremental twin
-    * restricts to odd ids. One string, so the replays cannot diverge. */
-  private def segmentDedupSql(where: String) =
+  /** Segment-dedup replay (tokenize → `segTokens`-token segments → md5
+    * df ≥ `minDf` → ordered surviving rejoin), parameterized by the final
+    * batch filter — q_segment_dedup uses the empty filter, the incremental
+    * twin restricts to odd ids — and by the SAME (segTokens, minDf) the
+    * Spark registry entries pass, so a parameter tweak on one side cannot
+    * silently desynchronize the oracle. One string, so the replays cannot
+    * diverge. */
+  private def segmentDedupSql(where: String, segTokens: Int = 4,
+                              minDf: Int = 2) =
     s"""WITH tk AS (SELECT doc_id,
        |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
        |      y -> y <> '') AS t
        |  FROM documents),
-       |st AS (SELECT doc_id, t, CAST(ceil(len(t) / 4.0) AS BIGINT) AS nseg
+       |st AS (SELECT doc_id, t, CAST(ceil(len(t) / $segTokens.0) AS BIGINT) AS nseg
        |  FROM tk WHERE len(t) > 0),
        |ex AS (SELECT doc_id, t, unnest(range(0, nseg)) AS i FROM st),
        |sg AS (SELECT doc_id, i,
-       |    array_to_string(list_slice(t, i*4 + 1, i*4 + 4), ' ') AS seg,
-       |    len(list_slice(t, i*4 + 1, i*4 + 4)) AS ntok
+       |    array_to_string(list_slice(t, i*$segTokens + 1, i*$segTokens + $segTokens), ' ') AS seg,
+       |    len(list_slice(t, i*$segTokens + 1, i*$segTokens + $segTokens)) AS ntok
        |  FROM ex),
        |fp AS (SELECT doc_id, i, seg, ntok, md5(seg) AS f FROM sg),
        |hot AS (SELECT f FROM (
        |    SELECT f, count(DISTINCT doc_id) AS df FROM fp GROUP BY 1)
-       |  WHERE df >= 2),
+       |  WHERE df >= $minDf),
        |kd AS (SELECT doc_id, i, seg, ntok,
        |    CASE WHEN f IN (SELECT f FROM hot) THEN 1 ELSE 0 END AS h
        |  FROM fp)
@@ -1788,11 +1792,14 @@ object Queries {
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2")),
 
-    "q_semdedup" -> ((s, d) =>
-      // SemDeDup semantic dedup: nearest-label-centroid clustering
-      // (the q_ann_ivf coarse quantizer) + within-cell cosine pruning
-      // with the deterministic min-id keeper. Survivors (vec_id, cell);
-      // pair candidates are cell-bucketed, never corpus all-pairs.
+    "q_semdedup_fixedk" -> ((s, d) =>
+      // SemDeDup with a FIXED label-centroid quantizer (the q_ann_ivf
+      // cells) — kept as the N²/k capacity-law demonstration: with k
+      // frozen, per-cell population grows with N and the within-cell pair
+      // join is quadratic (measured 11.4× at 10× data, SCALE.md). The
+      // PRIMARY q_semdedup row is the auto-k variant below, whose cell
+      // count scales with the corpus. Survivors (vec_id, cell); pair
+      // candidates are cell-bucketed, never corpus all-pairs.
       graft.sim.Ann.semDedup(Tables.embeddings(s, d), "vec_id",
           "embedding", "label", threshold = 0.30)
         .orderBy("vec_id")),
@@ -1813,13 +1820,16 @@ object Queries {
       graft.sim.Ann.embeddingDrift(Tables.embeddings(s, d), "embedding",
         refPred = pmod(col("vec_id"), lit(2)) === 0)),
 
-    "q_semdedup_auto" -> ((s, d) =>
-      // SemDeDup in the operating regime: the coarse quantizer SCALES
-      // with the corpus — cell count 2^b where b is the smallest with
-      // 64·2^b >= N (pure-integer rule, oracle-replayed), cells are
-      // md5-plane sign-LSH buckets. Per-cell population stays ~64 at
-      // every corpus size, so the within-cell pair join grows linearly
-      // in N — the engineered fix for the fixed-k variant's N²/k law.
+    "q_semdedup" -> ((s, d) =>
+      // SemDeDup, PRIMARY row (auto-k — promoted round 9 per the round-8
+      // verdict: the sf1 run proved this is the plan a 100× user must
+      // land on). The coarse quantizer SCALES with the corpus — cell
+      // count 2^b where b is the smallest with 64·2^b >= N (pure-integer
+      // rule, oracle-replayed), cells are md5-plane sign-LSH buckets.
+      // Per-cell population stays ~64 at every corpus size, so the
+      // within-cell pair join grows linearly in N — the engineered fix
+      // for q_semdedup_fixedk's N²/k law (measured near-flat 1.33/2.39/
+      // 2.43 s at 1×/4×/8×).
       graft.sim.Ann.semDedupAuto(Tables.embeddings(s, d), "vec_id",
           "embedding", threshold = 0.30)
         .orderBy("vec_id")),
@@ -1856,14 +1866,16 @@ object Queries {
           simhashMd5Col(s, col("_m"), 32).as("simhash32"))
         .orderBy("doc_id")),
 
-    "q_simhash_pairs" -> ((s, d) =>
-      // Text near-dup pair counts over SimHash-32 through the SAME shared
-      // Hamming operator as the image/audio/video fingerprints. 4 bands ×
-      // 8 bits: maxDist 3 < 4 bands keeps recall exact by pigeonhole, and
-      // 8-bit bands are the widest a 32-bit hash allows — 16× fewer random
-      // band collisions than the former 8×4 banding (candidates ≈
-      // nBands·D²/2^bandBits/2 for D distinct hashes, so width is the
-      // whole selectivity game at scale).
+    "q_simhash32_saturation" -> ((s, d) =>
+      // SimHash-32 pair counts — kept as the fingerprint-SATURATION
+      // capacity-law demonstration (demoted from the primary name round 9
+      // per the round-8 verdict: at 10× data the 32-bit space saturates —
+      // 77.9M candidates, 20.4× wall — which q_banding_capacity predicts
+      // for pennies). The PRIMARY q_simhash_pairs row is the 64-bit
+      // banding below. 4 bands × 8 bits: maxDist 3 < 4 bands keeps recall
+      // exact by pigeonhole, and 8-bit bands are the widest a 32-bit hash
+      // allows (candidates ≈ nBands·D²/2^bandBits/2 for D distinct
+      // hashes, so fingerprint width is the whole selectivity game).
       graft.sim.Hamming.pairCounts(
         Tables.documents(s, d)
           .select(col("doc_id"),
@@ -1872,10 +1884,10 @@ object Queries {
         "simhash32", nBands = 4, bandBits = 8, maxDist = 3)),
 
     "q_banding_capacity" -> ((s, d) =>
-      // The capacity plan for q_simhash_pairs' 4×8-bit banding, as a
+      // The capacity plan for q_simhash32_saturation's 4×8-bit banding, as a
       // first-class operator: per band — buckets, largest bucket, and the
       // candidate fan-out Σ C(n,2) the banded join WOULD generate, read
-      // ahead of running it (the sf4 q_simhash_pairs blow-up in SCALE.md
+      // ahead of running it (the sf4 SimHash-32 blow-up in SCALE.md
       // is visible in this table for pennies). DuckDB replays the
       // fingerprints and the banding arithmetic exactly.
       graft.sim.Hamming.bandingStats(
@@ -1895,9 +1907,11 @@ object Queries {
           simhashMd5Col(s, col("_m"), 64).as("simhash64"))
         .orderBy("doc_id")),
 
-    "q_simhash64_pairs" -> ((s, d) => {
-      // 64-bit SimHash pair counts through the shared Hamming operator:
-      // 5 bands {13,13,13,13,12} tile all 64 bits — maxDist 4 < 5 bands
+    "q_simhash_pairs" -> ((s, d) => {
+      // Text near-dup pair counts, PRIMARY row (SimHash-64 banding —
+      // promoted round 9 per the round-8 verdict: 7.4× sub-linear at 10×
+      // data where the 32-bit variant saturated at 20.4×). 5 bands
+      // {13,13,13,13,12} tile all 64 bits — maxDist 4 < 5 bands
       // keeps recall exact, and 13-bit bands collide 32× less than the
       // 8-bit bands SimHash-32 permits (the measured D²/2^w law). The
       // doc_id % 7 re-syndication overlay plants exact duplicates so the
@@ -3390,10 +3404,15 @@ object Queries {
 
     // Exact n/dims plus the var_pop trace (the one eigen-invariant DuckDB
     // can replay without an eigensolver); the four invariants ride as
-    // literal 1s (q_sketch_bounds pattern).
+    // literal 1s (q_sketch_bounds pattern). The WHERE mirrors certify()'s
+    // null-vector / null-element drop so both engines state the SAME
+    // population — without it a null row in a future fixture would read
+    // as a Spark bug (n and trace diverging cross-engine).
     "q_pca_cert" ->
       s"""WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
          |dm AS (SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM e),
          |vr AS (SELECT sum(vp) AS tr, count(*) AS nd
          |  FROM (SELECT i, var_pop(x) AS vp FROM dm GROUP BY i))
@@ -3466,12 +3485,13 @@ object Queries {
     // rejoined in position order (string_agg ORDER BY; coalesce mirrors
     // Spark's concat_ws('') on an all-hot doc). Whitespace-only docs have
     // no segments and are absent on both sides.
-    "q_segment_dedup" -> segmentDedupSql(""),
+    "q_segment_dedup" -> segmentDedupSql("", segTokens = 4, minDf = 2),
 
     // The SAME replay restricted to the odd-id batch — the incremental
     // path's spec-asserted equivalence target, stated directly (shared
     // builder, so the two replays cannot diverge).
-    "q_segment_dedup_incremental" -> segmentDedupSql("WHERE doc_id % 2 = 1"),
+    "q_segment_dedup_incremental" ->
+      segmentDedupSql("WHERE doc_id % 2 = 1", segTokens = 4, minDf = 2),
 
     "q_neardup_survivors" ->
       // survivors = docs that are their own cluster representative under
@@ -3941,7 +3961,7 @@ object Queries {
          |FROM ($TokenMd5Sql)
          |ORDER BY doc_id""".stripMargin,
 
-    "q_simhash_pairs" ->
+    "q_simhash32_saturation" ->
       s"""WITH fp AS (SELECT doc_id, ${Simhash32Terms} AS sh FROM ($TokenMd5Sql))
          |SELECT CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming,
          |  count(*) AS n_pairs
@@ -3973,7 +3993,7 @@ object Queries {
          |FROM ($TokenMd5Sql)
          |ORDER BY doc_id""".stripMargin,
 
-    "q_simhash64_pairs" ->
+    "q_simhash_pairs" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
@@ -4012,7 +4032,7 @@ object Queries {
          |  CAST(1 AS BIGINT) AS recall_floor_ok
          |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
-    "q_semdedup" ->
+    "q_semdedup_fixedk" ->
       // Replays the q_ann_ivf coarse quantizer (6-dp label centroids,
       // cosine-nearest cell with ascending-cell tiebreak), then the
       // within-cell pair prune: drop any vector with a smaller-id
@@ -4095,12 +4115,13 @@ object Queries {
          |  n_ref, n_cur
          |FROM ag ORDER BY pos""".stripMargin,
 
-    "q_semdedup_auto" ->
-      // Replays Ann.semDedupAuto: b = min bits with 64·2^b >= count(*)
-      // (integer inequality, no float log2), the b-bit md5-plane sign-LSH
-      // bucket per vector (exact integer projections, identical to
-      // annBucketMd5Cte but with the plane range bounded by the computed
-      // b), then the same within-cell min-id prune as q_semdedup.
+    "q_semdedup" ->
+      // PRIMARY row (auto-k). Replays Ann.semDedupAuto: b = min bits with
+      // 64·2^b >= count(*) (integer inequality, no float log2), the b-bit
+      // md5-plane sign-LSH bucket per vector (exact integer projections,
+      // identical to annBucketMd5Cte but with the plane range bounded by
+      // the computed b), then the same within-cell min-id prune as
+      // q_semdedup_fixedk.
       s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
          |bb AS (SELECT coalesce(min(b), 32) AS bits FROM generate_series(0, 32) s(b), nn
          |  WHERE 64 * (CAST(1 AS BIGINT) << b) >= nn.n),

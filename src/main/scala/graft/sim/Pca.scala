@@ -90,19 +90,35 @@ object Pca {
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: sweep the
     * strict upper triangle in row-major order, rotating away each
     * off-diagonal element, until the off-diagonal Frobenius mass falls
-    * under `tol` (or `maxSweeps`). Deterministic — fixed sweep order, no
-    * pivoting by magnitude — so the fitted basis is reproducible bit-for-
-    * bit for fixed input. Returns (eigenvalues desc, row-major orthonormal
-    * eigenvectors under the sign convention of [[Model]]). */
+    * under `tol · max(1, ‖A‖_F)` (RELATIVE — an absolute cutoff would be
+    * unreachable for large-trace covariances, whose off-diagonal mass
+    * floors at ~machine-eps·‖A‖, silently burning all `maxSweeps`), the
+    * mass stops decreasing (floor reached), or `maxSweeps`. Deterministic
+    * — fixed sweep order, no pivoting by magnitude — so the fitted basis
+    * is reproducible bit-for-bit for fixed input. Returns (eigenvalues
+    * desc, row-major orthonormal eigenvectors under the sign convention
+    * of [[Model]]). */
   private[sim] def jacobiEigen(m: Array[Array[Double]], tol: Double = 1e-12,
                                maxSweeps: Int = 64)
       : (Array[Double], Array[Array[Double]]) = {
     val d = m.length
     val a = Array.tabulate(d, d)((i, j) => m(i)(j))
     val q = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val frob = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { s += m(i)(j) * m(i)(j); j += 1 }
+        i += 1
+      }
+      math.sqrt(s)
+    }
+    val scaledTol = tol * math.max(1.0, frob)
     var sweep = 0
     var off = offDiag(a)
-    while (off > tol && sweep < maxSweeps) {
+    var prevOff = Double.PositiveInfinity
+    while (off > scaledTol && off < prevOff && sweep < maxSweeps) {
       var p = 0
       while (p < d - 1) {
         var r = p + 1
@@ -138,6 +154,7 @@ object Pca {
         }
         p += 1
       }
+      prevOff = off
       off = offDiag(a)
       sweep += 1
     }
@@ -197,8 +214,14 @@ object Pca {
         }
       }
     }
+    // null ELEMENTS degrade to a null projection too (same posture as the
+    // fit-side `!exists(v, isNull)` drop) — inside the UDF a null element
+    // would NPE the task on Seq[Double] unboxing before the guard could see
+    // it, so the check must live in the Column expression
+    val vv = transform(col(vecCol), x => x.cast("double"))
     df.withColumn(outCol,
-      projUdf(transform(col(vecCol), x => x.cast("double"))))
+      when(vv.isNull || exists(vv, x => x.isNull),
+        lit(null).cast("array<double>")).otherwise(projUdf(vv)))
   }
 
   /** PCA-reduced ANN: the "PCA + rerank" read path (shortlist in the
@@ -266,8 +289,9 @@ object Pca {
     * flags (the sketch-certification pattern: eigenvectors are not
     * cross-engine replayable, so the oracle-visible contract is the
     * invariants):
-    *  - `n`, `dims` exact; `trace` = Σ per-dim var_pop (rounded 6 dp,
-    *    DuckDB-replayable);
+    *  - `n`, `dims` exact; `trace` = Σ per-dim var_pop (rounded 4 dp —
+    *    the inline comment at the rounding explains why 4 — DuckDB-
+    *    replayable);
     *  - `orth_ok`: max |QQᵀ − I| ≤ 1e-8 over the full basis;
     *  - `desc_ok`: eigenvalues non-increasing;
     *  - `trace_ok`: |Σλ − trace| ≤ 1e-6·max(1, trace) (rotation preserves

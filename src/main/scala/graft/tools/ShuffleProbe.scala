@@ -40,7 +40,7 @@ object ShuffleProbe {
   // the cluster bottleneck
   private val DefaultOps = Seq(
     "q3_shipping", "q_join_shuffle", "q_join_skewed", "q_minhash_lsh_md5",
-    "q_simhash64_pairs", "q_dup_spans", "q_neardup_clusters",
+    "q_simhash_pairs", "q_dup_spans", "q_neardup_clusters",
     "q_window_w2_partitioned", "q_ffill_bucketed_w1", "q_scale_robust",
     "q_tfidf_topk", "q_bigram_ppl", "q_pack_bins_bucketed", "q_semdedup")
 

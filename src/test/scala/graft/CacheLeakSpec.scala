@@ -17,7 +17,8 @@ class CacheLeakSpec extends SparkSpec {
   /** Queries whose operators historically persisted (or still internally
     * persist-then-unpersist) shared intermediates. */
   private val affected = Seq(
-    "q_simhash_pairs", "q_phash_pairs", "q_ahash_pairs", "q_vhash_pairs",
+    "q_simhash_pairs", "q_simhash32_saturation",
+    "q_phash_pairs", "q_ahash_pairs", "q_vhash_pairs",
     "q_minhash_lsh_md5", "q_dup_spans", "q_hist_quantile",
     "q_neardup_clusters", "q_bpe_merges")
 

@@ -203,8 +203,8 @@ class PlanGuardSpec extends SparkSpec {
       n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
       s"q_interval_join lost its equi-join: ${ij.map(_.nodeName).distinct}")
 
-    Seq("q_phash_pairs", "q_ahash_pairs", "q_vhash_pairs", "q_simhash_pairs",
-        "q_simhash64_pairs")
+    Seq("q_phash_pairs", "q_ahash_pairs", "q_vhash_pairs",
+        "q_simhash32_saturation", "q_simhash_pairs")
       .foreach { q =>
         val nodes = nodesOf(q)
         assert(nodes.exists(_.isInstanceOf[
@@ -378,21 +378,21 @@ class PlanGuardSpec extends SparkSpec {
       s"q_bigram_ppl grew a positional join ($shuffledJoins shuffled joins): " +
         bp.map(_.nodeName).distinct.mkString(", "))
 
-    // q_semdedup: assignment (with its broadcast centroid table) runs
+    // q_semdedup_fixedk: assignment (with its broadcast centroid table) runs
     // inside the eager localCheckpoint — invisible to plan inspection,
     // the documented ivfTopK trade-off — so the visible contract is:
     // every consumer scans the checkpointed assignment (ExistingRDD,
     // never a recompute), the prune is joins (cell-keyed pair join +
     // id-keyed anti), and no window over the corpus
-    val sd = nodesOf("q_semdedup")
+    val sd = nodesOf("q_semdedup_fixedk")
     assert(sd.count(_.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]) >= 2,
-      "q_semdedup must scan the checkpointed assignment, " +
+      "q_semdedup_fixedk must scan the checkpointed assignment, " +
         s"got: ${sd.map(_.nodeName).distinct}")
     assert(sd.count(_.isInstanceOf[
         org.apache.spark.sql.execution.joins.BaseJoinExec]) >= 2,
-      s"q_semdedup lost the pair/anti join pair: ${sd.map(_.nodeName).distinct}")
+      s"q_semdedup_fixedk lost the pair/anti join pair: ${sd.map(_.nodeName).distinct}")
     assert(!sd.exists(_.nodeName.toLowerCase.contains("window")),
-      s"q_semdedup grew a window: ${sd.map(_.nodeName).distinct}")
+      s"q_semdedup_fixedk grew a window: ${sd.map(_.nodeName).distinct}")
 
     // q_ngram_novelty: one shingle-keyed aggregate + join back + doc
     // aggregate — bounded exchanges, and a join must exist (the min-id
@@ -454,23 +454,23 @@ class PlanGuardSpec extends SparkSpec {
       "dim side got broadcast — the skewed-shuffle demo is vacuous")
   }
 
-  test("round-8 q_semdedup_auto contract: checkpointed assignment, cell-keyed prune, no window") {
+  test("q_semdedup (auto-k, primary since round 9) contract: checkpointed assignment, cell-keyed prune, no window") {
     // Assignment (auto-bits LSH projection — map-only, no centroid
     // broadcast at all) runs inside the eager localCheckpoint, so the
-    // visible contract mirrors q_semdedup's: every consumer scans the
+    // visible contract mirrors q_semdedup_fixedk's: every consumer scans the
     // checkpointed assignment (never recomputes the plane projections),
     // the prune stays a join pair (cell-keyed pair join + id-keyed
     // anti-join), and no window over the corpus.
     val sa = allNodes(
-      Queries.queries("q_semdedup_auto")(spark, dir).queryExecution.executedPlan)
+      Queries.queries("q_semdedup")(spark, dir).queryExecution.executedPlan)
     assert(sa.count(_.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]) >= 2,
-      "q_semdedup_auto must scan the checkpointed assignment, " +
+      "q_semdedup (auto-k) must scan the checkpointed assignment, " +
         s"got: ${sa.map(_.nodeName).distinct}")
     assert(sa.count(_.isInstanceOf[
         org.apache.spark.sql.execution.joins.BaseJoinExec]) >= 2,
-      s"q_semdedup_auto lost the pair/anti join pair: ${sa.map(_.nodeName).distinct}")
+      s"q_semdedup (auto-k) lost the pair/anti join pair: ${sa.map(_.nodeName).distinct}")
     assert(!sa.exists(_.nodeName.toLowerCase.contains("window")),
-      s"q_semdedup_auto grew a window: ${sa.map(_.nodeName).distinct}")
+      s"q_semdedup (auto-k) grew a window: ${sa.map(_.nodeName).distinct}")
   }
 
   test("round-8 incremental/coverage/PR contracts: cell-keyed prunes, TakeOrdered heads, scan-side sweep") {
