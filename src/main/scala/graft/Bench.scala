@@ -29,6 +29,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Failures are reported per-query (`"failed":[...]`) instead of silently
   * contributing wall time; a failed query also forces rc 1.
+  *
+  * Two subtotals (round-9 verdict item 2): `oracle_total` (= `value`, the
+  * oracle-green registry as-is) and `production_total` (same workload with
+  * each md5-parity row's steady time replaced by its xxhash/float
+  * production twin from `Queries.benchOnly`, whose per-query times ride in
+  * `queries_bench_only`). The heaviest registry rows pay md5-per-shingle
+  * so DuckDB can replay them; the production subtotal is what a user of
+  * the library pays. A GC fence before each binary-payload rep keeps the
+  * media queries' session numbers attributable (see `gcBarrier`).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -73,13 +82,28 @@ object Bench {
     }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Binary-payload family: decoded media batches (tens of MB per task)
+    // promote into the old gen during whatever ran before, and the sf1
+    // session record showed q_vhash at 12.6x in-session vs 3.2x solo —
+    // GC pressure inherited from neighbors, not the query's own cost. A
+    // full System.gc() fence before each rep keeps session records
+    // attributable to the query (disable: SPARK_GRAFT_GC_BARRIER=0).
+    val gcBarrier = sys.env.getOrElse("SPARK_GRAFT_GC_BARRIER", "1") != "0"
+    def isBinaryFamily(name: String): Boolean =
+      name.startsWith("q_mm_") || name.startsWith("q_phash") ||
+      name.startsWith("q_ahash") || name.startsWith("q_vhash")
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Double) = {
+      def fence(): Unit = if (gcBarrier && isBinaryFamily(name)) {
+        System.gc(); Thread.sleep(50)
+      }
+      fence()
       val first = timeOnce(name, fn)
       // iterator, not Range: the failure check must run BEFORE each rep,
       // so a mid-sequence steady-rep crash skips the remaining reps
       val steadies = Iterator.range(2, reps + 1)
         .takeWhile(_ => !failed.contains(name))
-        .map(_ => timeOnce(name, fn)).toSeq
+        .map { _ => fence(); timeOnce(name, fn) }.toSeq
       // a steady-rep failure would otherwise record its time-to-crash as
       // the "steady" number — fall back to the valid first-rep measurement
       val steady =
@@ -87,14 +111,37 @@ object Bench {
         else median(steadies)
       (name, first, steady)
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) => measure(name, fn)
+    }
+    // Production twins run AFTER the registry (same session, same rep
+    // discipline) so the registry's cross-round comparability is untouched.
+    val twinResults = Queries.benchOnly.toSeq.sortBy(_._1).map {
+      case (name, fn) => measure(name, fn)
+    }
     val loadEnd = osBean.getSystemLoadAverage
+    def jmapOf(rs: Seq[(String, Double, Double)])(
+        sel: ((String, Double, Double)) => Double): String =
+      rs.map { r => "\"" + r._1 + "\":" + sel(r) }.mkString("{", ",", "}")
     def jmap(sel: ((String, Double, Double)) => Double): String =
-      results.map { r => "\"" + r._1 + "\":" + sel(r) }.mkString("{", ",", "}")
+      jmapOf(results)(sel)
     val qsSteady = jmap(_._3)
     val qsFirst = jmap(_._2)
+    val qsTwins = jmapOf(twinResults)(_._3)
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalSteady = results.map(_._3).sum
     val totalFirst = results.map(_._2).sum
+    // oracle_total = the registry as-is (every row oracle-green, some
+    // paying cross-engine digest parity); production_total = the same
+    // workload with each md5-parity row's time replaced by its xxhash/
+    // float production twin's — the subtotal a production user of the
+    // library actually pays. Both appear in every record so the 2x gate
+    // discussion can cite either without a re-run.
+    val steadyByName = results.map(r => r._1 -> r._3).toMap
+    val productionTotal = totalSteady -
+      Queries.productionSubstitutes.valuesIterator
+        .map(md5 => steadyByName.getOrElse(md5, 0.0)).sum +
+      twinResults.map(_._3).sum
     val ctx = {
       val heapGb = Runtime.getRuntime.maxMemory / 1e9
       // Locale.ROOT: the default-locale f-interpolator would render 1,42
@@ -106,7 +153,7 @@ object Bench {
       s"""{"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps}"""
     }
     val json =
-      s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","queries":$qsSteady,"value_first":$totalFirst,"queries_first":$qsFirst,"failed":$fs,"sf":"$sfDir","ctx":$ctx}"""
+      s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","queries":$qsSteady,"value_first":$totalFirst,"queries_first":$qsFirst,"oracle_total":$totalSteady,"production_total":$productionTotal,"queries_bench_only":$qsTwins,"failed":$fs,"sf":"$sfDir","ctx":$ctx}"""
     println(json)
     // Also persist to a file: log captures of the stdout line have truncated
     // the head of long JSON lines, losing the alphabetically-first per-query

@@ -5055,4 +5055,68 @@ object Queries {
        |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
        |ORDER BY id1""".stripMargin
+
+  // ==========================================================================
+  // Bench-only production twins (round-9 verdict item 2)
+  // ==========================================================================
+
+  /** The xxhash64/float-basis PRODUCTION variants of the four hash-twin
+    * families. NOT in `queries`: DuckDB cannot replay xxhash64, so a
+    * registry row for them would be permanently yellow (the round-7
+    * `no_oracle` cleanup retired them for exactly that reason). But the
+    * md5-parity rows the registry DOES carry pay a cryptographic digest
+    * per shingle that no production user pays — the heaviest bench rows
+    * were measuring oracle tax, not plans. These re-admit the production
+    * kernels to the BENCH loop only: `graft.Bench` times them alongside
+    * the registry and reports a `production_total` in which each twin's
+    * steady time substitutes its md5 row's (see
+    * [[productionSubstitutes]]). Value-level correctness of the shared
+    * plan shape rides on the md5 oracles; the xxhash kernels' own
+    * contracts (exact-dup recall, no cartesian, rank caps) are pinned by
+    * ProductionTwinSpec, and their plan shapes by PlanGuardSpec. */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_minhash_lsh" -> ((s, d) =>
+      // xxhash64 minwise signatures + banded candidate equi-join — the
+      // production MinHash-LSH path (same plan shape as the ~3x-slower
+      // md5 oracle twin q_minhash_lsh_md5).
+      graft.dedup.Dedup.minhashCandidates(Tables.documents(s, d), "doc_id",
+          "text", k = 2, numHashes = 32, bands = 16)
+        .orderBy("id1", "id2")),
+
+    "q_simhash" -> ((s, d) =>
+      // xxhash64-basis SimHash-64 fingerprints (one codegen'd pass over
+      // the token array; md5 twin: q_simhash_md5).
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.dedup.Dedup.tokenHashes(col("text")).as("_h"))
+        .select(col("doc_id"),
+          graft.dedup.Dedup.simhashFromHashes(col("_h")).as("simhash"))
+        .orderBy("doc_id")),
+
+    "q_ann_lsh" -> ((s, d) => {
+      // float-hyperplane LSH-bucketed ANN (md5-plane twin: q_ann_lsh_md5).
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.sim.Ann.lshTopK(q, "qid", "qv", emb, "vec_id", "embedding", 5,
+          bits = 4)
+        .orderBy("qid", "rank")
+    }),
+
+    "q_cosine_neardup" -> ((s, d) =>
+      // float-hyperplane LSH near-dup pairs (md5-plane twin:
+      // q_cosine_neardup_md5).
+      graft.sim.Ann.cosineNearDup(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.15, bits = 4)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id1", "id2")))
+
+  /** benchOnly twin → the registry row whose steady time it substitutes
+    * in graft.Bench's `production_total` (the md5 rows stay in
+    * `oracle_total` — both subtotals appear in every bench record). */
+  val productionSubstitutes: Map[String, String] = Map(
+    "q_minhash_lsh" -> "q_minhash_lsh_md5",
+    "q_simhash" -> "q_simhash_md5",
+    "q_ann_lsh" -> "q_ann_lsh_md5",
+    "q_cosine_neardup" -> "q_cosine_neardup_md5")
 }

@@ -63,6 +63,27 @@ class PlanGuardSpec extends SparkSpec {
       s"detector only flagged: $flaggedGlobal")
   }
 
+  test("bench-only production twins: candidate generation is an equi-join, never all-pairs") {
+    // The xxhash/float twins are benched (production_total) but not
+    // oracle-dumped, so the registry-wide sweep above never sees them —
+    // pin the same no-cartesian contract here. BroadcastNestedLoopJoin is
+    // banned too: these four are pair/bucket plans where a BNLJ would mean
+    // the bucket key fell out of the join condition.
+    Queries.benchOnly.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val nodes = allNodes(fn(spark, dir).queryExecution.executedPlan)
+      assert(!nodes.exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+        s"$name plans an all-pairs join: ${nodes.map(_.nodeName).distinct}")
+    }
+    // substitution map hygiene: every twin substitutes a registered row
+    Queries.productionSubstitutes.foreach { case (twin, md5Row) =>
+      assert(Queries.benchOnly.contains(twin), s"$twin not in benchOnly")
+      assert(Queries.queries.contains(md5Row),
+        s"$twin substitutes unregistered row $md5Row")
+    }
+  }
+
   test("column pruning reaches the parquet scans (requiredSchema lists only referenced columns)") {
     // representative narrow projections over wide tables: a scan reading
     // all columns for a 2-column query is a pruning regression. Asserted
