@@ -2041,6 +2041,27 @@ object Queries {
         .orderBy("qid", "rank")
     }),
 
+    "q_ann_ivf_append" -> ((s, d) => {
+      // Index MAINTENANCE lifecycle, end-to-end on disk: build the
+      // persisted IVF index from the base half (vec_id < 250 — the
+      // re-crawl split q_semdedup_incremental uses), append the arriving
+      // batch with the FROZEN quantizer (map-only, O(batch) — never a
+      // retrain or base re-assignment), then read back the staleness
+      // report: per cell, each generation's population and mean
+      // quantization error — the measurable rebuild signal. The oracle
+      // replays the base-only k-means training, the frozen-centroid
+      // assignment of everyone, and the exact-integer error arithmetic.
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") < 250)
+      val batch = emb.filter(col("vec_id") >= 250)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_append").toString
+      graft.sim.IvfIndex.build(base, "vec_id", "embedding", path,
+        centers = 8, iters = 2)
+      graft.sim.IvfIndex.append(batch, "vec_id", "embedding", s, path)
+      graft.sim.IvfIndex.staleness(s, path)
+    }),
+
     "q_random_proj" -> ((s, d) =>
       // JL random projection 64 → 8 dims on the md5 integer plane family —
       // exact integer dot products, bit-stable cross-engine (no rounding).
@@ -4232,6 +4253,8 @@ object Queries {
 
     "q_ann_ivf_kmeans" -> ivfKmeansSql(k = 8, iters = 2, nprobe = 2, topk = 5),
 
+    "q_ann_ivf_append" -> ivfAppendSql(k = 8, iters = 2, split = 250L),
+
     "q_random_proj" ->
       s"""WITH fx AS (
          |  SELECT vec_id, CAST(g.i AS INTEGER) AS i,
@@ -4822,9 +4845,20 @@ object Queries {
     * exact squared-distance assignment (tie → smaller cell), centroid
     * update floorDiv(1000·Σq, m) via the pmod-subtraction so engine
     * division semantics can't diverge. */
-  private def ivfKmeansSql(k: Int, iters: Int, nprobe: Int, topk: Int): String = {
-    def distTo(qa: String, ca: String) =
-      s"(SELECT sum(($qa[g.i]*1000 - $ca[g.i])*($qa[g.i]*1000 - $ca[g.i])) FROM generate_series(1, 64) g(i))"
+  /** Integer squared distance between a ×1000-grid query vector and a
+    * ×10⁶-grid centroid (the exact arithmetic IvfIndex/Ann use). */
+  private def ivfDistTo(qa: String, ca: String) =
+    s"(SELECT sum(($qa[g.i]*1000 - $ca[g.i])*($qa[g.i]*1000 - $ca[g.i])) FROM generate_series(1, 64) g(i))"
+
+  /** The fixed-point k-means training replay (md5-seeded farthest-first
+    * init + exact-integer Lloyd) as a WITH-prefix ending at centroid CTE
+    * `c<iters>`. `trainWhere` restricts the TRAINING population (both the
+    * init candidates and the Lloyd assignment passes) — empty for the
+    * full-corpus q_ann_ivf_kmeans, a base-split predicate for the frozen-
+    * quantizer append replay. `ev` itself stays unfiltered so finals can
+    * score/assign the whole corpus. */
+  private def kmeansTrainCtes(k: Int, iters: Int, trainWhere: String): String = {
+    def distTo(qa: String, ca: String) = ivfDistTo(qa, ca)
     // candidate-vs-candidate distance: both already on the ×1000 grid
     def candDist(a: String, b: String) =
       s"(SELECT sum(($a[g.i] - $b[g.i])*($a[g.i] - $b[g.i])) FROM generate_series(1, 64) g(i))"
@@ -4835,7 +4869,7 @@ object Queries {
          |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*1000) AS BIGINT)) AS q
          |  FROM embeddings),
          |cand AS MATERIALIZED (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
-         |  list_transform(q, x -> x*1000) AS c FROM ev
+         |  list_transform(q, x -> x*1000) AS c FROM ev $trainWhere
          |  QUALIFY rn <= $over),
          |ch1 AS MATERIALIZED (SELECT 0 AS cell, rn, c FROM cand WHERE rn = 1),
          |""".stripMargin)
@@ -4857,7 +4891,7 @@ object Queries {
       sb.append(
         s"""a$i AS (SELECT e.vec_id, e.q, s.cell,
            |  row_number() OVER (PARTITION BY e.vec_id ORDER BY ${distTo("e.q", "s.c")}, s.cell) AS rk
-           |  FROM ev e CROSS JOIN c${i - 1} s),
+           |  FROM ev e CROSS JOIN c${i - 1} s $trainWhere),
            |u$i AS (SELECT a.cell, g.i AS pos, sum(a.q[g.i]) AS sv, count(*) AS m
            |  FROM a$i a CROSS JOIN generate_series(1, 64) g(i) WHERE a.rk = 1
            |  GROUP BY a.cell, g.i),
@@ -4866,6 +4900,13 @@ object Queries {
            |  FROM u$i GROUP BY cell),
            |""".stripMargin)
     }
+    sb.toString
+  }
+
+  private def ivfKmeansSql(k: Int, iters: Int, nprobe: Int, topk: Int): String = {
+    def distTo(qa: String, ca: String) = ivfDistTo(qa, ca)
+    val sb = new StringBuilder
+    sb.append(kmeansTrainCtes(k, iters, ""))
     sb.append(
       s"""fin AS (SELECT e.vec_id, e.embedding, s.cell,
          |  row_number() OVER (PARTITION BY e.vec_id ORDER BY ${distTo("e.q", "s.c")}, s.cell) AS rk
@@ -4883,6 +4924,33 @@ object Queries {
          |  FROM cells ce JOIN pr ON ce.cell = pr.cell AND ce.vec_id <> pr.qid)
          |SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank
          |FROM scored WHERE rank <= $topk ORDER BY qid, rank""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB twin of the IvfIndex build→append→staleness lifecycle: trains
+    * the quantizer on vec_id < `split` ONLY (the frozen build
+    * generation), assigns EVERY vector — base and batch — with those
+    * frozen centroids (same exact-integer distance, same ascending-cell
+    * tiebreak), then replays the staleness report: per cell, population
+    * and mean per-dim quantization error of each generation. The error is
+    * the exact integer distance divided once by 64·10⁶ (identical op
+    * order to IvfIndex.staleness); only the per-cell mean is float. */
+  private def ivfAppendSql(k: Int, iters: Int, split: Long): String = {
+    val sb = new StringBuilder
+    sb.append(kmeansTrainCtes(k, iters, s"WHERE vec_id < $split"))
+    sb.append(
+      s"""asn AS (SELECT e.vec_id, s.cell, ${ivfDistTo("e.q", "s.c")} AS dd,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY ${ivfDistTo("e.q", "s.c")}, s.cell) AS rk
+         |  FROM ev e CROSS JOIN c$iters s),
+         |lab AS (SELECT cell, dd / 64000000.0 AS qerr,
+         |    CASE WHEN vec_id < $split THEN 1 ELSE 0 END AS is_base
+         |  FROM asn WHERE rk = 1)
+         |SELECT cell,
+         |  CAST(count(*) FILTER (WHERE is_base = 1) AS BIGINT) AS n_base,
+         |  CAST(count(*) FILTER (WHERE is_base = 0) AS BIGINT) AS n_new,
+         |  round(avg(qerr) FILTER (WHERE is_base = 1), 6) AS qerr_base,
+         |  round(avg(qerr) FILTER (WHERE is_base = 0), 6) AS qerr_new
+         |FROM lab GROUP BY cell ORDER BY cell""".stripMargin)
     sb.toString
   }
 

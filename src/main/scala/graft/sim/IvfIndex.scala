@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Train the quantizer and persist `centroids/` + cell-partitioned
-    * `cells/` under `path`. Returns the number of non-empty cells. */
+    * `cells/` under `path`. Rows are stamped `_gen = 0` (build
+    * generation); [[append]] stamps later generations so [[staleness]]
+    * can compare quantization error across them. Returns the number of
+    * non-empty cells. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             centers: Int = 8, iters: Int = 2): Int = {
     val spark = corpus.sparkSession
@@ -46,9 +49,73 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
     corpus
       .withColumn("_cell", Ann.nearestCellInt(Ann.quantize3(col(vecCol)), cents))
-      .select(col(idCol), col(vecCol), col("_cell"))
+      .select(col(idCol), col(vecCol), lit(0L).as("_gen"), col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/cells")
     cents.size
+  }
+
+  /** Incremental append — the index-maintenance half of build-once/search-
+    * many: new vectors are assigned to the EXISTING cells with the frozen
+    * quantizer (map-only; centroids ride as plan literals, exactly the
+    * build's assignment rule) and appended to the cell-partitioned layout.
+    * No retrain, no re-assignment of the base — the whole point is that a
+    * nightly batch costs O(batch), not O(index) (the semDedupAutoIncremental
+    * pattern: the base never reshuffles against itself). Parquet append
+    * into partitioned directories only touches the cells the batch lands
+    * in. Search sees appended rows with zero further work.
+    *
+    * The trade-off appending defers is quantizer STALENESS: cells are
+    * optimal for the build distribution, and a drifted batch degrades
+    * probe recall silently — [[staleness]] is the paired metric that makes
+    * the rebuild decision measurable instead of scheduled. */
+  def append(batch: DataFrame, idCol: String, vecCol: String,
+             spark: SparkSession, path: String, gen: Long = 1L): Long = {
+    require(gen > 0, s"append generations start at 1 (build is 0), got $gen")
+    val cents = loadCentroids(spark, path)
+    require(cents.nonEmpty, s"no centroids at $path")
+    val assigned = batch
+      .withColumn("_cell", Ann.nearestCellInt(Ann.quantize3(col(vecCol)), cents))
+      .select(col(idCol), col(vecCol), lit(gen).as("_gen"), col("_cell"))
+    assigned.write.mode("append").partitionBy("_cell").parquet(s"$path/cells")
+    batch.count() // map-only assignment writes one row per input row
+  }
+
+  /** Staleness report: per cell, the population and the mean quantization
+    * error of the BUILD generation vs the APPENDED generations — the
+    * measurable rebuild signal (`q_embed_drift`'s posture, specialized to
+    * the quantizer): appended vectors landing systematically farther from
+    * their centroids than the build population means the frozen cells no
+    * longer fit the data and probe recall is decaying.
+    *
+    * Exactness contract: the per-vector squared distance is the build's
+    * own integer arithmetic (10⁻³-grid vector vs 10⁻⁶-grid centroid —
+    * exact), divided ONCE by 64·10⁶ into a unit-scale double (per-dim
+    * mean squared error in original units); only the final per-cell mean
+    * is float summation (rounded 6 dp — the registry's cross-engine
+    * convention). One map-only projection + one map-side-combinable
+    * aggregate; centroids are plan literals, nothing shuffles but the
+    * k·gens aggregate rows. */
+  def staleness(spark: SparkSession, path: String): DataFrame = {
+    val cents = loadCentroids(spark, path)
+    require(cents.nonEmpty, s"no centroids at $path")
+    val cells = spark.read.parquet(s"$path/cells")
+    val vecCol = cells.columns(1)
+    val dims = cents.head._2.length
+    // the stored _cell is trusted (it IS the assignment); the distance is
+    // recomputed from the struct-array min — bit-identical to assignment,
+    // so (min.cell == _cell) also rides as a free integrity check
+    val best = array_min(Ann.cellScores(Ann.quantize3(col(vecCol)), cents))
+    cells
+      .withColumn("_qerr",
+        best.getField("d").cast("double") / lit(dims * 1000000.0))
+      .withColumn("_isBase", (col("_gen") === 0L).cast("int"))
+      .groupBy(col("_cell").as("cell"))
+      .agg(
+        sum(col("_isBase")).cast("long").as("n_base"),
+        sum(lit(1) - col("_isBase")).cast("long").as("n_new"),
+        round(avg(when(col("_gen") === 0L, col("_qerr"))), 6).as("qerr_base"),
+        round(avg(when(col("_gen") > 0L, col("_qerr"))), 6).as("qerr_new"))
+      .orderBy("cell")
   }
 
   /** The persisted centroid table as the driver-side Seq the search and

@@ -46,6 +46,24 @@ object PqIndex {
     m
   }
 
+  /** Incremental append — code a new batch with the FROZEN codebooks
+    * (map-only; the codebooks ride as plan literals exactly as in build)
+    * and append to `codes/`. O(batch), no retrain, no base re-code; the
+    * ADC search sees the new rows with zero further work. Codebook
+    * staleness is measurable the same way as [[IvfIndex.staleness]] —
+    * compare the batch's recon_err distribution to the build's (the
+    * `q_embed_drift` posture); a drifted batch reconstructing worse than
+    * the build population is the retrain signal. Returns rows appended. */
+  def append(batch: DataFrame, idCol: String, vecCol: String,
+             spark: SparkSession, path: String, dims: Int = 64): Long = {
+    val cbooks = loadCodebooks(spark, path)
+    require(cbooks.nonEmpty, s"no codebooks at $path")
+    Ann.pqCodesWith(batch, idCol, vecCol, cbooks, dims)
+      .drop("recon_err")
+      .write.mode("append").parquet(s"$path/codes")
+    batch.count() // map-only coding writes one row per input row
+  }
+
   /** The persisted codebooks as the driver-side shape every PQ consumer
     * takes — indexed by subspace, cells ascending. */
   def loadCodebooks(spark: SparkSession, path: String)

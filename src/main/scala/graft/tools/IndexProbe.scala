@@ -48,9 +48,16 @@ object IndexProbe {
     def queryFrame(i: Int) = corpus.filter(col("vec_id") === i.toLong)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
 
+    // append batch: 1/16 of the corpus, id-shifted to stay distinct —
+    // the nightly-ingest shape whose cost must be O(batch), not O(index)
+    val batch = emb.select((col("vec_id") + lit(99L << 40)).as("vec_id"),
+      col("embedding"))
+
     val ivfDir = java.nio.file.Files.createTempDirectory("probe_ivf").toString
     time("ivf_build")(graft.sim.IvfIndex.build(corpus, "vec_id", "embedding",
       ivfDir, centers = 16, iters = 2))
+    time("ivf_append")(graft.sim.IvfIndex.append(batch, "vec_id", "embedding",
+      spark, ivfDir))
     time(s"ivf_search_x$searches") {
       (0 until searches).foreach { i =>
         graft.sim.IvfIndex.search(queryFrame(i), "qid", "qv", spark, ivfDir,
@@ -68,6 +75,8 @@ object IndexProbe {
     val pqDir = java.nio.file.Files.createTempDirectory("probe_pq").toString
     time("pq_build")(graft.sim.PqIndex.build(corpus, "vec_id", "embedding",
       pqDir, m = 8, ksub = 8, iters = 2, dims = 64))
+    time("pq_append")(graft.sim.PqIndex.append(batch, "vec_id", "embedding",
+      spark, pqDir, dims = 64))
     time(s"pq_search_x$searches") {
       (0 until searches).foreach { i =>
         graft.sim.PqIndex.search(queryFrame(i), "qid", "qv", spark, pqDir,

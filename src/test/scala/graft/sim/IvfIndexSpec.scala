@@ -45,6 +45,46 @@ class IvfIndexSpec extends SparkSpec {
     c1.zip(c2).foreach { case ((_, a), (_, b)) => assert(a.sameElements(b)) }
   }
 
+  test("append: frozen-quantizer assignment, search sees the batch, staleness reports both generations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    IvfIndex.build(corpus, "vec_id", "embedding", dir, centers = 3, iters = 2)
+    val centsBefore = IvfIndex.loadCentroids(spark, dir)
+    // batch: an exact twin of vector 5 (same cluster → same cell, qerr
+    // equal to 5's) plus a drifted outlier far from every build cluster
+    // (outlier components stay < ~1e3: the exact-integer distance is
+    // (q·1000 − c)² summed over dims, so ~1e9-scale diffs are the Long-
+    // safe ceiling — the documented 10⁻³-grid envelope)
+    val batch = Seq(
+      (100L, v(100.0f)),                       // twin of ids 4-7's cluster
+      (101L, Seq(800.0f, 800.0f, 800.0f, 800.0f))) // drifted
+      .toDF("vec_id", "embedding")
+    val n = IvfIndex.append(batch, "vec_id", "embedding", spark, dir)
+    assert(n == 2L)
+    // append must NOT touch the quantizer
+    val centsAfter = IvfIndex.loadCentroids(spark, dir)
+    assert(centsBefore.map(_._1) == centsAfter.map(_._1))
+    centsBefore.zip(centsAfter).foreach { case ((_, a), (_, b)) =>
+      assert(a.sameElements(b)) }
+    // the appended twin is immediately searchable: querying vector 5
+    // (ids 4-7 share one embedding) must surface id 100 among the top 4
+    // — all four are cosine-1 matches, id-ascending tiebreak
+    val q = corpus.filter($"vec_id" === 5L)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val top = IvfIndex.search(q, "qid", "qv", spark, dir, k = 4, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(top == Set(4L, 6L, 7L, 100L), s"appended twin not found: $top")
+    // staleness: every cell row has n_base > 0 or n_new > 0; the twin's
+    // cell has qerr_new ~ qerr of its base cluster, and the outlier's
+    // cell shows qerr_new >> qerr_base (the rebuild signal)
+    val rep = IvfIndex.staleness(spark, dir).collect()
+    assert(rep.map(_.getLong(1)).sum == 12L, s"base population: ${rep.toSeq}")
+    assert(rep.map(_.getLong(2)).sum == 2L, s"appended population: ${rep.toSeq}")
+    val drifted = rep.filter(r => !r.isNullAt(4) && !r.isNullAt(3))
+      .filter(r => r.getDouble(4) > 100 * math.max(r.getDouble(3), 1e-9))
+    assert(drifted.nonEmpty,
+      s"outlier did not surface as quantization-error drift: ${rep.toSeq}")
+  }
+
   test("search scans only the probed cell partitions (partition pruning contract)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf3").toString
     IvfIndex.build(corpus, "vec_id", "embedding", dir, centers = 3, iters = 2)

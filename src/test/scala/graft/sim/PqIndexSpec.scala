@@ -53,6 +53,36 @@ class PqIndexSpec extends SparkSpec {
     assert(fromIndex.map(_._2).toSet == Set(5L, 6L, 7L))
   }
 
+  test("append codes a batch with the frozen codebooks; ADC search sees it; codebooks untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqa").toString
+    PqIndex.build(corpus, "vec_id", "embedding", dir,
+      m = 2, ksub = 3, iters = 1, dims = 4)
+    val before = PqIndex.loadCodebooks(spark, dir)
+    // twin of cluster 1: must receive cluster 1's exact codes
+    val batch = Seq((100L, v(100.0f))).toDF("vec_id", "embedding")
+    assert(PqIndex.append(batch, "vec_id", "embedding", spark, dir,
+      dims = 4) == 1L)
+    val after = PqIndex.loadCodebooks(spark, dir)
+    assert(before.length == after.length)
+    before.zip(after).foreach { case (a, b) =>
+      assert(a.map(_._1) == b.map(_._1))
+      a.zip(b).foreach { case ((_, x), (_, y)) => assert(x.sameElements(y)) }
+    }
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == 13)
+    val twinCodes = codes.filter($"vec_id" === 100L).collect()(0)
+    val clusterCodes = codes.filter($"vec_id" === 4L).collect()(0)
+    assert(twinCodes.getInt(1) == clusterCodes.getInt(1) &&
+           twinCodes.getInt(2) == clusterCodes.getInt(2),
+      s"frozen coding diverged: $twinCodes vs $clusterCodes")
+    // the appended twin rides the ADC ranking like any build-time row
+    val q = corpus.filter($"vec_id" === 5L)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val top = PqIndex.search(q, "qid", "qv", spark, dir, k = 4, dims = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(top.contains(100L), s"appended row absent from ADC top-k: $top")
+  }
+
   test("rebuild from the same corpus bit-matches the persisted codebooks") {
     val d1 = java.nio.file.Files.createTempDirectory("graft_pq1").toString
     val d2 = java.nio.file.Files.createTempDirectory("graft_pq2").toString
