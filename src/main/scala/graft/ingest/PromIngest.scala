@@ -49,7 +49,12 @@ object PromIngest {
     val parsed = df.withColumn("_r", from_json(col(jsonCol), responseSchema))
     parsed
       .filter(col("_r.status") === "success" && size(col("_r.data.result")) > 0)
-      .withColumn("_series", element_at(col("_r.data.result"), 1)) // first series only
+      // try_element_at, not element_at: Catalyst is free to collapse this
+      // projection below the filter (it does when the body rides in from a
+      // nondeterministic fetch UDF), and ANSI element_at would then throw
+      // INVALID_ARRAY_INDEX on the empty-result rows the filter was about
+      // to drop — null is the plan-shape-independent "first series only"
+      .withColumn("_series", try_element_at(col("_r.data.result"), lit(1)))
       .withColumn("_pair", explode(col("_series.values")))
       .select(
         col(aliasCol).as("alias") +:
@@ -89,21 +94,160 @@ object PromIngest {
     s"$base/api/v1/query_range?query=$q&start=${c.startSec}&end=${c.endSec}&step=${c.stepSec}"
   }
 
-  /** Default fetcher over `java.net.http` (pluggable so tests inject fixtures). */
+  /** Default fetcher over `java.net.http` (pluggable so tests inject
+    * fixtures). HTTP status ≥ 400 THROWS instead of returning the error
+    * body — a 5xx must look like the transient failure it is so the
+    * [[withRetry]] layer can act on it (a returned error body would
+    * silently decode to zero rows and skip the retry). */
   def httpFetch(url: String): String = {
     val client = java.net.http.HttpClient.newHttpClient()
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
-    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() >= 400)
+      throw new java.io.IOException(
+        s"HTTP ${resp.statusCode()} from $url: ${resp.body().take(200)}")
+    resp.body()
+  }
+
+  /** Bounded-retry policy for chunk fetches. Backoff is EQUAL-JITTER
+    * exponential — `cap/2 + hash(url, attempt) % (cap/2)` with
+    * `cap = min(maxBackoffMs, baseBackoffMs · 2^(attempt−1))` — so a
+    * 1000-executor fleet retrying a flapped endpoint de-synchronizes
+    * (full-jitter spread) without ever sleeping less than half the
+    * intended backoff. The jitter source is a hash of (url, attempt),
+    * NOT an RNG: a retried Spark task replays the identical sleep
+    * schedule, keeping the fetch stage deterministic under task retry
+    * (the repo-wide no-`Random` discipline). `sleep` is injectable so
+    * specs assert the schedule without wall-clock waits. */
+  final case class RetryPolicy(maxAttempts: Int = 3,
+                               baseBackoffMs: Long = 100,
+                               maxBackoffMs: Long = 2000,
+                               sleep: Long => Unit = Thread.sleep) {
+    require(maxAttempts >= 1, s"need maxAttempts >= 1, got $maxAttempts")
+    require(baseBackoffMs >= 1 && maxBackoffMs >= baseBackoffMs,
+      s"need 1 <= baseBackoffMs <= maxBackoffMs, got $baseBackoffMs/$maxBackoffMs")
+    def backoffMs(url: String, attempt: Int): Long = {
+      val cap = math.min(maxBackoffMs,
+        baseBackoffMs << math.min(attempt - 1, 20))
+      val h = (scala.util.hashing.MurmurHash3
+        .stringHash(s"$url#$attempt") & Int.MaxValue).toLong
+      cap / 2 + h % math.max(cap / 2, 1L)
+    }
+  }
+
+  /** Raised on the fail-closed path when a chunk exhausts every attempt —
+    * typed and alias-carrying so the DRIVER can attribute the failure to
+    * its query: Spark drops accumulator updates from failed tasks, so the
+    * dying task cannot count its own exhaustion; the driver unwraps this
+    * from the job-abort cause chain instead ([[FetchStats.recordExhausted]],
+    * wired in Detector's degraded path). */
+  final class FetchExhaustedException(val alias: String, val url: String,
+      val attempts: Int, cause: Throwable)
+    extends RuntimeException(
+      s"fetch exhausted $attempts attempts for query '$alias': $url", cause)
+
+  object FetchExhaustedException {
+    /** The innermost FetchExhaustedException in a (SparkException-wrapped)
+      * cause chain, if any. */
+    def unwrap(e: Throwable): Option[FetchExhaustedException] = {
+      var cur = e
+      while (cur != null) {
+        cur match {
+          case f: FetchExhaustedException => return Some(f)
+          case _ => ()
+        }
+        cur = if (cur.getCause eq cur) null else cur.getCause
+      }
+      None
+    }
+  }
+
+  /** Per-query fetch-health counters, accumulator-backed so executor-side
+    * events surface on the driver. Exactness contract: under `failOpen`
+    * every fetch task succeeds and the counts are exact; under the
+    * fail-closed default, counts from the ABORTING task are dropped by
+    * Spark (failed-task accumulator semantics) and the exhausted chunk is
+    * re-attributed driver-side via [[recordExhausted]] — retry counts
+    * from sibling chunks inside the killed task are a lower bound.
+    * Feeds the exporter's per-query gauges (ST5 integration). */
+  final class FetchStats(spark: SparkSession) extends Serializable {
+    val retries: org.apache.spark.util.CollectionAccumulator[String] =
+      spark.sparkContext.collectionAccumulator[String]("graft.fetch.retries")
+    val failures: org.apache.spark.util.CollectionAccumulator[String] =
+      spark.sparkContext.collectionAccumulator[String]("graft.fetch.failures")
+    private def byQuery(
+        acc: org.apache.spark.util.CollectionAccumulator[String])
+        : Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      acc.value.asScala.groupBy(identity)
+        .map { case (k, v) => (k, v.size.toLong) }
+    }
+    /** alias → number of retried attempts (transient failures). */
+    def retriesByQuery: Map[String, Long] = byQuery(retries)
+    /** alias → number of chunks that exhausted every attempt. */
+    def failuresByQuery: Map[String, Long] = byQuery(failures)
+    /** Driver-side attribution of a fail-closed exhaustion (the failing
+      * task's own accumulator updates were dropped — see class doc). */
+    def recordExhausted(f: FetchExhaustedException): Unit = {
+      var i = 1
+      while (i < f.attempts) { retries.add(f.alias); i += 1 }
+      failures.add(f.alias)
+    }
+  }
+
+  /** Wrap a fetcher with [[RetryPolicy]] semantics: transient failures
+    * (any non-fatal throwable) are retried up to `maxAttempts` with
+    * jittered backoff; exhaustion rethrows the LAST error (fail-closed —
+    * the reference's posture, `realtime_detector.py:158-190`, which
+    * aborts the cycle on any query failure; our cycle-level ST5 degraded
+    * path then takes over). `onRetry` fires before each backoff sleep —
+    * the gauge/log hook. */
+  def withRetry(fetch: String => String,
+                policy: RetryPolicy = RetryPolicy(),
+                onRetry: (String, Int, Throwable) => Unit = (_, _, _) => ())
+      : String => String = { url =>
+    var attempt = 1
+    var out: Option[String] = None
+    var lastErr: Throwable = null
+    while (out.isEmpty && attempt <= policy.maxAttempts) {
+      try out = Some(fetch(url))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          lastErr = e
+          if (attempt < policy.maxAttempts) {
+            onRetry(url, attempt, e)
+            policy.sleep(policy.backoffMs(url, attempt))
+          }
+          attempt += 1
+      }
+    }
+    out.getOrElse(throw lastErr)
   }
 
   /** S1+S3: fetch all chunks (distributed: executors run `fetch` in
     * parallel across the grid), decode, and memoize per-chunk results in a
     * parquet cache partitioned by (alias, chunk_start). On re-runs, cached
     * (alias, chunk) cells are read back instead of fetched — the same
-    * manual partition pruning the reference's diskcache does. */
+    * manual partition pruning the reference's diskcache does.
+    *
+    * Resilience (round-9): every fetch runs under `retry` (bounded
+    * attempts, jittered backoff — [[withRetry]]); `stats` collects
+    * per-query retry/permanent-failure counts across executors for the
+    * exporter gauges. Exhaustion posture: by default the error propagates
+    * (task fails → Spark's own task retry → ultimately the caller's
+    * degraded-cycle path — the reference's abort-on-any-failure
+    * semantics, `realtime_detector.py:158-190`). `failOpen = true`
+    * instead degrades the EXHAUSTED CHUNK to zero rows and keeps the
+    * batch alive — the right posture for a 1000-chunk backfill where one
+    * flapping query must not kill hours of work; the missing-data hole is
+    * visible in `stats.failuresByQuery` and downstream in the totalize /
+    * partial-window guards (P6/ST6). */
   def fetchChunks(spark: SparkSession, base: String, chunks: Seq[Chunk],
                   cacheDir: Option[String] = None,
-                  fetch: String => String = httpFetch): DataFrame = {
+                  fetch: String => String = httpFetch,
+                  retry: RetryPolicy = RetryPolicy(),
+                  stats: Option[FetchStats] = None,
+                  failOpen: Boolean = false): DataFrame = {
     import spark.implicits._
     val cached: Option[DataFrame] = cacheDir.filter { d =>
       new java.io.File(d).exists()
@@ -123,10 +267,38 @@ object PromIngest {
 
     def decodeMissing(): DataFrame = {
       val urls = missing.map(c => (c.alias, c.startSec, chunkUrl(base, c)))
+      // capture locals only — the UDF closure ships to executors
+      val (fetchFn, policy, statsLocal, fo) = (fetch, retry, stats, failOpen)
+      val resilient = udf { (alias: String, url: String) =>
+        val wrapped = withRetry(fetchFn, policy,
+          onRetry = (_, _, _) => statsLocal.foreach(_.retries.add(alias)))
+        try wrapped(url)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            if (fo) {
+              // null body → from_json null → status filter drops it: the
+              // exhausted chunk contributes zero rows, nothing downstream
+              // sees a partial decode; the task SUCCEEDS, so the counts
+              // merge exactly
+              statsLocal.foreach(_.failures.add(alias))
+              null
+            } else
+              // fail-closed: a typed, alias-carrying abort — the driver
+              // attributes it (failed-task accumulators are dropped)
+              throw new FetchExhaustedException(alias, url,
+                policy.maxAttempts, e)
+        }
+      }
       val raw = spark.createDataset(urls)
         .toDF("alias", "chunk_start", "url")
         .repartition(math.min(missing.size, 64))
-        .withColumn("body", udf(fetch).apply(col("url")))
+        // asNondeterministic: Catalyst duplicates deterministic
+        // expressions across the decode's filter + projections, which
+        // here means FETCHING THE SAME CHUNK MORE THAN ONCE per row (the
+        // round-9 failure counters caught it: one dead chunk counted two
+        // exhaustions). Nondeterministic pins exactly-once evaluation.
+        .withColumn("body",
+          resilient.asNondeterministic()(col("alias"), col("url")))
       decodeResponses(raw, "body", "alias", Seq("chunk_start"))
     }
 

@@ -34,7 +34,8 @@ final class Detector(
     exporter: Exporter,
     scaler: Option[Scalers.Scaler],
     model: Option[Lstm.AeParams],
-    fetchWindow: (Long, Long, Long) => DataFrame // (startSec, endSec, stepSec) → long rows (alias, ts, value)
+    fetchWindow: (Long, Long, Long) => DataFrame, // (startSec, endSec, stepSec) → long rows (alias, ts, value)
+    fetchStats: Option[PromIngest.FetchStats] = None // ST5: per-query fetch-health gauges
 ) {
 
   private val L = cfg.training.sequenceLength
@@ -58,10 +59,16 @@ final class Detector(
       true
     } else false
 
-  /** ST5: scoring failure → mse gauge −1 (realtime_detector.py:339-348). */
+  /** ST5: scoring failure → mse gauge −1 (realtime_detector.py:339-348).
+    * A fetch exhaustion is additionally attributed to its query in the
+    * health gauges (the dying task's accumulator updates were dropped —
+    * see PromIngest.FetchExhaustedException). */
   private def degraded(e: Throwable): Option[Double] = {
     org.apache.log4j.Logger.getLogger(getClass)
       .warn(s"detection cycle failed: ${e.getMessage}")
+    PromIngest.FetchExhaustedException.unwrap(e).foreach { f =>
+      fetchStats.foreach(_.recordExhausted(f))
+    }
     exporter.setGauge(exporter.LatestMse, -1.0)
     exporter.setGauge(exporter.IsAnomaly, 0.0)
     None
@@ -82,6 +89,26 @@ final class Detector(
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try scoreLong(long, nowSec) finally long.unpersist()
     } catch { case scala.util.control.NonFatal(e) => degraded(e) }
+    finally publishFetchHealth() // also after degraded cycles — that is
+                                 // exactly when the gauges matter
+  }
+
+  /** ST5 fetch-health gauges: per-query cumulative retry and exhausted-
+    * fetch counts (labeled like the per-feature MSE family). Published
+    * after EVERY cycle — including degraded ones, where a nonzero
+    * `fetch_failures{feature_name=...}` names the query that broke the
+    * cycle (the observability the reference's log-and-abort lacks). */
+  private def publishFetchHealth(): Unit = fetchStats.foreach { st =>
+    // publish zeros for healthy queries so the series exists from cycle 1
+    // (a gauge appearing only on first failure breaks rate()/alerts)
+    val r = st.retriesByQuery
+    val f = st.failuresByQuery
+    aliases.foreach { a =>
+      exporter.setFeatureGauge(exporter.FetchRetries, a,
+        r.getOrElse(a, 0L).toDouble)
+      exporter.setFeatureGauge(exporter.FetchFailures, a,
+        f.getOrElse(a, 0L).toDouble)
+    }
   }
 
   /** Align → guard → tail(L) → fill → scale → score → export: the cycle
@@ -178,13 +205,18 @@ final class Detector(
 
 object Detector {
 
-  /** HTTP-backed window fetch composing PromIngest (the production path). */
-  def prometheusFetch(spark: SparkSession, cfg: GraftConfig)
+  /** HTTP-backed window fetch composing PromIngest (the production path).
+    * `stats` wires the per-query fetch-health gauges; retry posture is the
+    * fail-closed default (exhaustion → degraded cycle, ST5). */
+  def prometheusFetch(spark: SparkSession, cfg: GraftConfig,
+                      stats: Option[PromIngest.FetchStats] = None,
+                      retry: PromIngest.RetryPolicy = PromIngest.RetryPolicy())
       : (Long, Long, Long) => DataFrame = { (start, end, step) =>
     val chunks = cfg.queries.map { case (alias, q) =>
       PromIngest.Chunk(alias, q, start, end, step)
     }
-    PromIngest.fetchChunks(spark, cfg.prometheusUrl, chunks, cacheDir = None)
+    PromIngest.fetchChunks(spark, cfg.prometheusUrl, chunks, cacheDir = None,
+        retry = retry, stats = stats)
       .select("alias", "ts", "value")
   }
 }

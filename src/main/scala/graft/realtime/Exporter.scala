@@ -24,6 +24,10 @@ final class Exporter(prefix: String = "anomaly_detector_") {
   val FeatureMse = "feature_reconstruction_error_mse"
   val LastSuccess = "last_successful_run_timestamp_seconds"
   val WindowPoints = "data_points_in_current_window"
+  // Fetch-health series (round-9, beyond the reference's six): per-query
+  // cumulative retry / exhausted-fetch counts from PromIngest.FetchStats.
+  val FetchRetries = "fetch_retries"
+  val FetchFailures = "fetch_failures"
 
   def setGauge(name: String, v: Double): Unit = gauges.put(name, v)
   def incCounter(name: String, by: Double = 1.0): Unit =

@@ -134,10 +134,8 @@ private[sources] class PromScan(props: Map[String, String],
   override def planInputPartitions(): Array[InputPartition] =
     PromScan.planRange(props, startSec, endSec)
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val fetcherClass = props.getOrElse("fetcher", classOf[HttpFetcher].getName)
-    new PromReaderFactory(fetcherClass)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    PromReaderFactory.fromProps(props)
 }
 
 private[sources] object PromScan {
@@ -265,30 +263,49 @@ private[sources] class PromMicroBatchStream(props: Map[String, String],
       end.asInstanceOf[PromOffset].sec)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PromReaderFactory(props.getOrElse("fetcher", classOf[HttpFetcher].getName))
+    PromReaderFactory.fromProps(props)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-private[sources] class PromReaderFactory(fetcherClass: String)
+private[sources] object PromReaderFactory {
+  /** Retry knobs ride as reader options (`retryAttempts`, `retryBaseMs`,
+    * `retryMaxMs`) so batch and streaming scans share one posture. */
+  def fromProps(props: Map[String, String]): PromReaderFactory =
+    new PromReaderFactory(
+      props.getOrElse("fetcher", classOf[HttpFetcher].getName),
+      props.getOrElse("retryAttempts", "3").toInt,
+      props.getOrElse("retryBaseMs", "100").toLong,
+      props.getOrElse("retryMaxMs", "2000").toLong)
+}
+
+private[sources] class PromReaderFactory(fetcherClass: String,
+    retryAttempts: Int = 3, retryBaseMs: Long = 100, retryMaxMs: Long = 2000)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PromChunkPartition]
     val fetcher = Class.forName(fetcherClass).getDeclaredConstructor()
       .newInstance().asInstanceOf[Fetcher]
-    new PromPartitionReader(p, fetcher)
+    // same bounded-retry + jittered-backoff wrapper as PromIngest (the
+    // two S1 surfaces share one resilience posture); exhaustion fails the
+    // task, layering under Spark's own task retry
+    val policy = graft.ingest.PromIngest.RetryPolicy(
+      retryAttempts, retryBaseMs, retryMaxMs)
+    val resilient = graft.ingest.PromIngest.withRetry(fetcher.fetch, policy)
+    new PromPartitionReader(p, resilient)
   }
 }
 
 /** Executor-side chunk reader: one HTTP GET, Jackson decode (first series
   * only, coerce-to-null values — `data_collector.py:59-75` semantics). */
-private[sources] class PromPartitionReader(p: PromChunkPartition, fetcher: Fetcher)
+private[sources] class PromPartitionReader(p: PromChunkPartition,
+    fetch: String => String)
     extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[InternalRow] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(fetcher.fetch(p.url))
+    val root = mapper.readTree(fetch(p.url))
     if (root.path("status").asText() != "success") Iterator.empty
     else {
       val result = root.path("data").path("result")

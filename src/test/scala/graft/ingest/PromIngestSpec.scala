@@ -65,21 +65,126 @@ class PromIngestSpec extends SparkSpec {
 
   test("fetchChunks: fetches via injected fn, caches, re-run hits cache only (S3)") {
     val dir = java.nio.file.Files.createTempDirectory("promcache").toString + "/cache"
-    // the fetch lambda is shipped to executors: capture only local,
-    // serializable state (a spec-class field would drag `this` along)
-    val body = single
-    var calls = 0
-    val fetch: String => String = { _ => calls += 1; body }
+    // JVM-static call counts: the fetch closure executes inside tasks (the
+    // round-9 nondeterministic-UDF fix pinned task-side evaluation), so a
+    // captured local var would mutate a serialized COPY
+    PromFlakyFixture.reset(failuresPerUrl = 0, body = single)
     val chunks = PromIngest.chunkGrid(Seq("q1" -> "up"), 0L, 3600L, 120L)
     val r1 = PromIngest.fetchChunks(spark, "http://example", chunks,
-      Some(dir), fetch)
+      Some(dir), PromFlakyFixture.fetch)
     assert(r1.count() == 3)
-    val callsAfterFirst = calls
-    assert(callsAfterFirst >= 1)
+    val callsAfterFirst = PromFlakyFixture.totalCalls
+    assert(callsAfterFirst == 1) // one chunk, fetched exactly once
     val r2 = PromIngest.fetchChunks(spark, "http://example", chunks,
-      Some(dir), fetch)
+      Some(dir), PromFlakyFixture.fetch)
     assert(r2.count() == 3)
-    assert(calls == callsAfterFirst) // second run: pure cache read
+    assert(PromFlakyFixture.totalCalls == callsAfterFirst) // pure cache read
+  }
+
+  test("withRetry: transient failures heal; backoff schedule is the deterministic equal-jitter one") {
+    var calls = 0
+    val slept = scala.collection.mutable.ArrayBuffer[Long]()
+    val policy = PromIngest.RetryPolicy(maxAttempts = 4, baseBackoffMs = 100,
+      maxBackoffMs = 2000, sleep = slept += _)
+    val flaky: String => String = { _ =>
+      calls += 1
+      if (calls <= 2) throw new java.io.IOException(s"flap $calls")
+      "ok"
+    }
+    var retried = List.empty[Int]
+    val wrapped = PromIngest.withRetry(flaky, policy,
+      onRetry = (_, attempt, _) => retried ::= attempt)
+    assert(wrapped("http://x/q") == "ok")
+    assert(calls == 3 && retried.sorted == List(1, 2))
+    // the schedule is pure (url, attempt) → ms: replayable, within the
+    // equal-jitter envelope [cap/2, cap)
+    assert(slept.toSeq == Seq(policy.backoffMs("http://x/q", 1),
+      policy.backoffMs("http://x/q", 2)))
+    assert(slept(0) >= 50 && slept(0) < 100)   // cap = 100 at attempt 1
+    assert(slept(1) >= 100 && slept(1) < 200)  // cap = 200 at attempt 2
+    // a retried task replays the identical sleeps — no RNG anywhere
+    assert(policy.backoffMs("http://x/q", 1) == policy.backoffMs("http://x/q", 1))
+  }
+
+  test("withRetry: exhaustion rethrows the LAST error after exactly maxAttempts calls") {
+    var calls = 0
+    val policy = PromIngest.RetryPolicy(maxAttempts = 3, sleep = _ => ())
+    val dead: String => String = { _ =>
+      calls += 1; throw new java.io.IOException(s"down $calls")
+    }
+    val e = intercept[java.io.IOException] {
+      PromIngest.withRetry(dead, policy)("http://x")
+    }
+    assert(calls == 3 && e.getMessage == "down 3")
+  }
+
+  test("fetchChunks: flaky fetch heals under retry; stats count per-query retries (S1 resilience)") {
+    PromFlakyFixture.reset(failuresPerUrl = 1, body = single)
+    val stats = new PromIngest.FetchStats(spark)
+    // distinct promql per alias — chunkUrl encodes the query, not the
+    // alias, so identical queries would share URLs (and flap counts)
+    val chunks = PromIngest.chunkGrid(Seq("q1" -> "upA", "q2" -> "upB"),
+      0L, 7200L, 120L) // 4 distinct chunk URLs, each fails once then serves
+    val out = PromIngest.fetchChunks(spark, "http://example", chunks,
+      cacheDir = None, fetch = PromFlakyFixture.fetch,
+      retry = PromIngest.RetryPolicy(maxAttempts = 3, sleep = _ => ()),
+      stats = Some(stats))
+    assert(out.count() == 12) // 4 chunks × 3 samples
+    assert(stats.retriesByQuery == Map("q1" -> 2L, "q2" -> 2L),
+      stats.retriesByQuery.toString)
+    assert(stats.failuresByQuery.isEmpty)
+  }
+
+  test("fetchChunks failOpen: an exhausted query degrades to zero rows instead of killing the batch") {
+    PromFlakyFixture.reset(failuresPerUrl = 0, body = single,
+      alwaysFailSubstring = Some("query=dead"))
+    val stats = new PromIngest.FetchStats(spark)
+    val chunks = PromIngest.chunkGrid(
+      Seq("good" -> "up", "bad" -> "dead"), 0L, 3600L, 120L)
+    val out = PromIngest.fetchChunks(spark, "http://example", chunks,
+      cacheDir = None, fetch = PromFlakyFixture.fetch,
+      retry = PromIngest.RetryPolicy(maxAttempts = 2, sleep = _ => ()),
+      stats = Some(stats), failOpen = true)
+    val aliases = out.select("alias").distinct().collect().map(_.getString(0))
+    assert(aliases.toSeq == Seq("good")) // bad contributes nothing, job lives
+    assert(stats.failuresByQuery == Map("bad" -> 1L))
+    assert(stats.retriesByQuery.get("bad").contains(1L)) // 1 retry then gave up
+  }
+
+  test("flaky fixture SERVER: httpFetch throws on 5xx; the retry wrapper heals a flapping endpoint") {
+    // a real HTTP server that 503s the first two hits per path, then 200s
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    val body = single.getBytes("UTF-8")
+    server.createContext("/api/v1/query_range",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val n = hits.merge(ex.getRequestURI.toString, 1, (a, b) => a + b)
+        if (n <= 2) {
+          val err = "overloaded".getBytes("UTF-8")
+          ex.sendResponseHeaders(503, err.length)
+          ex.getResponseBody.write(err)
+        } else {
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body)
+        }
+        ex.getResponseBody.close()
+      })
+    server.start()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      val url = PromIngest.chunkUrl(base,
+        PromIngest.Chunk("q1", "up", 0L, 3600L, 120L))
+      // bare fetch: the 503 surfaces as the IOException retry needs
+      val e = intercept[java.io.IOException](PromIngest.httpFetch(url))
+      assert(e.getMessage.contains("503"))
+      // wrapped fetch: two 503s absorbed (the intercept above consumed
+      // one), success on the next attempt
+      val wrapped = PromIngest.withRetry(PromIngest.httpFetch,
+        PromIngest.RetryPolicy(maxAttempts = 3, baseBackoffMs = 1,
+          maxBackoffMs = 2, sleep = _ => ()))
+      assert(wrapped(url).contains("\"status\":\"success\""))
+    } finally server.stop(0)
   }
 
   test("assembleWide: dedup + pivot + totalize + sort + calendar end-to-end") {
@@ -96,5 +201,37 @@ class PromIngestSpec extends SparkSpec {
     assert(rows.length == 2)
     assert(rows(0).getAs[Double]("m1") == 1.0) // keep-first
     assert(rows(0).isNullAt(3) && rows(1).isNullAt(3)) // m3 totalized null
+  }
+}
+
+/** Flaky-fetch fixture with JVM-static per-URL call counts: the fetch
+  * closure ships to executor threads (same JVM under local[*]), so state
+  * must live in a top-level object, not a spec field. Each URL fails its
+  * first `failuresPerUrl` calls, then serves `body`; URLs containing
+  * `alwaysFailSubstring` never recover. */
+object PromFlakyFixture {
+  private val calls = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  @volatile private var failuresPerUrl = 1
+  @volatile private var body = ""
+  @volatile private var alwaysFail: Option[String] = None
+
+  def reset(failuresPerUrl: Int, body: String,
+            alwaysFailSubstring: Option[String] = None): Unit = {
+    calls.clear()
+    this.failuresPerUrl = failuresPerUrl
+    this.body = body
+    this.alwaysFail = alwaysFailSubstring
+  }
+
+  def fetch(url: String): String = {
+    val n = calls.merge(url, 1, (a, b) => a + b)
+    if (alwaysFail.exists(url.contains)) throw new java.io.IOException(s"dead endpoint: $url")
+    if (n <= failuresPerUrl) throw new java.io.IOException(s"flap $n: $url")
+    body
+  }
+
+  def totalCalls: Int = {
+    import scala.jdk.CollectionConverters._
+    calls.values.asScala.map(_.toInt).sum
   }
 }

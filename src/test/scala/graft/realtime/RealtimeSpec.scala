@@ -78,6 +78,41 @@ class RealtimeSpec extends SparkSpec {
     assert(exp.render().contains("latest_reconstruction_error_mse -1"))
   }
 
+  test("ST5: fetch-health gauges name the query that broke the cycle (retry + failure counts)") {
+    import graft.ingest.PromIngest
+    val exp = new Exporter()
+    val stats = new PromIngest.FetchStats(spark)
+    // q2's endpoint is permanently down; q1 flaps once then serves a
+    // valid (but empty-result) body — the cycle degrades (fail-closed
+    // default rethrows q2's exhaustion), and the gauges attribute it
+    graft.ingest.PromFlakyFixture.reset(failuresPerUrl = 1,
+      body = """{"status":"success","data":{"resultType":"matrix","result":[]}}""",
+      alwaysFailSubstring = Some("query=q2"))
+    val fetch: (Long, Long, Long) => DataFrame = { (s, e, st) =>
+      val chunks = cfg.queries.map { case (a, q) =>
+        PromIngest.Chunk(a, q, s, e, st)
+      }
+      PromIngest.fetchChunks(spark, "http://example", chunks,
+          fetch = graft.ingest.PromFlakyFixture.fetch,
+          retry = PromIngest.RetryPolicy(maxAttempts = 2, sleep = _ => ()),
+          stats = Some(stats))
+        .select("alias", "ts", "value")
+    }
+    val scaler = Scalers.MinMaxScaler(cfg.featureColumns,
+      mins = Seq(0.0, 0.0, 0.0, 0.0), maxs = Seq(1.0, 1.0, 6.0, 23.0))
+    val det = new Detector(spark, cfg, exp, Some(scaler),
+      Some(Lstm.glorotInit(cfg.featureColumns.size,
+        units = Seq(8, 4, 4, 8), seed = 1L)),
+      fetch, fetchStats = Some(stats))
+    assert(det.runCycle(100000L).isEmpty) // degraded: q2 exhausted
+    val text = exp.render()
+    assert(text.contains("latest_reconstruction_error_mse -1")) // ST5 intact
+    // the health series exist for BOTH queries and name the broken one
+    assert(text.contains("""fetch_failures{feature_name="m2"} 1"""), text)
+    assert(text.contains("""fetch_failures{feature_name="m1"} 0"""), text)
+    assert(text.contains("""fetch_retries{feature_name="m2"} 1"""), text)
+  }
+
   test("ST4: anomaly counter accumulates across cycles") {
     val exp = new Exporter()
     // constant zeros scale far from the sigmoid reconstruction -> high mse

@@ -28,6 +28,24 @@ object CannedFetcher {
   def count: Int = urls.size()
 }
 
+/** CannedFetcher that throws on the first `FlakyCannedFetcher.flaps` calls
+  * per URL — the DSv2 twin of the PromFlakyFixture flaky endpoint. */
+class FlakyCannedFetcher extends Fetcher {
+  private val inner = new CannedFetcher
+  override def fetch(url: String): String = {
+    val n = FlakyCannedFetcher.calls.merge(url, 1, (a, b) => a + b)
+    if (n <= FlakyCannedFetcher.flaps)
+      throw new java.io.IOException(s"flap $n: $url")
+    inner.fetch(url)
+  }
+}
+
+object FlakyCannedFetcher {
+  val calls = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  @volatile var flaps = 2
+  def reset(f: Int): Unit = { calls.clear(); flaps = f }
+}
+
 class PrometheusDataSourceSpec extends SparkSpec {
 
   private def reader = spark.read
@@ -49,6 +67,37 @@ class PrometheusDataSourceSpec extends SparkSpec {
     val bad = df.filter(col("value").isNull).count()
     assert(bad == 2 * 4 * 6) // every 5th point is "bad" -> null
     assert(df.select("labels").head().getMap[String, String](0)("job") == "test")
+  }
+
+  test("DSv2 reader retries flaky fetches per the retryAttempts option (S1 resilience)") {
+    // every chunk URL flaps twice then serves; 3 attempts absorb it so the
+    // scan completes with the exact same row count as the healthy fetcher
+    FlakyCannedFetcher.reset(f = 2)
+    val df = spark.read
+      .format("graft.sources.PrometheusDataSource")
+      .option("url", "http://prom.test")
+      .option("queries", "cpu=rate(cpu[1m])")
+      .option("start", "0").option("end", (2 * 3600).toString)
+      .option("step", "120").option("chunkHours", "1")
+      .option("fetcher", classOf[FlakyCannedFetcher].getName)
+      .option("retryAttempts", "3").option("retryBaseMs", "1")
+      .option("retryMaxMs", "2")
+      .load()
+    assert(df.count() == 2 * 30) // 2 chunks x 30 points — no data lost
+    // and with retries exhausted below the flap count, the scan fails
+    FlakyCannedFetcher.reset(f = 2)
+    val dead = spark.read
+      .format("graft.sources.PrometheusDataSource")
+      .option("url", "http://prom.test")
+      .option("queries", "cpu=rate(cpu[1m])")
+      .option("start", "0").option("end", "3600")
+      .option("step", "120").option("chunkHours", "1")
+      .option("fetcher", classOf[FlakyCannedFetcher].getName)
+      .option("retryAttempts", "2").option("retryBaseMs", "1")
+      .option("retryMaxMs", "2")
+      .load()
+    val e = intercept[Exception](dead.count())
+    assert(PromIngestCauseChain.hasIoException(e), e.toString)
   }
 
   test("ts range filters push into the fetch grid (fewer HTTP calls)") {
@@ -89,5 +138,17 @@ class PrometheusDataSourceSpec extends SparkSpec {
       .filter(col("ts") >= to_timestamp(lit("2030-01-01 00:00:00")))
     assert(df.count() == 0)
     assert(CannedFetcher.count == 0)
+  }
+}
+
+/** Cause-chain helper: Spark wraps task failures in SparkException layers. */
+object PromIngestCauseChain {
+  def hasIoException(e: Throwable): Boolean = {
+    var cur = e
+    while (cur != null) {
+      if (cur.isInstanceOf[java.io.IOException]) return true
+      cur = if (cur.getCause eq cur) null else cur.getCause
+    }
+    false
   }
 }
