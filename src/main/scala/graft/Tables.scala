@@ -11,6 +11,37 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** TEST-ONLY retry-determinism hook (DeterminismSpec): when set, every
+    * loader appends a mapPartitions shim that throws on the FIRST attempt
+    * of each task in the scan stage, so Spark re-executes the task — the
+    * cluster reality (preemption, OOM-kill, speculative execution) that
+    * local[n] never exercises by default. Every oracle row must produce
+    * byte-identical output with this on (the session needs
+    * maxFailures ≥ 2, e.g. master `local[4, 2]`). Off in production: the
+    * flag is a plain volatile read at PLAN-BUILD time — zero cost and no
+    * plan change when false. */
+  @volatile var chaosFirstAttempt: Boolean = false
+
+  /** Injected first-attempt failures, for the drill's non-vacuousness
+    * check (a chaos run that never actually failed a task proves
+    * nothing). JVM-static: tasks run in-process under local mode. */
+  val chaosInjected = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def chaos(df: DataFrame): DataFrame =
+    if (!chaosFirstAttempt) df
+    else {
+      val enc = org.apache.spark.sql.Encoders.row(df.schema)
+      df.mapPartitions { it =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.attemptNumber() == 0) {
+          chaosInjected.incrementAndGet()
+          throw new RuntimeException(
+            "graft chaos: injected first-attempt task failure")
+        }
+        it
+      }(enc)
+    }
+
   /** `events.parquet` carries a nanosecond-precision INT64 timestamp, which
     * Spark 4 refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). We read
     * it as raw nanos via `spark.sql.legacy.parquet.nanosAsLong` and derive:
@@ -28,7 +59,7 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
+    chaos(raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // ns-precision INT64 layout: Spark 4 refuses it as a timestamp, so
         // nanosAsLong reads raw nanos. Integer division: ns epochs
@@ -46,27 +77,27 @@ object Tables {
         raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
           .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
           .withColumn("ts_ns", col("ts_us") * lit(1000L))
-    }
+    })
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet")
+    chaos(spark.read.parquet(s"$dir/lineitem.parquet"))
   def orders(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/orders.parquet")
+    chaos(spark.read.parquet(s"$dir/orders.parquet"))
   def customer(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/customer.parquet")
+    chaos(spark.read.parquet(s"$dir/customer.parquet"))
   def supplier(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/supplier.parquet")
+    chaos(spark.read.parquet(s"$dir/supplier.parquet"))
   def part(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/part.parquet")
+    chaos(spark.read.parquet(s"$dir/part.parquet"))
   def nation(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/nation.parquet")
+    chaos(spark.read.parquet(s"$dir/nation.parquet"))
   def region(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/region.parquet")
+    chaos(spark.read.parquet(s"$dir/region.parquet"))
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    chaos(spark.read.parquet(s"$dir/documents.parquet"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    chaos(spark.read.parquet(s"$dir/embeddings.parquet"))
 
   /** The five event_type series keys, fixed so pivots are single-pass (no
     * distinct-scan) and oracle SQL can mirror them with FILTER clauses. */

@@ -8,7 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxFailures]: maxFailures = 2 lets the retry-
+      // determinism drill (DeterminismSpec + Tables.chaosFirstAttempt)
+      // re-execute failed tasks the way a cluster would; deterministic
+      // test failures still fail jobs (they just fail twice)
+      .master("local[4, 2]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

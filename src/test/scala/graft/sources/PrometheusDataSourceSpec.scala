@@ -84,8 +84,10 @@ class PrometheusDataSourceSpec extends SparkSpec {
       .option("retryMaxMs", "2")
       .load()
     assert(df.count() == 2 * 30) // 2 chunks x 30 points — no data lost
-    // and with retries exhausted below the flap count, the scan fails
-    FlakyCannedFetcher.reset(f = 2)
+    // and with retries exhausted below the flap count, the scan fails —
+    // f = 4 outlasts BOTH in-reader retries of BOTH task attempts (the
+    // test session runs maxFailures = 2)
+    FlakyCannedFetcher.reset(f = 4)
     val dead = spark.read
       .format("graft.sources.PrometheusDataSource")
       .option("url", "http://prom.test")
