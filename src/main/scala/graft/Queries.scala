@@ -1335,6 +1335,26 @@ object Queries {
         .orderBy("lang")
     }),
 
+    "q_curation_staged" -> ((s, d) => {
+      // The STAGED twin of q_curation_pipeline: real curation runs
+      // checkpoint between stages (dedup → quality+sample → chunk) and
+      // re-read, because each stage artifact is a deliverable (audited,
+      // re-consumed by several downstream jobs) and because a 100 TB DAG
+      // must be resumable mid-pipeline. Each stage here WRITES parquet
+      // and the next stage reads THAT — the single-plan twin shares the
+      // oracle string verbatim, so Catalyst-fused and checkpointed
+      // execution are proven result-identical. Stage filters are per-row
+      // (dedup keeper, repetition gate, hash sample), so computing them
+      // on the stage artifact equals computing them on the full corpus
+      // restricted to it. Lang rides through the stages — no re-join
+      // against the source at the end (the staged plan never re-reads
+      // stage-0 data, the property that makes stages independently
+      // schedulable).
+      graft.text.Curation.stagedPipeline(s, d,
+        java.nio.file.Files.createTempDirectory("graft_curation").toString)
+        .report
+    }),
+
     "q_len_percentiles" -> ((s, d) =>
       // Length-distribution profile per language — the curation dashboard
       // staple. EXACT linear-interpolation percentiles (Spark `percentile`
@@ -3302,34 +3322,14 @@ object Queries {
          |SELECT doc_id, term, CAST(rk AS INTEGER) AS rk, round(score, 6) AS score
          |FROM scored WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
 
-    "q_curation_pipeline" ->
-      s"""WITH kept AS (SELECT doc_id, lang, text FROM documents
-         |  QUALIFY row_number() OVER (
-         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-         |    ORDER BY n_chars DESC, doc_id) = 1),
-         |tf AS (SELECT doc_id, t AS tok, count(*) AS c
-         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
-         |        FROM documents)
-         |  WHERE t <> '' GROUP BY 1, 2),
-         |fluent AS (SELECT doc_id FROM tf GROUP BY doc_id
-         |  HAVING round(CAST(count(*) AS DOUBLE) / sum(c), 6) >= 0.5),
-         |samp AS (SELECT k.doc_id, k.lang, k.text
-         |  FROM kept k JOIN fluent USING (doc_id)
-         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000 < 500),
-         |tk AS (SELECT doc_id, lang,
-         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-         |      y -> y <> '') AS t
-         |  FROM samp),
-         |st AS (SELECT doc_id, lang, t,
-         |    CAST(greatest(floor((len(t) - 32 + 15) / 16.0), 0) AS BIGINT) AS last
-         |  FROM tk),
-         |ex AS (SELECT doc_id, lang, t, unnest(range(0, last + 1)) AS i FROM st),
-         |chunks AS (SELECT doc_id, lang,
-         |    len(list_slice(t, i*16 + 1, i*16 + 32)) AS n_tokens
-         |  FROM ex WHERE len(list_slice(t, i*16 + 1, i*16 + 32)) > 0)
-         |SELECT lang, count(*) AS n_chunks,
-         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-         |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin,
+    // ONE string for BOTH curation twins: the fused single-plan row and
+    // the staged write-per-stage row must match the identical replay —
+    // sharing it makes the twins unsplittable (the q_ann_pca_exact
+    // pattern).
+    "q_curation_pipeline" -> curationSql,
+
+    "q_curation_staged" -> curationSql,
+
 
     "q_doc_chunks" ->
       // list_filter mirrors tokens(): empty-token-free arrays, which also
@@ -5109,6 +5109,39 @@ object Queries {
        |  FROM t)
        |SELECT doc_id, lang, n_tokens, CAST(cum_excl // 512 AS BIGINT) AS bin_id
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Curation-chain replay shared verbatim by q_curation_pipeline (one
+    * fused plan) and q_curation_staged (parquet write + re-read between
+    * stages): dedup-keep-best → repetition gate → 50% hash sample →
+    * 32/16 chunking → per-lang chunk/token budget. */
+  private lazy val curationSql: String =
+    s"""WITH kept AS (SELECT doc_id, lang, text FROM documents
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |    ORDER BY n_chars DESC, doc_id) = 1),
+         |tf AS (SELECT doc_id, t AS tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |        FROM documents)
+         |  WHERE t <> '' GROUP BY 1, 2),
+         |fluent AS (SELECT doc_id FROM tf GROUP BY doc_id
+         |  HAVING round(CAST(count(*) AS DOUBLE) / sum(c), 6) >= 0.5),
+         |samp AS (SELECT k.doc_id, k.lang, k.text
+         |  FROM kept k JOIN fluent USING (doc_id)
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000 < 500),
+         |tk AS (SELECT doc_id, lang,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      y -> y <> '') AS t
+         |  FROM samp),
+         |st AS (SELECT doc_id, lang, t,
+         |    CAST(greatest(floor((len(t) - 32 + 15) / 16.0), 0) AS BIGINT) AS last
+         |  FROM tk),
+         |ex AS (SELECT doc_id, lang, t, unnest(range(0, last + 1)) AS i FROM st),
+         |chunks AS (SELECT doc_id, lang,
+         |    len(list_slice(t, i*16 + 1, i*16 + 32)) AS n_tokens
+         |  FROM ex WHERE len(list_slice(t, i*16 + 1, i*16 + 32)) > 0)
+         |SELECT lang, count(*) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin
 
   private lazy val jaccardSql: String =
     s"""WITH sh AS (
