@@ -38,6 +38,22 @@ import org.apache.spark.sql.SparkSession
   * so DuckDB can replay them; the production subtotal is what a user of
   * the library pays. A GC fence before each binary-payload rep keeps the
   * media queries' session numbers attributable (see `gcBarrier`).
+  *
+  * Each binary-payload query (`q_mm_*`, `q_{p,a,v}hash*`) runs in its own
+  * FORKED child JVM by default (round-9 verdict item 7): the family's
+  * decoded media batches churn GBs of short-lived arrays per rep against
+  * the 8g bench heap, and at sf1 the rows' in-session numbers swung
+  * 0.2×–12.6× of solo depending on whose GC debt they inherited — both
+  * in-session GC fences tried (one cycle; two cycles + sleep) and even a
+  * family-only child JVM measurably moved the inflation between rows
+  * rather than removing it. One fresh JVM per query makes session ≡ solo
+  * BY CONSTRUCTION. The child is this same `graft.Bench` main restricted
+  * via `SPARK_GRAFT_ONLY` (comma list of query names), launched with this
+  * JVM's own input arguments + classpath, writing its record to a temp
+  * file the parent merges; each child pays one session warmup (~10 s wall,
+  * excluded from per-query timings like the parent's own warmup). On any
+  * fork failure the parent falls back to the in-session GC-fence path and
+  * says so on stderr. `SPARK_GRAFT_FORK_BINARY=0` disables.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -95,7 +111,14 @@ object Bench {
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Double) = {
       def fence(): Unit = if (gcBarrier && isBinaryFamily(name)) {
-        System.gc(); Thread.sleep(50)
+        // TWO cycles with breathing room: earlier queries' localCheckpoint
+        // blocks are released ASYNCHRONOUSLY (weak refs → ContextCleaner
+        // queue → block eviction), so the first GC merely publishes the
+        // refs to the cleaner and the second reclaims what it released —
+        // one gc+50ms measurably did not stop the binary rows inheriting
+        // a squeezed storage pool at sf1
+        System.gc(); Thread.sleep(300)
+        System.gc(); Thread.sleep(100)
       }
       fence()
       val first = timeOnce(name, fn)
@@ -111,14 +134,92 @@ object Bench {
         else median(steadies)
       (name, first, steady)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) => measure(name, fn)
-    }
+    // Child-process protocol: SPARK_GRAFT_ONLY restricts the run to a
+    // comma-list of query names (the parent sets it when forking the
+    // binary family; also handy for ad-hoc subset runs).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val forkBinary = only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_FORK_BINARY", "1") != "0"
+    val registry = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val (forkedReg, inSessionReg) =
+      if (forkBinary) registry.partition { case (n, _) => isBinaryFamily(n) }
+      else (Seq.empty, registry)
+    val inSession = inSessionReg.map { case (name, fn) => measure(name, fn) }
     // Production twins run AFTER the registry (same session, same rep
     // discipline) so the registry's cross-round comparability is untouched.
-    val twinResults = Queries.benchOnly.toSeq.sortBy(_._1).map {
-      case (name, fn) => measure(name, fn)
-    }
+    val twinResults = Queries.benchOnly.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) => measure(name, fn) }
+    // Re-run the binary-payload family in a FRESH JVM (same main, ONLY
+    // filter): a new heap + storage pool makes the family's session
+    // numbers equal its solo numbers by construction — the in-session GC
+    // fence only moved the old-gen inflation between rows (scaladoc).
+    def runForked(names: Seq[String]): Option[Seq[(String, Double, Double)]] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val javaBin = java.nio.file.Paths.get(
+          System.getProperty("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toList
+        val cp = System.getProperty("java.class.path")
+        val out = java.nio.file.Files.createTempFile("bench_binary_", ".json")
+        val cmd = (javaBin :: jvmArgs) ::: List("-cp", cp, "graft.Bench")
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
+        pb.environment().put("SPARK_GRAFT_FORK_BINARY", "0")
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+        // The child's stdout carries its own one-line record — keep it off
+        // the parent's stdout (the driver parses exactly one JSON line);
+        // stderr flows through for failure attribution.
+        pb.redirectOutput(java.lang.ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+        val rc = pb.start().waitFor()
+        val txt = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+        java.nio.file.Files.deleteIfExists(out)
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+        val steady = root.get("queries")
+        val first = root.get("queries_first")
+        val rows = names.sorted.flatMap { n =>
+          Option(steady.get(n)).map { s =>
+            (n, Option(first.get(n)).fold(s.asDouble)(_.asDouble), s.asDouble)
+          }
+        }
+        if (rows.size == names.size) {
+          // a child query that failed exits the child with rc 1 but still
+          // writes the record — surface its failures as the parent's own
+          root.get("failed").elements().asScala.foreach { f =>
+            val n = f.asText; if (!failed.contains(n)) failed ::= n
+          }
+          Some(rows)
+        } else {
+          System.err.println(
+            s"[bench] forked record missing ${names.size - rows.size} rows (rc=$rc)")
+          None
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] fork error: ${e.getMessage}")
+          None
+      }
+    // ONE child JVM PER QUERY, not per family: the family's rows measurably
+    // inflate each other even in a family-only child (each rep churns ~GBs
+    // of decoded-media garbage against an 8g heap, so whichever row runs
+    // after a heavy neighbor pays its GC debt — q_mm_jpeg read 2.1× solo in
+    // the family-child experiment). A per-query JVM makes session ≡ solo by
+    // definition; the extra session warmups cost wall clock only, never the
+    // timed region.
+    val forked: Seq[(String, Double, Double)] =
+      forkedReg.flatMap { case (name, fn) =>
+        runForked(Seq(name)).getOrElse {
+          System.err.println(
+            s"[bench] fork of $name failed; falling back to in-session GC-fence path")
+          Seq(measure(name, fn))
+        }
+      }
+    val results = (inSession ++ forked).sortBy(_._1)
     val loadEnd = osBean.getSystemLoadAverage
     def jmapOf(rs: Seq[(String, Double, Double)])(
         sel: ((String, Double, Double)) => Double): String =
