@@ -1929,11 +1929,15 @@ object Queries {
 
     "q_simhash_pairs" -> ((s, d) => {
       // Text near-dup pair counts, PRIMARY row (SimHash-64 banding —
-      // promoted round 9 per the round-8 verdict: 7.4× sub-linear at 10×
-      // data where the 32-bit variant saturated at 20.4×). 5 bands
+      // promoted round 9 per the round-8 verdict; the 32-bit variant
+      // saturates at 20.4× wall at 10× data). 5 bands
       // {13,13,13,13,12} tile all 64 bits — maxDist 4 < 5 bands
       // keeps recall exact, and 13-bit bands collide 32× less than the
-      // 8-bit bands SimHash-32 permits (the measured D²/2^w law). The
+      // 8-bit bands SimHash-32 permits (the measured D²/2^w law). At 10×
+      // data the banded candidate volume grows 20.3× (template-clustered
+      // buckets; BandProbe64) while wall grows 10.5× — cost tracks the
+      // candidate law at half its slope, the floor any pair-miner pays
+      // (SCALE.md round-9 sf1 section). The
       // doc_id % 7 re-syndication overlay plants exact duplicates so the
       // oracle verifies a non-empty pair set on the duplicate-free
       // fixture (random 64-bit fingerprints alone never land within
