@@ -34,6 +34,16 @@ object Queries {
     else if (bits == 32) graft.dedup.Dedup.simhash32Md5(m)
     else graft.dedup.Dedup.simhash64Md5(m)
 
+  /** Same dispatch for the xxhash64 production basis: `graft_simhash64`
+    * (one codegen'd pass) over the HOF fallback, whose 64-wide
+    * transform-of-aggregate tree costs ~8 s of ANALYSIS+codegen per
+    * construction regardless of data size (measured; SimHashFromHashes
+    * scaladoc). Bit-parity pinned by SimHashMd5Spec. */
+  private def simhashXxCol(s: SparkSession, h: Column): Column =
+    if (s.catalog.functionExists("graft_simhash64"))
+      call_function("graft_simhash64", h)
+    else graft.dedup.Dedup.simhashFromHashes(h)
+
   // --- shared Spark-side building blocks ---
 
   /** Long-form per-minute series: (ts_min, event_type, v) with v = rounded
@@ -5194,8 +5204,7 @@ object Queries {
       // the token array; md5 twin: q_simhash_md5).
       Tables.documents(s, d)
         .select(col("doc_id"), graft.dedup.Dedup.tokenHashes(col("text")).as("_h"))
-        .select(col("doc_id"),
-          graft.dedup.Dedup.simhashFromHashes(col("_h")).as("simhash"))
+        .select(col("doc_id"), simhashXxCol(s, col("_h")).as("simhash"))
         .orderBy("doc_id")),
 
     "q_ann_lsh" -> ((s, d) => {
@@ -5214,7 +5223,24 @@ object Queries {
       graft.sim.Ann.cosineNearDup(Tables.embeddings(s, d), "vec_id",
           "embedding", threshold = 0.15, bits = 4)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
-        .orderBy("id1", "id2")))
+        .orderBy("id1", "id2")),
+
+    "q_simhash_pairs_prod" -> ((s, d) => {
+      // xxhash64-basis twin of the PRIMARY q_simhash_pairs row (same
+      // overlay, bands, maxDist — only the token-hash kernel differs):
+      // one codegen'd pass per doc instead of an md5 per token, so this
+      // is the price of the 64-bit pair-mining plan without the oracle
+      // digest tax. Exact-recall contract pinned by ProductionTwinSpec
+      // against a brute-force distance histogram.
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.sim.Hamming.pairCounts(
+        corpus.select(graft.dedup.Dedup.tokenHashes(col("text")).as("_h"))
+          .select(simhashXxCol(s, col("_h")).as("sh")),
+        "sh", bandWidths = Seq(13, 13, 13, 13, 12), maxDist = 4)
+    }))
 
   /** benchOnly twin → the registry row whose steady time it substitutes
     * in graft.Bench's `production_total` (the md5 rows stay in
@@ -5223,5 +5249,6 @@ object Queries {
     "q_minhash_lsh" -> "q_minhash_lsh_md5",
     "q_simhash" -> "q_simhash_md5",
     "q_ann_lsh" -> "q_ann_lsh_md5",
-    "q_cosine_neardup" -> "q_cosine_neardup_md5")
+    "q_cosine_neardup" -> "q_cosine_neardup_md5",
+    "q_simhash_pairs_prod" -> "q_simhash_pairs")
 }

@@ -282,6 +282,69 @@ object SimHashUtil {
     }
     h
   }
+
+  /** Static kernel for [[SimHashFromHashes]]: 64-bit sign-sum SimHash over
+    * a per-token xxhash64 array in one pass. Bit-identical to the HOF
+    * fallback `Dedup.simhashFromHashes` (vote j = bit j of the token hash;
+    * bit set when the +1/−1 sum is positive, i.e. 2·votes > n): a null
+    * element there yields −1 on every bit — exactly a zero hash — so
+    * nulls count toward the denominator and cast no votes here too. */
+  def simhashFromHashes(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) * 2 > n) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+/** `graft_simhash64(hashes)` — native codegen'd 64-bit SimHash over a
+  * per-token xxhash64 array (the PRODUCTION fingerprint basis). The HOF
+  * fallback (`Dedup.simhashFromHashes`) is a 64-wide `transform` each
+  * holding an `aggregate` lambda — a tree whose per-construction analysis
+  * and codegen costs ~8 s regardless of data size (measured, BASELINE.md
+  * round 9); this is one loop inside whole-stage codegen. */
+case class SimHashFromHashes(hashes: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def child: Expression = hashes
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    hashes.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_simhash64 expects array<bigint>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(hs: Any): Any =
+    SimHashUtil.simhashFromHashes(hs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, hs =>
+      s"graft.expressions.SimHashUtil.simhashFromHashes($hs)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(hashes = newChild)
 }
 
 /** `graft_simhash_md5(md5s, nBits)` — native codegen'd SimHash over a
@@ -345,6 +408,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashMd5].getName, "graft_simhash_md5"),
       (children: Seq[Expression]) =>
         SimHashMd5(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHashFromHashes].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHashFromHashes(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),

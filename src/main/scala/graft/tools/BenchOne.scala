@@ -29,7 +29,8 @@ object BenchOne {
     } catch { case _: Throwable => () }
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val df = graft.SparkEntry.queries.getOrElse(name,
+        graft.Queries.benchOnly(name))(spark, dir)
       val t1 = System.nanoTime()
       df.count()
       val t2 = System.nanoTime()

@@ -38,6 +38,25 @@ class SimHashMd5Spec extends SparkSpec {
     }
   }
 
+  test("graft_simhash64 (xxhash basis) is bit-identical to the HOF fallback") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "pack my box with five dozen liquor jugs"),
+      (4L, "one"),
+      (5L, "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    ).toDF("id", "text")
+    assert(spark.catalog.functionExists("graft_simhash64"))
+    val th = docs.select($"id", graft.dedup.Dedup.tokenHashes($"text").as("_h"))
+    val kernel = th.select($"id", call_function("graft_simhash64", $"_h"))
+      .orderBy("id").collect().map(_.getLong(1)).toList
+    val hof = th.select($"id", graft.dedup.Dedup.simhashFromHashes($"_h"))
+      .orderBy("id").collect().map(_.getLong(1)).toList
+    assert(kernel == hof, s"kernel=$kernel hof=$hof")
+    assert(kernel(0) == kernel(1), "identical docs must collide")
+    assert(kernel.exists(h => (h >>> 32) != 0L), "high bits never set")
+  }
+
   test("kernel rejects non-literal or unsupported nBits") {
     val tm = Seq((1L, "a b")).toDF("id", "text")
       .select($"id", graft.dedup.Dedup.tokenMd5s($"text").as("_m"))

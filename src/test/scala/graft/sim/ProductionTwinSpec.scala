@@ -111,6 +111,42 @@ class ProductionTwinSpec extends SparkSpec {
       == rows.length, "duplicate pairs")
   }
 
+  test("xxhash64 SimHash-64 banded pairs: exact distance histogram, no cartesian") {
+    // The q_simhash_pairs_prod twin's whole contract is pigeonhole-exact
+    // recall at maxDist < nBands — so compare its (hamming, n_pairs)
+    // histogram against a BRUTE-FORCE recount over the distinct
+    // fingerprints (D is a few hundred at sf0.001; D²/2 pairs is cheap in
+    // the test driver, and would be the all-pairs plan the banding exists
+    // to avoid at scale).
+    val twin = Queries.benchOnly("q_simhash_pairs_prod")(spark, dir)
+    assertNoCartesian(twin, "q_simhash_pairs_prod")
+    val got = twin.collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val base = Tables.documents(spark, dir)
+    val corpus = base.select(col("doc_id"), col("text")).unionByName(
+      base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val fps = corpus
+      .select(graft.dedup.Dedup.tokenHashes(col("text")).as("_h"))
+      .select(graft.dedup.Dedup.simhashFromHashes(col("_h")).as("sh"))
+      .groupBy("sh").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = scala.collection.mutable.Map.empty[Int, Long]
+    for (i <- fps.indices) {
+      val (hi, ci) = fps(i)
+      if (ci >= 2) brute(0) = brute.getOrElse(0, 0L) + ci * (ci - 1) / 2
+      for (j <- i + 1 until fps.length) {
+        val (hj, cj) = fps(j)
+        val dist = java.lang.Long.bitCount(hi ^ hj)
+        if (dist <= 4) brute(dist) = brute.getOrElse(dist, 0L) + ci * cj
+      }
+    }
+    assert(brute.getOrElse(0, 0L) > 0,
+      "overlay fixture lost its exact duplicates (vacuous histogram)")
+    assert(got == brute.toMap,
+      s"banded histogram $got != brute-force ${brute.toMap}")
+  }
+
   test("the registry carries the md5 twins and only oracle-checkable rows") {
     Seq("q_minhash_lsh_md5", "q_simhash_md5", "q_ann_lsh_md5",
         "q_cosine_neardup_md5").foreach { twin =>
