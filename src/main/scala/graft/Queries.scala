@@ -34,6 +34,23 @@ object Queries {
     else if (bits == 32) graft.dedup.Dedup.simhash32Md5(m)
     else graft.dedup.Dedup.simhash64Md5(m)
 
+  /** Temp directory deleted on JVM exit. The staged-pipeline / index-append
+    * rows hand parquet artifacts to a LAZY result frame, so eager deletion
+    * would race the consumer — but never deleting leaks a corpus-sized
+    * directory per invocation into /tmp (bench reps + oracle runs + specs
+    * add up until the filesystem fills mid-certification). A shutdown hook
+    * bounds the leak to one JVM session. */
+  private[graft] def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles; if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Same dispatch for the xxhash64 production basis: `graft_simhash64`
     * (one codegen'd pass) over the HOF fallback, whose 64-wide
     * transform-of-aggregate tree costs ~8 s of ANALYSIS+codegen per
@@ -1361,8 +1378,7 @@ object Queries {
       // stage-0 data, the property that makes stages independently
       // schedulable).
       graft.text.Curation.stagedPipeline(s, d,
-        java.nio.file.Files.createTempDirectory("graft_curation").toString)
-        .report
+        scratchDir("graft_curation")).report
     }),
 
     "q_len_percentiles" -> ((s, d) =>
@@ -2088,8 +2104,7 @@ object Queries {
       val emb = Tables.embeddings(s, d)
       val base = emb.filter(col("vec_id") < 250)
       val batch = emb.filter(col("vec_id") >= 250)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivf_append").toString
+      val path = scratchDir("graft_ivf_append")
       graft.sim.IvfIndex.build(base, "vec_id", "embedding", path,
         centers = 8, iters = 2)
       graft.sim.IvfIndex.append(batch, "vec_id", "embedding", s, path)

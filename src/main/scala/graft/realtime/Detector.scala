@@ -78,7 +78,10 @@ final class Detector(
     * (None on skip/degraded). Synchronous and side-effect-free except for
     * exporter updates — directly testable. */
   def runCycle(nowSec: Long): Option[Double] = {
-    if (missingArtifacts()) return None
+    // publish the health gauges on warm-up skips too: the series must
+    // exist from cycle 1 even when artifacts are missing, or the zeros
+    // rationale in publishFetchHealth doesn't hold for early deploys
+    if (missingArtifacts()) { publishFetchHealth(); return None }
     try {
       val (startSec, endSec) = windowBounds(nowSec)
       // Persist the fetched window for the cycle: the lineage is consumed by
@@ -163,7 +166,7 @@ final class Detector(
     * this is the incremental upgrade the DSv2 stream enables). The
     * micro-batch collect is one poll interval of rows — driver-sized. */
   def runCycleFromBatch(batch: DataFrame): Option[Double] = {
-    if (missingArtifacts()) return None
+    if (missingArtifacts()) { publishFetchHealth(); return None }
     try {
       batch.select(col("alias"), col("ts"), col("value")).collect().foreach { r =>
         trailing += ((r.getString(0), r.getTimestamp(1),
@@ -188,6 +191,9 @@ final class Detector(
         schema)
       scoreLong(window, maxSec + step)
     } catch { case scala.util.control.NonFatal(e) => degraded(e) }
+    finally publishFetchHealth() // no-op without fetchStats; keeps the
+                                 // source-fed path's gauge contract equal
+                                 // to runCycle's
   }
 
   /** ST1: the 30 s polling loop (`realtime_detector.py:392-398`). Runs

@@ -76,8 +76,15 @@ object IvfIndex {
     val assigned = batch
       .withColumn("_cell", Ann.nearestCellInt(Ann.quantize3(col(vecCol)), cents))
       .select(col(idCol), col(vecCol), lit(gen).as("_gen"), col("_cell"))
-    assigned.write.mode("append").partitionBy("_cell").parquet(s"$path/cells")
-    batch.count() // map-only assignment writes one row per input row
+    // count on the write job itself (CollectMetrics): a trailing
+    // batch.count() would re-execute the batch plan as a second full scan —
+    // doubling the advertised O(batch) cost — and could disagree with what
+    // was written if the source changed between the two jobs
+    val obs = org.apache.spark.sql.Observation()
+    assigned.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode("append").partitionBy("_cell").parquet(s"$path/cells")
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Staleness report: per cell, the population and the mean quantization

@@ -58,10 +58,15 @@ object PqIndex {
              spark: SparkSession, path: String, dims: Int = 64): Long = {
     val cbooks = loadCodebooks(spark, path)
     require(cbooks.nonEmpty, s"no codebooks at $path")
+    // count on the write job (CollectMetrics) — see IvfIndex.append for
+    // why a trailing batch.count() is the wrong shape
+    val obs = org.apache.spark.sql.Observation()
     Ann.pqCodesWith(batch, idCol, vecCol, cbooks, dims)
       .drop("recon_err")
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
       .write.mode("append").parquet(s"$path/codes")
-    batch.count() // map-only coding writes one row per input row
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** The persisted codebooks as the driver-side shape every PQ consumer

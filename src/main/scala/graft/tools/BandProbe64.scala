@@ -40,8 +40,11 @@ object BandProbe64 {
         bandWidths = Seq(13, 13, 13, 13, 12))
       val rows = stats.collect()
       val totalCand = rows.map(_.getAs[Long]("candidates")).sum
+      // pairCounts returns a (hamming, n_pairs) HISTOGRAM — the pair
+      // volume is the sum of n_pairs, not the row count (≤ maxDist+1)
       val pairs = graft.sim.Hamming.pairCounts(fp, "sh",
-        bandWidths = Seq(13, 13, 13, 13, 12), maxDist = 4).count()
+          bandWidths = Seq(13, 13, 13, 13, 12), maxDist = 4)
+        .agg(sum(col("n_pairs"))).collect()(0).getLong(0)
       println(s"DIR $d  corpus=$n  distinct=$dDistinct  " +
         s"candidates=$totalCand  pairs=$pairs")
       rows.foreach(r => println(

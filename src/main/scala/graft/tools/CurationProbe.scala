@@ -22,7 +22,7 @@ object CurationProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docsIn = graft.Tables.documents(spark, dir).count()
-    val root = java.nio.file.Files.createTempDirectory("probe_curation").toString
+    val root = graft.Queries.scratchDir("probe_curation")
     val t0 = System.nanoTime()
     val res = graft.text.Curation.stagedPipeline(spark, dir, root,
       countRows = true)

@@ -48,12 +48,14 @@ object IndexProbe {
     def queryFrame(i: Int) = corpus.filter(col("vec_id") === i.toLong)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
 
-    // append batch: 1/16 of the corpus, id-shifted to stay distinct —
-    // the nightly-ingest shape whose cost must be O(batch), not O(index)
+    // append batch: one un-replicated embeddings table (1/m of the
+    // replicated index, so 1/8 at the default m=8), id-shifted to stay
+    // distinct — the nightly-ingest shape whose cost must be O(batch),
+    // not O(index)
     val batch = emb.select((col("vec_id") + lit(99L << 40)).as("vec_id"),
       col("embedding"))
 
-    val ivfDir = java.nio.file.Files.createTempDirectory("probe_ivf").toString
+    val ivfDir = graft.Queries.scratchDir("probe_ivf")
     time("ivf_build")(graft.sim.IvfIndex.build(corpus, "vec_id", "embedding",
       ivfDir, centers = 16, iters = 2))
     time("ivf_append")(graft.sim.IvfIndex.append(batch, "vec_id", "embedding",
@@ -72,7 +74,7 @@ object IndexProbe {
       }
     }
 
-    val pqDir = java.nio.file.Files.createTempDirectory("probe_pq").toString
+    val pqDir = graft.Queries.scratchDir("probe_pq")
     time("pq_build")(graft.sim.PqIndex.build(corpus, "vec_id", "embedding",
       pqDir, m = 8, ksub = 8, iters = 2, dims = 64))
     time("pq_append")(graft.sim.PqIndex.append(batch, "vec_id", "embedding",

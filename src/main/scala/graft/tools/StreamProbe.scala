@@ -112,8 +112,7 @@ object StreamProbe {
       }))
 
     def runOnce(name: String, build: () => DataFrame): (Double, Long, Int, Long) = {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory(s"streamprobe-$name-").toString
+      val ckpt = graft.Queries.scratchDir(s"streamprobe-$name-")
       val t0 = System.nanoTime()
       val q = build().writeStream
         .format("noop")
