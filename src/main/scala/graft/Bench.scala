@@ -108,6 +108,17 @@ object Bench {
     def isBinaryFamily(name: String): Boolean =
       name.startsWith("q_mm_") || name.startsWith("q_phash") ||
       name.startsWith("q_ahash") || name.startsWith("q_vhash")
+    // Construction-heavy rows (driver union-find built at query-build time
+    // over a collected edge set) inherit long-session heap/JIT placement:
+    // the round-9 driver record (reps=2) showed the trio at 8–14× their
+    // REPS=4 solo cert steadies with Dedup.scala UNCHANGED since round 8.
+    // The binary family's per-query fork already makes session ≡ solo by
+    // construction — extend it to this family (round-10 verdict item 1).
+    def isConstructionHeavy(name: String): Boolean =
+      name == "q_neardup_survivors" || name == "q_neardup_quality" ||
+      name == "q_neardup_clusters"
+    def isForked(name: String): Boolean =
+      isBinaryFamily(name) || isConstructionHeavy(name)
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Double) = {
       def fence(): Unit = if (gcBarrier && isBinaryFamily(name)) {
@@ -145,7 +156,7 @@ object Bench {
     val registry = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val (forkedReg, inSessionReg) =
-      if (forkBinary) registry.partition { case (n, _) => isBinaryFamily(n) }
+      if (forkBinary) registry.partition { case (n, _) => isForked(n) }
       else (Seq.empty, registry)
     val inSession = inSessionReg.map { case (name, fn) => measure(name, fn) }
     // Production twins run AFTER the registry (same session, same rep
@@ -238,11 +249,24 @@ object Bench {
     // float production twin's — the subtotal a production user of the
     // library actually pays. Both appear in every record so the 2x gate
     // discussion can cite either without a re-run.
+    // A substitution only fires when BOTH sides are present in this run:
+    // subtracting a missing md5 row (getOrElse 0) while adding its twin —
+    // or adding a twin whose md5 row failed — would silently skew the
+    // production subtotal. Skipped pairs are listed on stderr instead.
     val steadyByName = results.map(r => r._1 -> r._3).toMap
+    val twinByName = twinResults.map(r => r._1 -> r._3).toMap
+    val (applied, skipped) = Queries.productionSubstitutes.toSeq
+      .partition { case (twin, md5) =>
+        twinByName.contains(twin) && steadyByName.contains(md5) &&
+          !failed.contains(twin) && !failed.contains(md5)
+      }
+    if (skipped.nonEmpty && only.isEmpty)
+      System.err.println("[bench] production_total: skipped substitutions " +
+        skipped.map { case (t, m) => s"$t->$m" }.mkString(", ") +
+        " (twin or registry row missing/failed)")
     val productionTotal = totalSteady -
-      Queries.productionSubstitutes.valuesIterator
-        .map(md5 => steadyByName.getOrElse(md5, 0.0)).sum +
-      twinResults.map(_._3).sum
+      applied.map { case (_, md5) => steadyByName(md5) }.sum +
+      applied.map { case (twin, _) => twinByName(twin) }.sum
     val ctx = {
       val heapGb = Runtime.getRuntime.maxMemory / 1e9
       // Locale.ROOT: the default-locale f-interpolator would render 1,42

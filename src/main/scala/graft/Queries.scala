@@ -42,13 +42,28 @@ object Queries {
     * bounds the leak to one JVM session. */
   private[graft] def scratchDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
+    ScratchDirs.track(p)
+    p.toString
+  }
+
+  /** ONE static shutdown hook over a concurrent list of scratch roots:
+    * registering a hook per scratchDir() call leaked a Thread object per
+    * invocation into the JVM's hook set (bench reps + PlanGuard registry
+    * sweeps call query builders hundreds of times per session), and until
+    * exit each hook pinned a corpus-sized /tmp directory path. Eager
+    * deletion is still wrong (the staged/append rows hand artifacts to a
+    * LAZY result frame), so the contract stays delete-on-exit — but state
+    * is now one hook + one path per live dir, and dirs deleted mid-session
+    * by ops like rebuild drop out via the exists() guard. */
+  private object ScratchDirs {
+    private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles; if (cs != null) cs.foreach(rm); f.delete(); ()
       }
-      rm(p.toFile)
+      dirs.forEach(p => if (p.toFile.exists()) rm(p.toFile))
     }))
-    p.toString
+    def track(p: java.nio.file.Path): Unit = { dirs.add(p); () }
   }
 
   /** Same dispatch for the xxhash64 production basis: `graft_simhash64`

@@ -99,13 +99,22 @@ object PromIngest {
     * body — a 5xx must look like the transient failure it is so the
     * [[withRetry]] layer can act on it (a returned error body would
     * silently decode to zero rows and skip the retry). */
+  /** Error-status fetch result, carrying the status code so the retry
+    * layer can distinguish permanent client errors (bad PromQL, 401/404 —
+    * retrying cannot help and masks a configuration bug as flakiness)
+    * from transient server/network trouble (5xx, 429, timeouts). */
+  final class HttpStatusException(val status: Int, url: String, body: String)
+    extends java.io.IOException(s"HTTP $status from $url: ${body.take(200)}") {
+    /** 4xx except 429 (rate limit, which IS transient by contract). */
+    def isPermanent: Boolean = status >= 400 && status < 500 && status != 429
+  }
+
   def httpFetch(url: String): String = {
     val client = java.net.http.HttpClient.newHttpClient()
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() >= 400)
-      throw new java.io.IOException(
-        s"HTTP ${resp.statusCode()} from $url: ${resp.body().take(200)}")
+      throw new HttpStatusException(resp.statusCode(), url, resp.body())
     resp.body()
   }
 
@@ -162,6 +171,37 @@ object PromIngest {
     }
   }
 
+  /** Count-by-alias accumulator: state is ONE Long per distinct query
+    * alias, merged by sum. The earlier CollectionAccumulator[String]
+    * retained one list element PER EVENT for the lifetime of the
+    * SparkContext — in the Detector's 30 s polling loop against a flapping
+    * endpoint that is unbounded driver growth, and every gauge publish
+    * re-grouped the whole history. This keeps state O(#queries) and reads
+    * O(#queries) no matter how long the loop runs. */
+  final class CountByKeyAccumulator
+    extends org.apache.spark.util.AccumulatorV2[String, Map[String, Long]] {
+    private val counts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    override def isZero: Boolean = counts.isEmpty
+    override def copy(): CountByKeyAccumulator = {
+      val c = new CountByKeyAccumulator
+      counts.forEach((k, v) => c.counts.put(k, v))
+      c
+    }
+    override def reset(): Unit = counts.clear()
+    override def add(v: String): Unit =
+      counts.merge(v, 1L, (a, b) => a + b)
+    def addN(v: String, n: Long): Unit =
+      if (n > 0) counts.merge(v, n, (a, b) => a + b)
+    override def merge(
+        other: org.apache.spark.util.AccumulatorV2[String, Map[String, Long]]): Unit =
+      other.value.foreach { case (k, n) => addN(k, n) }
+    override def value: Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      counts.forEach((k, v) => b += (k -> v.longValue))
+      b.result()
+    }
+  }
+
   /** Per-query fetch-health counters, accumulator-backed so executor-side
     * events surface on the driver. Exactness contract: under `failOpen`
     * every fetch task succeeds and the counts are exact; under the
@@ -169,39 +209,36 @@ object PromIngest {
     * Spark (failed-task accumulator semantics) and the exhausted chunk is
     * re-attributed driver-side via [[recordExhausted]] — retry counts
     * from sibling chunks inside the killed task are a lower bound.
-    * Feeds the exporter's per-query gauges (ST5 integration). */
+    * Feeds the exporter's per-query gauges (ST5 integration). State and
+    * read cost are O(#distinct aliases), constant over loop lifetime. */
   final class FetchStats(spark: SparkSession) extends Serializable {
-    val retries: org.apache.spark.util.CollectionAccumulator[String] =
-      spark.sparkContext.collectionAccumulator[String]("graft.fetch.retries")
-    val failures: org.apache.spark.util.CollectionAccumulator[String] =
-      spark.sparkContext.collectionAccumulator[String]("graft.fetch.failures")
-    private def byQuery(
-        acc: org.apache.spark.util.CollectionAccumulator[String])
-        : Map[String, Long] = {
-      import scala.jdk.CollectionConverters._
-      acc.value.asScala.groupBy(identity)
-        .map { case (k, v) => (k, v.size.toLong) }
-    }
+    val retries: CountByKeyAccumulator = new CountByKeyAccumulator
+    val failures: CountByKeyAccumulator = new CountByKeyAccumulator
+    spark.sparkContext.register(retries, "graft.fetch.retries")
+    spark.sparkContext.register(failures, "graft.fetch.failures")
     /** alias → number of retried attempts (transient failures). */
-    def retriesByQuery: Map[String, Long] = byQuery(retries)
+    def retriesByQuery: Map[String, Long] = retries.value
     /** alias → number of chunks that exhausted every attempt. */
-    def failuresByQuery: Map[String, Long] = byQuery(failures)
+    def failuresByQuery: Map[String, Long] = failures.value
     /** Driver-side attribution of a fail-closed exhaustion (the failing
       * task's own accumulator updates were dropped — see class doc). */
     def recordExhausted(f: FetchExhaustedException): Unit = {
-      var i = 1
-      while (i < f.attempts) { retries.add(f.alias); i += 1 }
+      retries.addN(f.alias, (f.attempts - 1).toLong)
       failures.add(f.alias)
     }
   }
 
   /** Wrap a fetcher with [[RetryPolicy]] semantics: transient failures
-    * (any non-fatal throwable) are retried up to `maxAttempts` with
-    * jittered backoff; exhaustion rethrows the LAST error (fail-closed —
-    * the reference's posture, `realtime_detector.py:158-190`, which
-    * aborts the cycle on any query failure; our cycle-level ST5 degraded
-    * path then takes over). `onRetry` fires before each backoff sleep —
-    * the gauge/log hook. */
+    * are retried up to `maxAttempts` with jittered backoff; exhaustion
+    * rethrows the LAST error (fail-closed — the reference's posture,
+    * `realtime_detector.py:158-190`, which aborts the cycle on any query
+    * failure; our cycle-level ST5 degraded path then takes over).
+    * Permanent client errors ([[HttpStatusException.isPermanent]]: 4xx
+    * except 429) FAIL FAST on the first attempt — a bad PromQL expression
+    * or revoked token cannot heal by waiting, and running the full backoff
+    * schedule on every 30 s cycle both delays the degraded-mode signal and
+    * disguises a configuration bug as endpoint flakiness. `onRetry` fires
+    * before each backoff sleep — the gauge/log hook. */
   def withRetry(fetch: String => String,
                 policy: RetryPolicy = RetryPolicy(),
                 onRetry: (String, Int, Throwable) => Unit = (_, _, _) => ())
@@ -212,6 +249,7 @@ object PromIngest {
     while (out.isEmpty && attempt <= policy.maxAttempts) {
       try out = Some(fetch(url))
       catch {
+        case e: HttpStatusException if e.isPermanent => throw e
         case scala.util.control.NonFatal(e) =>
           lastErr = e
           if (attempt < policy.maxAttempts) {

@@ -47,12 +47,35 @@ object IvfIndex {
       .toDF("cell", "centroid")
       .coalesce(1) // k rows — one footer beats k tiny files
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // one-row meta table pinning the id/vector column NAMES: readers used
+    // to infer the vector column positionally (columns(1)), which silently
+    // reads the wrong column if a future writer reorders the projection
+    Seq((idCol, vecCol)).toDF("id_col", "vec_col")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
     corpus
       .withColumn("_cell", Ann.nearestCellInt(Ann.quantize3(col(vecCol)), cents))
       .select(col(idCol), col(vecCol), lit(0L).as("_gen"), col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/cells")
     cents.size
   }
+
+  /** The persisted (idCol, vecCol) names; a pre-meta index (built before
+    * the meta table existed) falls back to the original positional layout
+    * `(id, vec, [_gen], _cell=partition)` — correct for every index this
+    * module's own [[build]] ever wrote. */
+  private def loadMeta(spark: SparkSession, path: String,
+                       cells: DataFrame): (String, String) =
+    if (new java.io.File(s"$path/meta").exists()) {
+      val r = spark.read.parquet(s"$path/meta").collect().head
+      (r.getString(0), r.getString(1))
+    } else (cells.columns(0), cells.columns(1))
+
+  /** Cells with `_gen` guaranteed present: a pre-append index has no
+    * `_gen` column — its rows are all build-generation 0 by definition. */
+  private def cellsWithGen(cells: DataFrame): DataFrame =
+    if (cells.columns.contains("_gen")) cells
+    else cells.withColumn("_gen", lit(0L))
 
   /** Incremental append — the index-maintenance half of build-once/search-
     * many: new vectors are assigned to the EXISTING cells with the frozen
@@ -73,9 +96,14 @@ object IvfIndex {
     require(gen > 0, s"append generations start at 1 (build is 0), got $gen")
     val cents = loadCentroids(spark, path)
     require(cents.nonEmpty, s"no centroids at $path")
+    // write under the INDEX's column names (meta), not the batch's — a
+    // batch arriving as (uid, emb) must not fork the cells schema
+    val (baseId, baseVec) = loadMeta(spark, path,
+      spark.read.parquet(s"$path/cells"))
     val assigned = batch
       .withColumn("_cell", Ann.nearestCellInt(Ann.quantize3(col(vecCol)), cents))
-      .select(col(idCol), col(vecCol), lit(gen).as("_gen"), col("_cell"))
+      .select(col(idCol).as(baseId), col(vecCol).as(baseVec),
+        lit(gen).as("_gen"), col("_cell"))
     // count on the write job itself (CollectMetrics): a trailing
     // batch.count() would re-execute the batch plan as a second full scan —
     // doubling the advertised O(batch) cost — and could disagree with what
@@ -105,8 +133,8 @@ object IvfIndex {
   def staleness(spark: SparkSession, path: String): DataFrame = {
     val cents = loadCentroids(spark, path)
     require(cents.nonEmpty, s"no centroids at $path")
-    val cells = spark.read.parquet(s"$path/cells")
-    val vecCol = cells.columns(1)
+    val cells = cellsWithGen(spark.read.parquet(s"$path/cells"))
+    val vecCol = loadMeta(spark, path, cells)._2
     val dims = cents.head._2.length
     // the stored _cell is trusted (it IS the assignment); the distance is
     // recomputed from the struct-array min — bit-identical to assignment,
@@ -145,8 +173,7 @@ object IvfIndex {
     val cents = loadCentroids(spark, path)
     require(cents.nonEmpty, s"no centroids at $path")
     val cells = spark.read.parquet(s"$path/cells")
-    val idCol = cells.columns(0)
-    val vecCol = cells.columns(1)
+    val (idCol, vecCol) = loadMeta(spark, path, cells)
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qidCol)).orderBy(col("_s.d"), col("_s.cell"))
     val probes = queries

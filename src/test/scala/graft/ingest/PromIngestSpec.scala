@@ -118,6 +118,57 @@ class PromIngestSpec extends SparkSpec {
     assert(calls == 3 && e.getMessage == "down 3")
   }
 
+  test("withRetry: permanent 4xx fails FAST (one attempt, no backoff); 429 and 5xx stay retryable") {
+    var calls = 0
+    val policy = PromIngest.RetryPolicy(maxAttempts = 5, sleep = _ => ())
+    def respond(status: Int): String => String = { url =>
+      calls += 1; throw new PromIngest.HttpStatusException(status, url, "nope")
+    }
+    // 404 (bad PromQL / wrong path): surfaces on the FIRST attempt — the
+    // full backoff schedule cannot heal a configuration error
+    calls = 0
+    val e = intercept[PromIngest.HttpStatusException] {
+      PromIngest.withRetry(respond(404), policy)("http://x")
+    }
+    assert(e.status == 404 && calls == 1)
+    // 401 (revoked token): same fail-fast posture
+    calls = 0
+    intercept[PromIngest.HttpStatusException] {
+      PromIngest.withRetry(respond(401), policy)("http://x")
+    }
+    assert(calls == 1)
+    // 429 (rate limit) IS transient by contract: full schedule runs
+    calls = 0
+    intercept[PromIngest.HttpStatusException] {
+      PromIngest.withRetry(respond(429), policy)("http://x")
+    }
+    assert(calls == 5)
+    // 503: transient, full schedule
+    calls = 0
+    intercept[PromIngest.HttpStatusException] {
+      PromIngest.withRetry(respond(503), policy)("http://x")
+    }
+    assert(calls == 5)
+  }
+
+  test("FetchStats: accumulator state is one counter per alias, not one element per event") {
+    val stats = new PromIngest.FetchStats(spark)
+    // 10k events over 2 aliases — the old CollectionAccumulator kept 10k
+    // strings; the CountByKeyAccumulator keeps 2 longs
+    (1 to 9999).foreach(_ => stats.retries.add("a"))
+    stats.retries.add("b")
+    assert(stats.retriesByQuery == Map("a" -> 9999L, "b" -> 1L))
+    // merge-by-sum across partitioned copies (executor → driver path)
+    val remote = new PromIngest.CountByKeyAccumulator
+    remote.addN("a", 5L); remote.addN("c", 2L)
+    stats.retries.merge(remote)
+    assert(stats.retriesByQuery == Map("a" -> 10004L, "b" -> 1L, "c" -> 2L))
+    // recordExhausted attributes attempts-1 retries + 1 failure in O(1)
+    stats.recordExhausted(new PromIngest.FetchExhaustedException(
+      "b", "http://x", 4, new java.io.IOException("down")))
+    assert(stats.retriesByQuery("b") == 4L && stats.failuresByQuery == Map("b" -> 1L))
+  }
+
   test("fetchChunks: flaky fetch heals under retry; stats count per-query retries (S1 resilience)") {
     PromFlakyFixture.reset(failuresPerUrl = 1, body = single)
     val stats = new PromIngest.FetchStats(spark)

@@ -85,6 +85,39 @@ class IvfIndexSpec extends SparkSpec {
       s"outlier did not surface as quantization-error drift: ${rep.toSeq}")
   }
 
+  test("meta pins column names: renamed append batches land under the index schema; pre-meta/pre-gen indexes still read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_meta").toString
+    IvfIndex.build(corpus, "vec_id", "embedding", dir, centers = 3, iters = 2)
+    // batch arrives under DIFFERENT column names — must not fork the schema
+    val batch = Seq((100L, v(0.5f))).toDF("uid", "emb")
+    IvfIndex.append(batch, "uid", "emb", spark, dir)
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.columns.toSeq.sorted == Seq("_cell", "_gen", "embedding", "vec_id"))
+    assert(cells.filter($"vec_id" === 100L).count() == 1)
+    // staleness resolves the vector column BY NAME even after the append
+    assert(IvfIndex.staleness(spark, dir).count() > 0)
+
+    // a pre-meta, pre-append index (no meta/ dir, no _gen column): both
+    // readers fall back to the positional layout and a _gen of 0
+    val legacy = java.nio.file.Files.createTempDirectory("graft_ivf_legacy").toString
+    IvfIndex.build(corpus, "vec_id", "embedding", legacy, centers = 3, iters = 2)
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles; if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(s"$legacy/meta"))
+    val stripped = spark.read.parquet(s"$legacy/cells")
+      .select("vec_id", "embedding", "_cell")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_tmp").toString
+    stripped.write.partitionBy("_cell").mode("overwrite").parquet(s"$tmp/cells")
+    rm(new java.io.File(s"$legacy/cells"))
+    new java.io.File(s"$tmp/cells").renameTo(new java.io.File(s"$legacy/cells"))
+    val st = IvfIndex.staleness(spark, legacy)
+    assert(st.count() > 0 && st.agg(sum("n_new")).as[Long].head() == 0L)
+    val q = corpus.filter($"vec_id" === 4L)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    assert(IvfIndex.search(q, "qid", "qv", spark, legacy, k = 3).count() == 3)
+  }
+
   test("search scans only the probed cell partitions (partition pruning contract)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf3").toString
     IvfIndex.build(corpus, "vec_id", "embedding", dir, centers = 3, iters = 2)
