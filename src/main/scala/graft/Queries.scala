@@ -1855,13 +1855,18 @@ object Queries {
 
     "q_semdedup_fixedk" -> ((s, d) =>
       // SemDeDup with a FIXED label-centroid quantizer (the q_ann_ivf
-      // cells) — kept as the N²/k capacity-law demonstration: with k
-      // frozen, per-cell population grows with N and the within-cell pair
-      // join is quadratic (measured 11.4× at 10× data, SCALE.md). The
-      // PRIMARY q_semdedup row is the auto-k variant below, whose cell
-      // count scales with the corpus. Survivors (vec_id, cell); pair
-      // candidates are cell-bucketed, never corpus all-pairs.
-      graft.sim.Ann.semDedup(Tables.embeddings(s, d), "vec_id",
+      // cells) — kept as the N²/k capacity-law DEMO, and since round 10
+      // BOUNDED to a fixed 1000-vector slice (oracle restricted
+      // identically) so the demo row's cost is constant at every SF: with
+      // k frozen, per-cell population grows with N and the within-cell
+      // pair join is quadratic (measured 11.4× at 10× data on the
+      // unbounded row — SCALE.md; reproduce on demand with
+      // `tools/ScaleProbe semdedup_fixedk_unbounded`). The PRIMARY
+      // q_semdedup row is the auto-k variant below, whose cell count
+      // scales with the corpus. Survivors (vec_id, cell); pair candidates
+      // are cell-bucketed, never corpus all-pairs.
+      graft.sim.Ann.semDedup(
+          Tables.embeddings(s, d).filter(col("vec_id") < 1000), "vec_id",
           "embedding", "label", threshold = 0.30)
         .orderBy("vec_id")),
 
@@ -1932,13 +1937,17 @@ object Queries {
       // capacity-law demonstration (demoted from the primary name round 9
       // per the round-8 verdict: at 10× data the 32-bit space saturates —
       // 77.9M candidates, 20.4× wall — which q_banding_capacity predicts
-      // for pennies). The PRIMARY q_simhash_pairs row is the 64-bit
-      // banding below. 4 bands × 8 bits: maxDist 3 < 4 bands keeps recall
-      // exact by pigeonhole, and 8-bit bands are the widest a 32-bit hash
-      // allows (candidates ≈ nBands·D²/2^bandBits/2 for D distinct
-      // hashes, so fingerprint width is the whole selectivity game).
+      // for pennies), and since round 10 BOUNDED to a fixed 2000-doc
+      // slice (oracle restricted identically) so the demo row's cost is
+      // constant at every SF; the unbounded saturation curve stays
+      // reproducible via `tools/ScaleProbe simhash32_unbounded`. The
+      // PRIMARY q_simhash_pairs row is the 64-bit banding below. 4 bands
+      // × 8 bits: maxDist 3 < 4 bands keeps recall exact by pigeonhole,
+      // and 8-bit bands are the widest a 32-bit hash allows (candidates ≈
+      // nBands·D²/2^bandBits/2 for D distinct hashes, so fingerprint
+      // width is the whole selectivity game).
       graft.sim.Hamming.pairCounts(
-        Tables.documents(s, d)
+        Tables.documents(s, d).filter(col("doc_id") < 2000)
           .select(col("doc_id"),
             graft.dedup.Dedup.tokenMd5s(col("text")).as("_m"))
           .select(simhashMd5Col(s, col("_m"), 32).as("simhash32")),
@@ -4027,7 +4036,9 @@ object Queries {
          |ORDER BY doc_id""".stripMargin,
 
     "q_simhash32_saturation" ->
-      s"""WITH fp AS (SELECT doc_id, ${Simhash32Terms} AS sh FROM ($TokenMd5Sql))
+      // fixed 2000-doc slice — same cap as the Spark side (round-10 bound)
+      s"""WITH fp AS (SELECT doc_id, ${Simhash32Terms} AS sh
+         |  FROM (${tokenMd5Sql(" WHERE doc_id < 2000")}))
          |SELECT CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming,
          |  count(*) AS n_pairs
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -4102,10 +4113,14 @@ object Queries {
       // cosine-nearest cell with ascending-cell tiebreak), then the
       // within-cell pair prune: drop any vector with a smaller-id
       // same-cell neighbor at cosine >= 0.30.
-      s"""WITH cent AS (
+      // emb CTE = the fixed 1000-vector slice — same cap as the Spark
+      // side (round-10 bound); the quantizer's label centroids are fit
+      // on the SAME slice, matching Ann.semDedup over the filtered frame
+      s"""WITH emb AS (SELECT * FROM embeddings WHERE vec_id < 1000),
+         |cent AS (
          |  SELECT label, CAST(p.pos - 1 AS INTEGER) AS pos,
          |    round(avg(CAST(embedding[CAST(p.pos AS INTEGER)] AS DOUBLE)), 6) AS mean_v
-         |  FROM embeddings CROSS JOIN generate_series(1, 64) p(pos)
+         |  FROM emb CROSS JOIN generate_series(1, 64) p(pos)
          |  GROUP BY label, p.pos),
          |cvec AS (SELECT CAST(label AS VARCHAR) AS cell,
          |    list(mean_v ORDER BY pos) AS cvec
@@ -4114,7 +4129,7 @@ object Queries {
          |  SELECT e.vec_id, e.embedding, c.cell,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cell) AS rk
-         |  FROM embeddings e CROSS JOIN cvec c),
+         |  FROM emb e CROSS JOIN cvec c),
          |cells AS (SELECT vec_id, embedding, cell FROM assign WHERE rk = 1),
          |drp AS (SELECT DISTINCT b.vec_id
          |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -4802,15 +4817,18 @@ object Queries {
   }
 
   /** Per-token md5 array CTE + the 32 SimHash bit terms (shared by the
-    * fingerprint and Hamming oracle queries). */
-  private lazy val TokenMd5Sql: String =
+    * fingerprint and Hamming oracle queries). `where` carries the
+    * fixed-slice cap the bounded saturation demo applies on BOTH sides —
+    * one string, so the replays cannot desynchronize. */
+  private def tokenMd5Sql(where: String = ""): String =
     // list_filter mirrors tokens(): an empty token would otherwise inject a
     // phantom md5('') into the bit-count votes and len(m).
     s"""SELECT doc_id,
        |  list_transform(list_filter(string_split_regex(trim(lower(text)),
        |      '\\s+'), y -> y <> ''),
        |    t -> md5(t)) AS m
-       |  FROM documents""".stripMargin
+       |  FROM documents$where""".stripMargin
+  private lazy val TokenMd5Sql: String = tokenMd5Sql()
 
   private lazy val Simhash32Terms: String = (0 until 32).map { j =>
     s"""CASE WHEN 2 * len(list_filter(m, x -> (ascii(substr(x, ${j + 1}, 1)) % 2) = 1))

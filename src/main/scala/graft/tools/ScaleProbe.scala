@@ -219,6 +219,15 @@ object ScaleProbe {
           graft.sim.Hamming.bandedCandidates(grouped, widths).count()
         }
       }
+      // Round-10: q_simhash32_saturation's registry row is now BOUNDED to
+      // a fixed 2000-doc slice; the unbounded saturation curve (growing
+      // distinct-hash count D against the 32-bit space — near-pair count
+      // explodes as D approaches 2^16·√2 by birthday arithmetic) stays
+      // reproducible here, on the salted (disjoint-fingerprint) corpus.
+      time("simhash32_unbounded", m) {
+        graft.sim.Hamming.pairCounts(saltedHashes, "sh", Seq(8, 8, 8, 8), 3)
+          .agg(coalesce(sum("n_pairs"), lit(0L))).head().getLong(0)
+      }
       salted.unpersist(false)
 
       // PQ family: codebook training is corpus-scan + k-fixed aggregates
@@ -271,6 +280,19 @@ object ScaleProbe {
       // operating regime the fixed-k registry row only documents.
       time("semdedup_auto", m) {
         graft.sim.Ann.semDedupAuto(embSd, "vec_id", "embedding",
+          threshold = 0.30).count()
+      }
+      // Round-10: q_semdedup_fixedk's registry row is now BOUNDED to a
+      // fixed 1000-vector slice; the unbounded N²/k law (labels and
+      // geometry UNCHANGED across replicas, so per-cell population grows
+      // m× and the within-cell pair join grows m² — the quantizer-refresh
+      // trigger regime) stays reproducible here.
+      time("semdedup_fixedk_unbounded", m) {
+        val embFixed = (0 until m).map { i =>
+          emb.select((col("vec_id") + lit(i.toLong << 40)).as("vec_id"),
+            col("embedding"), col("label"))
+        }.reduce(_ unionByName _)
+        graft.sim.Ann.semDedup(embFixed, "vec_id", "embedding", "label",
           threshold = 0.30).count()
       }
     }
