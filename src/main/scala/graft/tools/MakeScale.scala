@@ -26,11 +26,33 @@ import org.apache.spark.sql.functions._
   *  - doc_id/vec_id shift by copy·10⁷, far above the +10⁶ twin-corpus
   *    offsets some queries build internally.
   *
-  * Usage: {{{ runMain graft.tools.MakeScale /root/testdata/sf0.1 /root/repo/.scratch/sf1 10 }}} */
+  * An optional 4th arg selects the document-corpus PROFILE:
+  *
+  *  - `default` — the shifted-copy scheme above. The driver's base
+  *    corpus is template-generated, so this profile is near-dup-heavy
+  *    BY CONSTRUCTION (~7.1k natural SimHash-64 pairs on 5k sf0.1 docs)
+  *    — the worst-case regime for pair miners, kept as the stress
+  *    profile;
+  *  - `lowdup` — the realistic-crawl profile (round-10 verdict item 3):
+  *    every doc's tokens get a per-doc salt suffix, which decorrelates
+  *    the generator's template siblings (no two distinct docs share a
+  *    token, so fingerprints are independent), and a planted partner
+  *    slice — every 50th doc re-emitted at doc_id+5·10⁶ with the SAME
+  *    salt and 10% of tokens edited — gives a controlled ~2% natural
+  *    near-dup pair rate (pairs, never cliques: partners are emitted
+  *    once per source doc). Heavy-hitter token stats are deliberately
+  *    sacrificed; this profile exists to measure pair-mining scale
+  *    behavior free of the default profile's clustering pathology.
+  *    Only `documents` differs between profiles.
+  *
+  * Usage: {{{ runMain graft.tools.MakeScale /root/testdata/sf0.1 /root/repo/.scratch/sf1 10 [default|lowdup] }}} */
 object MakeScale {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: MakeScale <srcDir> <outDir> <copies>")
-    val Array(src, out, copiesS) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: MakeScale <srcDir> <outDir> <copies> [default|lowdup]")
+    val Array(src, out, copiesS) = args.take(3)
+    val profile = args.lift(3).getOrElse("default")
+    require(profile == "default" || profile == "lowdup", s"bad profile $profile")
     val copies = copiesS.toInt
     require(copies >= 1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -81,22 +103,55 @@ object MakeScale {
     write(replicate("events",
       Map("event_id" -> eventSpan, "user_id" -> userSpan)), "events")
 
-    write(replicate("documents", Map("doc_id" -> 10000000L),
-      extra = (df, c) =>
-        if (c == 0) df
-        else df
-          .withColumn("text", when(length(trim(col("text"))) === 0, col("text"))
-            .otherwise(concat_ws(" ",
-            // every 2nd token gets a copy suffix: every 2-token shingle
-            // and most simhash bits diverge across copies (measured — see
-            // scaladoc), while half the token mass stays on the shared
-            // vocabulary for realistic heavy-hitter stats
-            zip_with(split(trim(col("text")), "\\s+"),
-              sequence(lit(0), size(split(trim(col("text")), "\\s+")) - 1),
-              (t, i) => when(pmod(i + lit(c), lit(2)) === 0,
-                concat(t, lit(c.toString))).otherwise(t)))))
-          .withColumn("n_chars", length(col("text")).cast("long"))),
-      "documents")
+    if (profile == "default") {
+      write(replicate("documents", Map("doc_id" -> 10000000L),
+        extra = (df, c) =>
+          if (c == 0) df
+          else df
+            .withColumn("text", when(length(trim(col("text"))) === 0, col("text"))
+              .otherwise(concat_ws(" ",
+              // every 2nd token gets a copy suffix: every 2-token shingle
+              // and most simhash bits diverge across copies (measured — see
+              // scaladoc), while half the token mass stays on the shared
+              // vocabulary for realistic heavy-hitter stats
+              zip_with(split(trim(col("text")), "\\s+"),
+                sequence(lit(0), size(split(trim(col("text")), "\\s+")) - 1),
+                (t, i) => when(pmod(i + lit(c), lit(2)) === 0,
+                  concat(t, lit(c.toString))).otherwise(t)))))
+            .withColumn("n_chars", length(col("text")).cast("long"))),
+        "documents")
+    } else {
+      // lowdup profile (see object scaladoc): every token suffixed with a
+      // per-doc salt ("s" + doc_id — unique across copies since doc_id is
+      // already shifted), so distinct docs share NO tokens and template
+      // clusters decorrelate; the partner slice re-emits every 50th doc
+      // under the SAME salt with every 10th token edited ("x" suffix) —
+      // 10% edits keep partners within SimHash-64 Hamming 4 of their
+      // source (the 25%-robustness lesson, this file's scaladoc), so the
+      // planted ~2% pair rate is what a banded miner should find.
+      def saltTokens(partner: Boolean) = {
+        val toks = split(trim(col("text")), "\\s+")
+        when(length(trim(col("text"))) === 0, col("text"))
+          .otherwise(concat_ws(" ",
+            zip_with(toks, sequence(lit(0), size(toks) - 1),
+              (t, i) =>
+                if (!partner) concat(t, lit("s"), col("doc_id"))
+                else when(pmod(i, lit(10)) === 0,
+                    concat(t, lit("x"), col("doc_id")))
+                  .otherwise(concat(t, lit("s"), col("doc_id"))))))
+      }
+      val base = replicate("documents", Map("doc_id" -> 10000000L))
+      val saltedAll = base.withColumn("text", saltTokens(partner = false))
+      val partners = base.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .withColumn("text", saltTokens(partner = true))
+        // shift AFTER salting: the partner keeps its source's salt; +5·10⁶
+        // stays inside the copy's 10⁷ id stripe and clear of the +10⁶
+        // re-syndication overlay q_simhash_pairs adds on top
+        .withColumn("doc_id", col("doc_id") + lit(5000000L))
+      write(saltedAll.unionByName(partners)
+        .withColumn("n_chars", length(col("text")).cast("long")),
+        "documents")
+    }
 
     write(replicate("embeddings", Map("vec_id" -> 10000000L),
       extra = (df, c) =>
