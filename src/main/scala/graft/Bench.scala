@@ -116,7 +116,7 @@ object Bench {
     // construction — extend it to this family (round-10 verdict item 1).
     def isConstructionHeavy(name: String): Boolean =
       name == "q_neardup_survivors" || name == "q_neardup_quality" ||
-      name == "q_neardup_clusters"
+      name == "q_neardup_clusters" || name == "q_neardup_clusters_dist"
     def isForked(name: String): Boolean =
       isBinaryFamily(name) || isConstructionHeavy(name)
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)

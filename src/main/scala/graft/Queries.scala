@@ -1561,6 +1561,30 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q_neardup_clusters_dist" -> ((s, d) => {
+      // The SCALE path certified by the oracle (round-10 verdict item 4):
+      // identical pair construction to q_neardup_clusters, but the
+      // connected components run through nearDupClustersDistributed
+      // DIRECTLY — min-label propagation + pointer jumping, edge set
+      // never driver-materialized — rather than through the
+      // driver-union-find fast path the edge counts at benched SFs would
+      // otherwise select. Structurally guaranteed (the distributed entry
+      // point is called, not the dispatcher) and plan-asserted in
+      // PlanGuardSpec: the result scans the propagation's localCheckpoint
+      // (RDDScanExec), never a driver-built LocalTableScan.
+      val docs = Tables.documents(s, d)
+      val consecutive = docs.select(col("doc_id").as("id1"),
+        (col("doc_id") + 1).as("id2"))
+      val pairs = graft.dedup.Dedup.jaccardVerify(consecutive, docs,
+        "doc_id", "text", k = 1, threshold = 0.75).select("id1", "id2")
+      val clusters = graft.dedup.Dedup.nearDupClustersDistributed(pairs)
+      docs.select("doc_id")
+        .join(clusters, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .orderBy("doc_id")
+    }),
+
     "q_boilerplate" -> ((s, d) =>
       // Global-frequency boilerplate coverage (the CCNet/RefinedWeb hot
       // k-gram pass): bigrams in ≥35 docs are boilerplate; each doc scored
@@ -3632,6 +3656,23 @@ object Queries {
          |ORDER BY d.doc_id""".stripMargin,
 
     "q_neardup_clusters" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct(string_split(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS s
+         |  FROM documents),
+         |linked AS (SELECT a.doc_id AS id,
+         |    (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(a.s, b.s))) >= 0.75) AS l
+         |  FROM sh a JOIN sh b ON a.doc_id = b.doc_id + 1)
+         |SELECT d.doc_id,
+         |  max(CASE WHEN NOT coalesce(l.l, FALSE) THEN d.doc_id END)
+         |    OVER (ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster
+         |FROM documents d LEFT JOIN linked l ON l.id = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // identical replay — the twin differs only in which engine path
+    // (driver union-find vs distributed propagation) computes the same
+    // connected components
+    "q_neardup_clusters_dist" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct(string_split(
          |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS s
          |  FROM documents),

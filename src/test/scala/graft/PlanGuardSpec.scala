@@ -572,6 +572,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(ap.exists(_.isInstanceOf[
         org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
       s"q_ann_pca lost the broadcast query fan-out: ${ap.map(_.nodeName).distinct}")
+
+    // q_neardup_clusters_dist (round 10): the oracle-certified scale path
+    // must actually BE the distributed propagation — its result scans the
+    // pointer-jumping loop's localCheckpoint (RDDScanExec); a driver-built
+    // union-find result would surface as a LocalTableScan instead
+    val ncd = nodesOf("q_neardup_clusters_dist")
+    assert(ncd.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.RDDScanExec]),
+      "q_neardup_clusters_dist must scan the distributed propagation's " +
+        s"localCheckpoint: ${ncd.map(_.nodeName).distinct}")
+    assert(!ncd.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.LocalTableScanExec]),
+      "q_neardup_clusters_dist fell back to a driver-materialized cluster " +
+        s"table: ${ncd.map(_.nodeName).distinct}")
   }
 
   test("hot scan-shaped queries run inside WholeStageCodegen") {
