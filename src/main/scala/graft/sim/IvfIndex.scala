@@ -153,6 +153,64 @@ object IvfIndex {
       .orderBy("cell")
   }
 
+  /** Corpus-wide staleness summary: population-weighted mean quantization
+    * error of the APPENDED generations over the BUILD generation's — the
+    * single scalar the rebuild policy thresholds. None when nothing has
+    * been appended (or the base is empty): a fresh index is never stale.
+    * Cost: the [[staleness]] aggregate (one map pass + k·gens rows). */
+  def stalenessRatio(spark: SparkSession, path: String): Option[Double] = {
+    val rep = staleness(spark, path)
+    val row = rep.agg(
+      (sum(col("qerr_base") * col("n_base")) / sum(col("n_base")))
+        .as("base"),
+      (sum(col("qerr_new") * col("n_new")) /
+        when(sum(col("n_new")) > 0, sum(col("n_new")))).as("nw"))
+      .collect().head
+    if (row.isNullAt(0) || row.isNullAt(1) || row.getDouble(0) <= 0.0) None
+    else Some(row.getDouble(1) / row.getDouble(0))
+  }
+
+  /** Retrain the quantizer on the index's CURRENT contents (build + every
+    * appended generation) and atomically replace the layout with a fresh
+    * generation-0 index — the O(index) operation [[append]] exists to
+    * amortize, run only when [[stalenessRatio]] says the frozen cells no
+    * longer fit the data. The new index is built into a sibling temp dir
+    * and swapped in with two directory renames (local-FS probe/test
+    * posture; on an object store the swap is the same pattern over a
+    * versioned prefix + pointer flip), so a concurrent reader never sees
+    * a half-written layout. Returns the new cell count. */
+  def rebuild(spark: SparkSession, path: String,
+              centers: Int = 8, iters: Int = 2): Int = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val (idCol, vecCol) = loadMeta(spark, path, cells)
+    val corpus = cells.select(col(idCol), col(vecCol))
+    val tmp = new java.io.File(s"$path.rebuilding")
+    val old = new java.io.File(s"$path.old")
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      val cs = f.listFiles; if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    rm(tmp); rm(old)
+    // build reads lazily from `path` while writing `tmp` — distinct dirs,
+    // so no self-overwrite; the swap below is rename-only
+    val k = build(corpus, idCol, vecCol, tmp.getPath, centers, iters)
+    val dir = new java.io.File(path)
+    require(dir.renameTo(old) && tmp.renameTo(dir),
+      s"index swap failed at $path")
+    rm(old)
+    k
+  }
+
+  /** The staleness→rebuild loop closure (round-10 verdict item 6): rebuild
+    * iff appended vectors quantize ≥ `ratioThreshold`× worse than the
+    * build population did. Returns Some(newCellCount) when a rebuild
+    * fired, None when the index is healthy — callers schedule this after
+    * append batches; the decision is measured, never calendar-based. */
+  def rebuildIfStale(spark: SparkSession, path: String,
+                     ratioThreshold: Double = 2.0,
+                     centers: Int = 8, iters: Int = 2): Option[Int] =
+    stalenessRatio(spark, path).filter(_ >= ratioThreshold)
+      .map(_ => rebuild(spark, path, centers, iters))
+
   /** The persisted centroid table as the driver-side Seq the search and
     * any re-assignment path consume — k·dims longs, never corpus-sized. */
   def loadCentroids(spark: SparkSession, path: String): Seq[(Int, Array[Long])] =

@@ -74,6 +74,104 @@ object IndexProbe {
       }
     }
 
+    // ---- append→drift→rebuild loop (round-10 verdict item 6) ----
+    // Worst-case drift for a frozen quantizer: clusters that STRADDLE two
+    // existing cells. For up to 8 mutual-nearest centroid pairs, plant 64
+    // near-identical vectors at the pair's midpoint, nudged alternately
+    // toward either centroid — the frozen assignment splits every cluster
+    // half/half across the two cells, so a single-probe search can reach
+    // only its own half (recall@48 of a 64-cluster degrades well below 1)
+    // until the staleness-triggered rebuild (which retrains on
+    // build+appends and swaps atomically) gives the drifted mass its own
+    // cells and restores it.
+    {
+      import spark.implicits._
+      // centroids in original units
+      val centsD = graft.sim.IvfIndex.loadCentroids(spark, ivfDir)
+        .map { case (id, arr) => (id, arr.map(_ / 1e6)) }
+      val dims = centsD.head._2.length
+      def d2(x: Array[Double], y: Array[Double]): Double =
+        x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
+      // mutual straddle pairs: each centroid with its nearest neighbor,
+      // kept only when the midpoint's two nearest centroids ARE the pair
+      // (otherwise the planted cluster would not split)
+      val pairs = centsD.map { case (ia, a) =>
+          val (ib, b) = centsD.filter(_._1 != ia)
+            .minBy { case (_, c) => d2(a, c) }
+          if (ia < ib) (ia, a, ib, b) else (ib, b, ia, a)
+        }.distinct
+        .filter { case (ia, a, ib, b) =>
+          val mid = a.zip(b).map { case (x, y) => (x + y) / 2 }
+          centsD.sortBy { case (_, c) => d2(mid, c) }.take(2)
+            .map(_._1).toSet == Set(ia, ib)
+        }.take(8)
+      // base per-dim quantization MSE → base point-centroid distance R;
+      // clusters sit √8·R off the midpoint ORTHOGONALLY to every
+      // (centroid − midpoint) direction, so all centroid distances grow
+      // by the same |offset|² — the cell ORDERING (and the half/half
+      // straddle split the ±25% axis nudge decides) is exactly preserved
+      // while drifted qerr lands ≈ 9× the base, decisively over the bar
+      val qb = graft.sim.IvfIndex.staleness(spark, ivfDir)
+        .agg((sum(col("qerr_base") * col("n_base")) / sum(col("n_base")))
+          .as("m")).collect().head.getDouble(0)
+      val target = math.sqrt(8.0 * qb * dims / 1e6)
+      val drifted = (for {
+        ((_, a, _, b), p) <- pairs.zipWithIndex
+        j <- 0 until 64
+      } yield {
+        val side = if (j % 2 == 0) -1.0 else 1.0
+        val mid = a.zip(b).map { case (x, y) => (x + y) / 2 }
+        val axis = a.indices.map(d => b(d) - a(d)).toArray
+        // deterministic direction, Gram-Schmidt-orthogonalized against
+        // EVERY (centroid − mid) so no third cell can jump the ordering
+        var o = a.indices.map(d => ((p * 31 + d * 17) % 11 - 5).toDouble + 0.01).toArray
+        for ((_, c) <- centsD) {
+          val v = c.indices.map(d => c(d) - mid(d)).toArray
+          val vn2 = v.map(x => x * x).sum
+          if (vn2 > 0) {
+            val dot = o.zip(v).map { case (x, y) => x * y }.sum
+            o = o.zip(v).map { case (x, y) => x - dot / vn2 * y }
+          }
+        }
+        val oLen = math.sqrt(o.map(x => x * x).sum)
+        val vec = a.indices.map { d =>
+          // ±25% axis nudge (sides at the 25%/75% points — decisively
+          // inside each half, and above the 10⁻³ quantization grid)
+          (mid(d) + side * 0.25 * axis(d) + o(d) / oLen * target).toFloat
+        }
+        ((500L << 40) + p * 64L + j, vec)
+      }).toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+      time("ivf_drift_append")(graft.sim.IvfIndex.append(drifted, "vec_id",
+        "embedding", spark, ivfDir, gen = 2L))
+      println(s"""{"op":"ivf_staleness_ratio","value":${
+        graft.sim.IvfIndex.stalenessRatio(spark, ivfDir).getOrElse(-1.0)}}""")
+      val everything = corpus.unionByName(batch).unionByName(drifted)
+      def recall48(): Double = {
+        val qs = (0 until 4).map { p =>
+          drifted.filter(col("vec_id") === (500L << 40) + p * 64L)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        }.reduce(_ unionByName _)
+        val got = graft.sim.IvfIndex.search(qs, "qid", "qv", spark, ivfDir,
+            k = 48, nprobe = 1)
+          .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+        val truth = graft.sim.Ann.bruteForceTopK(qs, "qid", "qv", everything,
+            "vec_id", "embedding", 48)
+          .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+        truth.map { case (q, t) =>
+          val g = got.getOrElse(q, Array.empty).map(_._2).toSet
+          (g & t.map(_._2).toSet).size.toDouble / t.length
+        }.sum / truth.size
+      }
+      val before = recall48()
+      val rebuilt = time("ivf_rebuild_if_stale")(
+        graft.sim.IvfIndex.rebuildIfStale(spark, ivfDir,
+          ratioThreshold = 2.0, centers = 16, iters = 2))
+      val after = recall48()
+      println(f"""{"op":"ivf_drift_recall@48","before":$before%.3f,"after":$after%.3f,"rebuilt":${rebuilt.nonEmpty}}""")
+    }
+
     val pqDir = graft.Queries.scratchDir("probe_pq")
     time("pq_build")(graft.sim.PqIndex.build(corpus, "vec_id", "embedding",
       pqDir, m = 8, ksub = 8, iters = 2, dims = 64))

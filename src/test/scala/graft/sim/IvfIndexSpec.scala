@@ -118,6 +118,61 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.search(q, "qid", "qv", spark, legacy, k = 3).count() == 3)
   }
 
+  test("staleness->rebuild loop: drifted appends trip the ratio, rebuild restores single-probe recall") {
+    // clusters need nonzero intra-cluster spread (identical members would
+    // make qerr_base 0 and the ratio undefined-by-contract)
+    val jittered = (0 until 12).map { i =>
+      (i.toLong, v((i / 4) * 100.0f).map(_ + (i % 4) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_reb").toString
+    IvfIndex.build(jittered, "vec_id", "embedding", dir, centers = 3, iters = 2)
+    // fresh index: nothing appended -> no ratio, no rebuild
+    assert(IvfIndex.stalenessRatio(spark, dir).isEmpty)
+    assert(IvfIndex.rebuildIfStale(spark, dir).isEmpty)
+    // healthy append (cluster members) keeps the ratio near 1 - no rebuild
+    val healthy = Seq((100L, v(100.0f).map(_ + 0.05f)),
+      (101L, v(0.0f).map(_ + 0.05f))).toDF("vec_id", "embedding")
+    IvfIndex.append(healthy, "vec_id", "embedding", spark, dir, gen = 1L)
+    val r1 = IvfIndex.stalenessRatio(spark, dir)
+    assert(r1.exists(_ < 2.0), s"healthy append read as drift: $r1")
+    assert(IvfIndex.rebuildIfStale(spark, dir, ratioThreshold = 2.0).isEmpty)
+    // drifted append: a NEW cluster straddling the 0- and 100-clusters, so
+    // the frozen quantizer splits it across two cells
+    val drifted = (0 until 6).map { i =>
+      (200L + i, v(40.0f + 4 * i))
+    }.toDF("vec_id", "embedding")
+    IvfIndex.append(drifted, "vec_id", "embedding", spark, dir, gen = 2L)
+    val r2 = IvfIndex.stalenessRatio(spark, dir)
+    assert(r2.exists(_ >= 2.0), s"drift not detected: $r2")
+
+    // single-probe recall for a drifted query, against brute-force truth
+    val all = jittered.unionByName(healthy).unionByName(drifted)
+    val q = drifted.filter($"vec_id" === 202L)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    def recall(): Double = {
+      val got = IvfIndex.search(q, "qid", "qv", spark, dir, k = 5, nprobe = 1)
+        .select("vec_id").as[Long].collect().toSet
+      val truth = Ann.bruteForceTopK(q, "qid", "qv", all, "vec_id",
+          "embedding", 5)
+        .select("vec_id").as[Long].collect().toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val before = recall()
+    assert(before <= 0.6, s"straddled cluster should degrade recall: $before")
+    // the policy fires, retrains on build+appends, swaps atomically
+    val rebuilt = IvfIndex.rebuildIfStale(spark, dir, ratioThreshold = 2.0,
+      centers = 4, iters = 2)
+    assert(rebuilt.nonEmpty)
+    // post-rebuild: all rows present as generation 0, ratio undefined again
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == 20 &&
+      cells.agg(max("_gen")).as[Long].head() == 0L)
+    assert(IvfIndex.stalenessRatio(spark, dir).isEmpty)
+    val after = recall()
+    assert(after == 1.0,
+      s"rebuild should give the drifted cluster its own cell: $after")
+  }
+
   test("search scans only the probed cell partitions (partition pruning contract)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf3").toString
     IvfIndex.build(corpus, "vec_id", "embedding", dir, centers = 3, iters = 2)
