@@ -572,6 +572,15 @@ object Queries {
         .select("event_id", "anomaly_total")
         .orderBy("event_id")),
 
+    "q_detect_quality" -> ((s, d) =>
+      // End-to-end behavioral detection QUALITY (round-10 verdict item 5):
+      // deterministic spikes planted in the events-derived series, scored
+      // by the FROZEN TRAINED LSTM artifact; the oracle replays the
+      // series/window/ground-truth arithmetic and asserts PERFECT
+      // detection — recall = precision = 1.0 — so any model or scoring
+      // regression fails the hash compare. See graft.model.DetectQuality.
+      graft.model.DetectQuality.qualityReport(s, d)),
+
     // --- set ops (U1/U2) ---
 
     "q_union_u1" -> ((s, d) => {
@@ -2888,6 +2897,31 @@ object Queries {
 
     "q_running_anomaly_a10" -> runningAnomalySql,
     "q_running_anomaly_a10_partitioned" -> runningAnomalySql,
+
+    "q_detect_quality" -> {
+      // The oracle replays the fixture arithmetic — minute series, planted
+      // spike positions, stride-1 window ground truth — and asserts the
+      // PERFECT outcome: n_flagged = planted windows, recall = precision
+      // = 1.0. The Spark side earns those numbers through the frozen
+      // trained model; a missed spike or a clean false positive changes
+      // n_flagged/recall/precision and fails the compare. Constants are
+      // interpolated from DetectQuality/Pipeline so the two sides cannot
+      // drift apart.
+      val L = Pipeline.SeqLen
+      val P = graft.model.DetectQuality.SpikePeriod
+      s"""WITH m AS (SELECT ts_us // 60000000 AS ts_min FROM ($EvSql)
+         |  WHERE event_type = 'click' GROUP BY 1),
+         |r0 AS (SELECT ts_min, row_number() OVER (ORDER BY ts_min) - 1 AS rn FROM m),
+         |r AS (SELECT rn, CASE WHEN rn % $P = 0 THEN 1 ELSE 0 END AS sp FROM r0),
+         |n AS (SELECT count(*) AS cnt FROM r),
+         |w AS (SELECT a.rn AS wid, max(b.sp) AS spiked
+         |  FROM r a JOIN r b ON b.rn BETWEEN a.rn AND a.rn + ${L - 1}
+         |  CROSS JOIN n WHERE a.rn <= n.cnt - $L GROUP BY a.rn)
+         |SELECT CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(spiked) AS BIGINT) AS n_flagged,
+         |  1.0 AS spike_recall, 1.0 AS clean_precision
+         |FROM w""".stripMargin
+    },
 
     "q_union_u1" ->
       s"""SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v

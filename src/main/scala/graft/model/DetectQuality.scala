@@ -14,7 +14,7 @@ import graft.operators.{Scalers, Windows}
   * with the scaler FIT ON THE CLEAN SERIES (the reference's frozen-scaler
   * posture, `preprocess_data.py` fit-then-transform), then deterministic
   * spikes of +[[SpikeMagnitude]] (in scaled units) injected at every
-  * minute divisible by [[SpikePeriod]]. Stride-1 length-[[graft.Pipeline.SeqLen]]
+  * [[SpikePeriod]]th row of the ordered series. Stride-1 length-[[graft.Pipeline.SeqLen]]
   * windows are scored by a FROZEN TRAINED LSTM autoencoder (the artifact
   * `resources/graft/detect_model.json`, produced once by
   * `tools/TrainDetectModel` — real BPTT training on the clean series, not
@@ -27,11 +27,12 @@ import graft.operators.{Scalers, Windows}
   * (n_flagged = planted windows, recall = precision = 1.0) — so a model
   * regression (missed spike → recall < 1, clean false positive →
   * precision < 1, either changes n_flagged) fails the row's hash compare.
-  * Measured margins (TrainDetectModel prints them): trained clean MSE sits
-  * ~6× under the threshold and the weakest spiked window ~2.5× above it; a
-  * glorot-initialized UNTRAINED model scores clean windows ABOVE the
-  * threshold (precision collapse) — the row certifies training quality,
-  * not just plumbing.
+  * Measured margins (TrainDetectModel prints them — see [[Threshold]]):
+  * every clean window at least 1.6× under the threshold, every spiked
+  * window at least 1.6× over; a glorot-initialized UNTRAINED model scores
+  * clean windows ABOVE the threshold (precision collapse,
+  * DetectQualitySpec) — the row certifies training quality, not just
+  * plumbing.
   *
   * Scale shape: one minute-keyed aggregate, a 2-value broadcast scaler,
   * the boundary-replicated bucketed window plan (no single-task stage —
@@ -40,19 +41,27 @@ import graft.operators.{Scalers, Windows}
   */
 object DetectQuality {
 
-  /** Spikes land every 97th minute (97 prime → no resonance with the
-    * window length or any calendar period). */
+  /** Spikes land on every 97th ROW of the ordered series (97 prime → no
+    * resonance with the window length; rank-based rather than
+    * timestamp-modulus so the planted count scales with the series at
+    * EVERY scale factor — sf0.001's 210 minutes happen to contain zero
+    * ts_min multiples of 97). */
   val SpikePeriod = 97
 
   /** Spike height in scaled units: +2.0 on a series whose clean values
     * lie in [0, 1] — a spiked step contributes ≥ 2²/L ≈ 0.2 to its
-    * window's MSE, 2.5× the threshold, before any model error. */
+    * window's MSE before any model error. */
   val SpikeMagnitude = 2.0
 
-  /** Flagging threshold on window MSE. Sits between the trained model's
-    * clean reconstruction error (~0.012 measured) and the spike floor
-    * (~0.2): ~6× headroom under, ~2.5× over. */
-  val Threshold = 0.08
+  /** Flagging threshold on window MSE, centered between the frozen
+    * model's measured decision margins (TrainDetectModel printout,
+    * sf0.01 + sf0.1): trained clean MSE mean 0.017–0.021 / MAX 0.081,
+    * weakest spiked window 0.205, untrained-glorot clean mean 0.17 —
+    * so 0.13 sits 1.6× over the worst clean window, 1.6× under the
+    * weakest spike, ~7× over the trained clean mean, and BELOW what an
+    * untrained model scores on clean data (the row fails without real
+    * training). */
+  val Threshold = 0.13
 
   /** The clean detection series: per-minute mean click value, min-max
     * scaled on its own (clean) fit — shared VERBATIM by the training tool
@@ -68,11 +77,15 @@ object DetectQuality {
 
   /** Clean series + deterministic spike injection (post-transform: the
     * scaler is frozen on the clean fit, so adding in scaled space is
-    * identical to adding `SpikeMagnitude · (max−min)` raw units). */
-  def spikedSeries(clean: DataFrame): DataFrame = clean
-    .withColumn("is_spike",
-      when(pmod(col("ts_min"), lit(SpikePeriod)) === 0, 1.0).otherwise(0.0))
-    .withColumn("v", col("v") + col("is_spike") * lit(SpikeMagnitude))
+    * identical to adding `SpikeMagnitude · (max−min)` raw units). The
+    * row rank comes from the scale-safe prefix-sum numbering — no
+    * single-partition stage. */
+  def spikedSeries(clean: DataFrame): DataFrame =
+    Windows.globalRowNumber(clean, Seq("ts_min"), "_rn")
+      .withColumn("is_spike",
+        when(pmod(col("_rn"), lit(SpikePeriod)) === 0, 1.0).otherwise(0.0))
+      .withColumn("v", col("v") + col("is_spike") * lit(SpikeMagnitude))
+      .drop("_rn")
 
   /** The frozen trained artifact, loaded once per JVM from the classpath
     * (ships inside the library jar — no filesystem path coupling). */
@@ -101,12 +114,15 @@ object DetectQuality {
     val flags = scored.join(truth, Seq("window_id"))
       .select(when(col("mse") > lit(Threshold), 1L).otherwise(0L).as("f"),
         col("_sp").cast("long").as("t"))
+    // try_divide: a degenerate run (nothing planted / nothing flagged)
+    // must surface as a NULL ratio — an oracle MISMATCH — not an ANSI
+    // division error that kills the whole Verify dump
     flags.agg(
       count(lit(1)).as("n_windows"),
       sum("f").as("n_flagged"),
-      round(sum(col("f") * col("t")).cast("double") / sum("t"), 6)
+      round(try_divide(sum(col("f") * col("t")).cast("double"), sum("t")), 6)
         .as("spike_recall"),
-      round(sum(col("f") * col("t")).cast("double") / sum("f"), 6)
+      round(try_divide(sum(col("f") * col("t")).cast("double"), sum("f")), 6)
         .as("clean_precision"))
   }
 }

@@ -1,0 +1,67 @@
+package graft.model
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The behavioral quality row's machinery: fixture arithmetic, label
+  * isolation, and the frozen artifact's decision margins (the claims
+  * `q_detect_quality`'s oracle enforces end-to-end at sf0.01). */
+class DetectQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("spikedSeries plants exactly every SpikePeriod-th series row, +magnitude in scaled units") {
+    val clean = DetectQuality.cleanSeries(spark, dir)
+    val sp = DetectQuality.spikedSeries(clean)
+    val joined = clean.select(col("ts_min"), col("v").as("cv"))
+      .join(sp, Seq("ts_min"))
+    val planted = joined.filter(col("is_spike") === 1.0)
+    // rank-based planting: every 97th row of the ordered series
+    val n = clean.count()
+    assert(planted.count() == (n - 1) / DetectQuality.SpikePeriod + 1)
+    // spiked rows shifted by exactly the magnitude; clean rows untouched
+    assert(planted.filter(
+      abs(col("v") - col("cv") - DetectQuality.SpikeMagnitude) > 1e-12).count() == 0)
+    assert(joined.filter(col("is_spike") === 0.0)
+      .filter(col("v") =!= col("cv")).count() == 0)
+    // clean series is min-max scaled: range exactly [0, 1]
+    val mm = clean.agg(min("v"), max("v")).as[(Double, Double)].head()
+    assert(mm._1 == 0.0 && mm._2 == 1.0)
+  }
+
+  test("frozen artifact: trained margins separate clean from spiked at the threshold (recall = precision = 1)") {
+    val rep = DetectQuality.qualityReport(spark, dir).collect().head
+    val (nWin, nFlag) = (rep.getLong(0), rep.getLong(1))
+    assert(nWin > 0 && nFlag > 0, s"degenerate fixture: $rep")
+    assert(rep.getDouble(2) == 1.0, s"spike recall: $rep")
+    assert(rep.getDouble(3) == 1.0, s"clean precision: $rep")
+    // the label never reaches the model: scoring v-only windows with the
+    // is_spike column zeroed must give the same flags (field 0 is all the
+    // model reads — regression guard on the featureCols contract)
+    val sp = DetectQuality.spikedSeries(DetectQuality.cleanSeries(spark, dir))
+      .withColumn("is_spike", lit(0.0))
+    val wins = graft.operators.Windows.slidingWindowsPartitioned(sp,
+      Seq("ts_min"), Seq("v", "is_spike"), graft.Pipeline.SeqLen)
+    val flagged = graft.Pipeline.scoreWindows(spark,
+        wins.select("window_id", "window"), Seq("v"),
+        DetectQuality.frozenModel)
+      .filter(col("mse") > DetectQuality.Threshold).count()
+    assert(flagged == nFlag, s"label leaked into scoring: $flagged vs $nFlag")
+  }
+
+  test("an UNTRAINED model fails the quality bar — the row certifies training, not plumbing") {
+    val sp = DetectQuality.spikedSeries(DetectQuality.cleanSeries(spark, dir))
+    val wins = graft.operators.Windows.slidingWindowsPartitioned(sp,
+      Seq("ts_min"), Seq("v", "is_spike"), graft.Pipeline.SeqLen)
+    val truth = wins.select(col("window_id"),
+      exists(col("window"), w => w("is_spike") === lit(1.0)).as("t"))
+    val glorot = Lstm.glorotInit(1, seed = 42L)
+    val scored = graft.Pipeline.scoreWindows(spark,
+      wins.select("window_id", "window"), Seq("v"), glorot)
+    val falsePos = scored.join(truth, Seq("window_id"))
+      .filter(!col("t") && col("mse") > DetectQuality.Threshold).count()
+    assert(falsePos > 0,
+      "glorot-noise weights should flood clean windows past the threshold")
+  }
+}
