@@ -76,12 +76,16 @@ object IndexProbe {
 
     // ---- append→drift→rebuild loop (round-10 verdict item 6) ----
     // Worst-case drift for a frozen quantizer: clusters that STRADDLE two
-    // existing cells. For up to 8 mutual-nearest centroid pairs, plant 64
-    // near-identical vectors at the pair's midpoint, nudged alternately
+    // existing cells. For up to 8 mutual-nearest centroid pairs, plant a
+    // corpus-proportional cluster (max(64, n/64) vectors — a realistic
+    // drift batch is sized like an ingest batch, and a vanishing drift
+    // fraction would rightly not move the retrained quantizer) at the
+    // pair's midpoint, nudged alternately
     // toward either centroid — the frozen assignment splits every cluster
     // half/half across the two cells, so a single-probe search can reach
-    // only its own half (recall@48 of a 64-cluster degrades well below 1)
-    // until the staleness-triggered rebuild (which retrains on
+    // only its own half; recall@(3/4 cluster) — a k that MUST span both
+    // halves — degrades well below 1 until the staleness-triggered
+    // rebuild (which retrains on
     // build+appends and swaps atomically) gives the drifted mass its own
     // cells and restores it.
     {
@@ -115,9 +119,10 @@ object IndexProbe {
         .agg((sum(col("qerr_base") * col("n_base")) / sum(col("n_base")))
           .as("m")).collect().head.getDouble(0)
       val target = math.sqrt(8.0 * qb * dims / 1e6)
+      val clusterSize = math.max(64L, n / 64L)
       val drifted = (for {
         ((_, a, _, b), p) <- pairs.zipWithIndex
-        j <- 0 until 64
+        j <- 0L until clusterSize
       } yield {
         val side = if (j % 2 == 0) -1.0 else 1.0
         val mid = a.zip(b).map { case (x, y) => (x + y) / 2 }
@@ -139,7 +144,7 @@ object IndexProbe {
           // inside each half, and above the 10⁻³ quantization grid)
           (mid(d) + side * 0.25 * axis(d) + o(d) / oLen * target).toFloat
         }
-        ((500L << 40) + p * 64L + j, vec)
+        ((500L << 40) + p * clusterSize + j, vec)
       }).toDF("vec_id", "embedding")
         .select(col("vec_id"),
           col("embedding").cast("array<float>").as("embedding"))
@@ -148,16 +153,17 @@ object IndexProbe {
       println(s"""{"op":"ivf_staleness_ratio","value":${
         graft.sim.IvfIndex.stalenessRatio(spark, ivfDir).getOrElse(-1.0)}}""")
       val everything = corpus.unionByName(batch).unionByName(drifted)
+      val kRec = (clusterSize * 3 / 4).toInt
       def recall48(): Double = {
         val qs = (0 until 4).map { p =>
-          drifted.filter(col("vec_id") === (500L << 40) + p * 64L)
+          drifted.filter(col("vec_id") === (500L << 40) + p * clusterSize)
             .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         }.reduce(_ unionByName _)
         val got = graft.sim.IvfIndex.search(qs, "qid", "qv", spark, ivfDir,
-            k = 48, nprobe = 1)
+            k = kRec, nprobe = 1)
           .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
         val truth = graft.sim.Ann.bruteForceTopK(qs, "qid", "qv", everything,
-            "vec_id", "embedding", 48)
+            "vec_id", "embedding", kRec)
           .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
         truth.map { case (q, t) =>
           val g = got.getOrElse(q, Array.empty).map(_._2).toSet
@@ -169,7 +175,7 @@ object IndexProbe {
         graft.sim.IvfIndex.rebuildIfStale(spark, ivfDir,
           ratioThreshold = 2.0, centers = 16, iters = 2))
       val after = recall48()
-      println(f"""{"op":"ivf_drift_recall@48","before":$before%.3f,"after":$after%.3f,"rebuilt":${rebuilt.nonEmpty}}""")
+      println(f"""{"op":"ivf_drift_recall@$kRec%d","before":$before%.3f,"after":$after%.3f,"rebuilt":${rebuilt.nonEmpty}}""")
     }
 
     val pqDir = graft.Queries.scratchDir("probe_pq")
