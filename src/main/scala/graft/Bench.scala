@@ -168,7 +168,8 @@ object Bench {
     // filter): a new heap + storage pool makes the family's session
     // numbers equal its solo numbers by construction — the in-session GC
     // fence only moved the old-gen inflation between rows (scaladoc).
-    def runForked(names: Seq[String]): Option[Seq[(String, Double, Double)]] =
+    def runForked(names: Seq[String], repsOverride: Option[Int] = None)
+        : Option[Seq[(String, Double, Double)]] =
       try {
         import scala.jdk.CollectionConverters._
         val javaBin = java.nio.file.Paths.get(
@@ -182,6 +183,8 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
         pb.environment().put("SPARK_GRAFT_FORK_BINARY", "0")
         pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+        repsOverride.foreach(r =>
+          pb.environment().put("SPARK_GRAFT_REPS", r.toString))
         // The child's stdout carries its own one-line record — keep it off
         // the parent's stdout (the driver parses exactly one JSON line);
         // stderr flows through for failure attribution.
@@ -224,7 +227,15 @@ object Bench {
     // timed region.
     val forked: Seq[(String, Double, Double)] =
       forkedReg.flatMap { case (name, fn) =>
-        runForked(Seq(name)).getOrElse {
+        // Construction-heavy rows do JIT-heavy DRIVER work (pair-set
+        // collect, union-find / propagation loop) that the binary family's
+        // executor-compute rows don't — in a fresh child at reps=2 their
+        // rep-2 "steady" still carries compiler warmup and read ~2–2.6×
+        // the REPS=4 solo cert. Match the cert's rep discipline inside the
+        // child (≥4 reps; extra reps cost the child wall clock only).
+        val childReps =
+          if (isConstructionHeavy(name)) Some(math.max(4, reps)) else None
+        runForked(Seq(name), childReps).getOrElse {
           System.err.println(
             s"[bench] fork of $name failed; falling back to in-session GC-fence path")
           Seq(measure(name, fn))

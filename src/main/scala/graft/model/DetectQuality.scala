@@ -109,8 +109,15 @@ object DetectQuality {
       Seq("v", "is_spike"), Pipeline.SeqLen)
     val truth = wins.select(col("window_id"),
       exists(col("window"), w => w("is_spike") === lit(1.0)).as("_sp"))
+    // EXPLICIT partition count before scoring: the window rows are a few
+    // MB, so AQE coalesces their shuffle to ONE partition — right for
+    // shuffle-read cost, wrong here because LSTM inference is ~ms per ROW
+    // (measured: 20.4 s single-core vs ~1 s spread at sf0.1). An explicit
+    // repartition(n) is exempt from AQE coalescing by contract.
     val scored = Pipeline.scoreWindows(spark,
-      wins.select("window_id", "window"), Seq("v"), frozenModel)
+      wins.select("window_id", "window")
+        .repartition(spark.sparkContext.defaultParallelism),
+      Seq("v"), frozenModel)
     val flags = scored.join(truth, Seq("window_id"))
       .select(when(col("mse") > lit(Threshold), 1L).otherwise(0L).as("f"),
         col("_sp").cast("long").as("t"))
