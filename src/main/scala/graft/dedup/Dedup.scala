@@ -511,6 +511,13 @@ object Dedup {
       labels = next
       i += 1
     }
+    // cost attribution for operators/benches built on this loop: rounds ≈
+    // ceil(log2(component diameter)) + 1 settle round, each round ~3
+    // shuffle stages — at small SF the row's cost IS this fixed round
+    // count times per-job overhead, amortized away at real data volume
+    System.err.println(
+      s"[graft] nearDupClustersDistributed: converged in $i rounds" +
+        (if (changed > 0) s" (NOT converged, hit maxIters=$maxIters)" else ""))
     edges.unpersist()
     // hand back a localCheckpoint and release the SQL-cache entry: cached
     // DataFrames live in the CacheManager until explicitly unpersisted, but
