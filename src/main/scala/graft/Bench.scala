@@ -286,7 +286,12 @@ object Bench {
         java.lang.Double.valueOf(x))
       def d1(x: Double) = String.format(java.util.Locale.ROOT, "%.1f",
         java.lang.Double.valueOf(x))
-      s"""{"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps}"""
+      // reps_override: the construction-heavy forked rows run max(4, reps)
+      // in their children — a reader of the record must be able to tell
+      // each row's rep discipline without knowing the fork policy
+      val overrides = forkedReg.map(_._1).filter(isConstructionHeavy)
+        .sorted.map(n => s""""$n":${math.max(4, reps)}""").mkString(",")
+      s"""{"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps,"reps_override":{$overrides}}"""
     }
     val json =
       s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","queries":$qsSteady,"value_first":$totalFirst,"queries_first":$qsFirst,"oracle_total":$totalSteady,"production_total":$productionTotal,"queries_bench_only":$qsTwins,"failed":$fs,"sf":"$sfDir","ctx":$ctx}"""

@@ -58,10 +58,7 @@ object Queries {
   private object ScratchDirs {
     private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles; if (cs != null) cs.foreach(rm); f.delete(); ()
-      }
-      dirs.forEach(p => if (p.toFile.exists()) rm(p.toFile))
+      dirs.forEach(p => graft.util.Fs.deleteRecursively(p.toFile))
     }))
     def track(p: java.nio.file.Path): Unit = { dirs.add(p); () }
   }

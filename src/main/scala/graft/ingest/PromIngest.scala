@@ -105,8 +105,11 @@ object PromIngest {
     * from transient server/network trouble (5xx, 429, timeouts). */
   final class HttpStatusException(val status: Int, url: String, body: String)
     extends java.io.IOException(s"HTTP $status from $url: ${body.take(200)}") {
-    /** 4xx except 429 (rate limit, which IS transient by contract). */
-    def isPermanent: Boolean = status >= 400 && status < 500 && status != 429
+    /** 4xx except the transient-by-contract trio: 429 (rate limit),
+      * 408 (request timeout — a loaded proxy condition one retry clears),
+      * and 425 (too early). */
+    def isPermanent: Boolean = status >= 400 && status < 500 &&
+      status != 429 && status != 408 && status != 425
   }
 
   def httpFetch(url: String): String = {
@@ -322,9 +325,16 @@ object PromIngest {
               null
             } else
               // fail-closed: a typed, alias-carrying abort — the driver
-              // attributes it (failed-task accumulators are dropped)
+              // attributes it (failed-task accumulators are dropped). A
+              // permanent 4xx failed FAST on attempt 1 — attributing the
+              // full schedule would report the config error as maxAttempts
+              // worth of endpoint flakiness, the very thing fail-fast
+              // exists to avoid.
               throw new FetchExhaustedException(alias, url,
-                policy.maxAttempts, e)
+                e match {
+                  case h: HttpStatusException if h.isPermanent => 1
+                  case _ => policy.maxAttempts
+                }, e)
         }
       }
       val raw = spark.createDataset(urls)

@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Pipeline, Tables}
@@ -98,17 +98,22 @@ object DetectQuality {
     Lstm.fromJson(txt)
   }
 
+  /** Per-window ground truth from the window id ALONE: window w covers
+    * series rows [w, w+L−1] and spikes sit on every [[SpikePeriod]]th
+    * row, so w's window is spiked iff the next multiple of the period at
+    * or after w lands within L rows. Pure arithmetic — no second pass
+    * over the window structs, no label column near the model, no join
+    * (DetectQualitySpec pins it equal to the exists-over-members read). */
+  private[model] def truthFromId(windowId: Column): Column =
+    pmod(lit(SpikePeriod) - pmod(windowId, lit(SpikePeriod)),
+      lit(SpikePeriod)) < lit(Pipeline.SeqLen)
+
   /** The registry row body: windows → frozen-model scores → flags vs
     * planted ground truth → one report row. */
   def qualityReport(spark: SparkSession, dir: String): DataFrame = {
     val sp = spikedSeries(cleanSeries(spark, dir))
-    // is_spike rides in the window struct for per-window ground truth
-    // (field 1); scoreWindows reads only the first `featureCols.size`
-    // struct fields, so the model never sees the label
     val wins = Windows.slidingWindowsPartitioned(sp, Seq("ts_min"),
-      Seq("v", "is_spike"), Pipeline.SeqLen)
-    val truth = wins.select(col("window_id"),
-      exists(col("window"), w => w("is_spike") === lit(1.0)).as("_sp"))
+      Seq("v"), Pipeline.SeqLen)
     // EXPLICIT partition count before scoring: the window rows are a few
     // MB, so AQE coalesces their shuffle to ONE partition — right for
     // shuffle-read cost, wrong here because LSTM inference is ~ms per ROW
@@ -118,9 +123,9 @@ object DetectQuality {
       wins.select("window_id", "window")
         .repartition(spark.sparkContext.defaultParallelism),
       Seq("v"), frozenModel)
-    val flags = scored.join(truth, Seq("window_id"))
+    val flags = scored
       .select(when(col("mse") > lit(Threshold), 1L).otherwise(0L).as("f"),
-        col("_sp").cast("long").as("t"))
+        truthFromId(col("window_id")).cast("long").as("t"))
     // try_divide: a degenerate run (nothing planted / nothing flagged)
     // must surface as a NULL ratio — an oracle MISMATCH — not an ANSI
     // division error that kills the whole Verify dump

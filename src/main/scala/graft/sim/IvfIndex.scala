@@ -63,13 +63,16 @@ object IvfIndex {
   /** The persisted (idCol, vecCol) names; a pre-meta index (built before
     * the meta table existed) falls back to the original positional layout
     * `(id, vec, [_gen], _cell=partition)` — correct for every index this
-    * module's own [[build]] ever wrote. */
+    * module's own [[build]] ever wrote. `cells` is BY-NAME: the fallback
+    * needs a schema read over the whole partitioned cells tree (file
+    * listing + footer merge — O(index) metadata), and a post-round-10
+    * index must not pay it on every O(batch) append just to discard it. */
   private def loadMeta(spark: SparkSession, path: String,
-                       cells: DataFrame): (String, String) =
+                       cells: => DataFrame): (String, String) =
     if (new java.io.File(s"$path/meta").exists()) {
       val r = spark.read.parquet(s"$path/meta").collect().head
       (r.getString(0), r.getString(1))
-    } else (cells.columns(0), cells.columns(1))
+    } else { val c = cells; (c.columns(0), c.columns(1)) }
 
   /** Cells with `_gen` guaranteed present: a pre-append index has no
     * `_gen` column — its rows are all build-generation 0 by definition. */
@@ -186,17 +189,22 @@ object IvfIndex {
     val corpus = cells.select(col(idCol), col(vecCol))
     val tmp = new java.io.File(s"$path.rebuilding")
     val old = new java.io.File(s"$path.old")
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      val cs = f.listFiles; if (cs != null) cs.foreach(rm); f.delete(); ()
-    }
-    rm(tmp); rm(old)
+    graft.util.Fs.deleteRecursively(tmp)
+    graft.util.Fs.deleteRecursively(old)
     // build reads lazily from `path` while writing `tmp` — distinct dirs,
     // so no self-overwrite; the swap below is rename-only
     val k = build(corpus, idCol, vecCol, tmp.getPath, centers, iters)
     val dir = new java.io.File(path)
-    require(dir.renameTo(old) && tmp.renameTo(dir),
-      s"index swap failed at $path")
-    rm(old)
+    require(dir.renameTo(old), s"index swap failed at $path (move-out)")
+    if (!tmp.renameTo(dir)) {
+      // roll the live index back before failing — without this, a failed
+      // second rename would leave `path` empty and the only copy at .old
+      val restored = old.renameTo(dir)
+      throw new IllegalStateException(
+        s"index swap failed at $path (move-in); previous index " +
+          (if (restored) "restored" else s"left at ${old.getPath}"))
+    }
+    graft.util.Fs.deleteRecursively(old)
     k
   }
 

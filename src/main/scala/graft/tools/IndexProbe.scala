@@ -154,8 +154,12 @@ object IndexProbe {
         graft.sim.IvfIndex.stalenessRatio(spark, ivfDir).getOrElse(-1.0)}}""")
       val everything = corpus.unionByName(batch).unionByName(drifted)
       val kRec = (clusterSize * 3 / 4).toInt
+      // a centroid layout can yield fewer (even zero) mutual-nearest
+      // straddle pairs — query only the clusters that exist, and report
+      // the scenario as skipped rather than printing a 0/0 NaN record
+      val nQueries = math.min(4, pairs.size)
       def recall48(): Double = {
-        val qs = (0 until 4).map { p =>
+        val qs = (0 until nQueries).map { p =>
           drifted.filter(col("vec_id") === (500L << 40) + p * clusterSize)
             .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         }.reduce(_ unionByName _)
@@ -170,12 +174,16 @@ object IndexProbe {
           (g & t.map(_._2).toSet).size.toDouble / t.length
         }.sum / truth.size
       }
-      val before = recall48()
-      val rebuilt = time("ivf_rebuild_if_stale")(
-        graft.sim.IvfIndex.rebuildIfStale(spark, ivfDir,
-          ratioThreshold = 2.0, centers = 16, iters = 2))
-      val after = recall48()
-      println(f"""{"op":"ivf_drift_recall@$kRec%d","before":$before%.3f,"after":$after%.3f,"rebuilt":${rebuilt.nonEmpty}}""")
+      if (nQueries == 0) {
+        println("""{"op":"ivf_drift_recall","skipped":"no straddle pairs for this centroid layout"}""")
+      } else {
+        val before = recall48()
+        val rebuilt = time("ivf_rebuild_if_stale")(
+          graft.sim.IvfIndex.rebuildIfStale(spark, ivfDir,
+            ratioThreshold = 2.0, centers = 16, iters = 2))
+        val after = recall48()
+        println(f"""{"op":"ivf_drift_recall@$kRec%d","before":$before%.3f,"after":$after%.3f,"rebuilt":${rebuilt.nonEmpty}}""")
+      }
     }
 
     val pqDir = graft.Queries.scratchDir("probe_pq")

@@ -36,18 +36,16 @@ class DetectQualitySpec extends SparkSpec {
     assert(nWin > 0 && nFlag > 0, s"degenerate fixture: $rep")
     assert(rep.getDouble(2) == 1.0, s"spike recall: $rep")
     assert(rep.getDouble(3) == 1.0, s"clean precision: $rep")
-    // the label never reaches the model: scoring v-only windows with the
-    // is_spike column zeroed must give the same flags (field 0 is all the
-    // model reads — regression guard on the featureCols contract)
+    // the arithmetic ground truth (window_id alone) must equal the
+    // exists-over-window-members read — the formula regression guard
     val sp = DetectQuality.spikedSeries(DetectQuality.cleanSeries(spark, dir))
-      .withColumn("is_spike", lit(0.0))
     val wins = graft.operators.Windows.slidingWindowsPartitioned(sp,
       Seq("ts_min"), Seq("v", "is_spike"), graft.Pipeline.SeqLen)
-    val flagged = graft.Pipeline.scoreWindows(spark,
-        wins.select("window_id", "window"), Seq("v"),
-        DetectQuality.frozenModel)
-      .filter(col("mse") > DetectQuality.Threshold).count()
-    assert(flagged == nFlag, s"label leaked into scoring: $flagged vs $nFlag")
+    val mismatches = wins.select(col("window_id"),
+        exists(col("window"), w => w("is_spike") === lit(1.0)).as("e"))
+      .withColumn("a", DetectQuality.truthFromId(col("window_id")))
+      .filter(col("e") =!= col("a")).count()
+    assert(mismatches == 0, s"arithmetic truth diverges on $mismatches windows")
   }
 
   test("an UNTRAINED model fails the quality bar — the row certifies training, not plumbing") {

@@ -101,9 +101,7 @@ class IvfIndexSpec extends SparkSpec {
     // readers fall back to the positional layout and a _gen of 0
     val legacy = java.nio.file.Files.createTempDirectory("graft_ivf_legacy").toString
     IvfIndex.build(corpus, "vec_id", "embedding", legacy, centers = 3, iters = 2)
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles; if (cs != null) cs.foreach(rm); f.delete(); ()
-    }
+    def rm(f: java.io.File): Unit = graft.util.Fs.deleteRecursively(f)
     rm(new java.io.File(s"$legacy/meta"))
     val stripped = spark.read.parquet(s"$legacy/cells")
       .select("vec_id", "embedding", "_cell")
