@@ -225,6 +225,11 @@ object Bench {
     // the family-child experiment). A per-query JVM makes session ≡ solo by
     // definition; the extra session warmups cost wall clock only, never the
     // timed region.
+    // Rows whose child JVM actually ran with a rep override — a fork that
+    // fails falls back to the in-session path at plain `reps`, and the
+    // record's reps_override must not advertise a discipline that row
+    // didn't get.
+    val overrideApplied = scala.collection.mutable.Set.empty[String]
     val forked: Seq[(String, Double, Double)] =
       forkedReg.flatMap { case (name, fn) =>
         // Construction-heavy rows do JIT-heavy DRIVER work (pair-set
@@ -235,10 +240,14 @@ object Bench {
         // child (≥4 reps; extra reps cost the child wall clock only).
         val childReps =
           if (isConstructionHeavy(name)) Some(math.max(4, reps)) else None
-        runForked(Seq(name), childReps).getOrElse {
-          System.err.println(
-            s"[bench] fork of $name failed; falling back to in-session GC-fence path")
-          Seq(measure(name, fn))
+        runForked(Seq(name), childReps) match {
+          case Some(rows) =>
+            childReps.foreach(_ => overrideApplied += name)
+            rows
+          case None =>
+            System.err.println(
+              s"[bench] fork of $name failed; falling back to in-session GC-fence path")
+            Seq(measure(name, fn))
         }
       }
     val results = (inSession ++ forked).sortBy(_._1)
@@ -288,8 +297,10 @@ object Bench {
         java.lang.Double.valueOf(x))
       // reps_override: the construction-heavy forked rows run max(4, reps)
       // in their children — a reader of the record must be able to tell
-      // each row's rep discipline without knowing the fork policy
-      val overrides = forkedReg.map(_._1).filter(isConstructionHeavy)
+      // each row's rep discipline without knowing the fork policy. Only
+      // rows whose child actually succeeded appear (a failed fork falls
+      // back to the in-session path at plain `reps`).
+      val overrides = overrideApplied.toSeq
         .sorted.map(n => s""""$n":${math.max(4, reps)}""").mkString(",")
       s"""{"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps,"reps_override":{$overrides}}"""
     }

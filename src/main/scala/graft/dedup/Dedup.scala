@@ -468,9 +468,9 @@ object Dedup {
       }
       return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster")
     }
-    // the distributed path consumes `pairs` four times building the edge
-    // list and runs eagerly (per-round counts), so keep the persist alive
-    // through the call and release it after
+    // the distributed path runs eagerly (per-round counts), so keep the
+    // persist from the edge-count probe above alive through the call
+    // (its edge build scans `pairs` once) and release it after
     val result = nearDupClustersDistributed(persisted, maxIters)
     persisted.unpersist()
     result
@@ -479,11 +479,18 @@ object Dedup {
   /** The scale path: distributed min-label propagation with pointer
     * jumping — O(log diameter) rounds, edge set never driver-materialized. */
   def nearDupClustersDistributed(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    // undirected edge list, both directions + self-loops (keeps every id)
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .union(pairs.select(col("id1").as("src"), col("id1").as("dst")))
-      .union(pairs.select(col("id2").as("src"), col("id2").as("dst")))
+    // Undirected edge list, both directions + self-loops (keeps every id),
+    // built in ONE scan of `pairs` via explode — the former 4-way
+    // union referenced the (possibly expensive, possibly unpersisted)
+    // pair-construction subtree four times, quadrupling e.g. a
+    // jaccardVerify upstream when the caller hadn't persisted it.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id1").as("src"), col("id2").as("dst")),
+        struct(col("id2").as("src"), col("id1").as("dst")),
+        struct(col("id1").as("src"), col("id1").as("dst")),
+        struct(col("id2").as("src"), col("id2").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy(col("src").as("id"))
@@ -492,38 +499,48 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
-      // 1) min label over neighborhood (incl. own current label)
+      // 1) min label over neighborhood (incl. own current label). The
+      //    self-loop row (dst == src) carries x's OWN previous label, so
+      //    the same aggregate also emits it as `old` — the convergence
+      //    check below then needs no extra join against `labels`.
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
-        .agg(min(col("cluster")).as("nc"))
+        .agg(min(col("cluster")).as("nc"),
+          min(when(col("dst") === col("src"), col("cluster"))).as("old"))
       // 2) pointer jump — label(x) := label(label(x)) — so chains collapse
       //    in O(log diameter) rounds, not O(diameter)
       val next = viaNeighbors.alias("a")
         .join(labels.select(col("id").as("pid"), col("cluster").as("pc")),
           col("a.nc") === col("pid"), "left")
         .select(col("a.id").as("id"),
-          least(col("a.nc"), coalesce(col("pc"), col("a.nc"))).as("cluster"))
+          least(col("a.nc"), coalesce(col("pc"), col("a.nc"))).as("cluster"),
+          col("a.old").as("old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old")).count()
+      // ONE action per round: this count both materializes `next` into the
+      // cache and reads the convergence signal off the carried `old`
+      // column (labels only ever decrease, so new < old ⟺ changed).
+      changed = next.filter(col("cluster") =!= col("old")).count()
       labels.unpersist()
       labels = next
       i += 1
     }
     // cost attribution for operators/benches built on this loop: rounds ≈
-    // ceil(log2(component diameter)) + 1 settle round, each round ~3
+    // ceil(log2(component diameter)) + 1 settle round, each round ~2
     // shuffle stages — at small SF the row's cost IS this fixed round
     // count times per-job overhead, amortized away at real data volume
     System.err.println(
-      s"[graft] nearDupClustersDistributed: converged in $i rounds" +
-        (if (changed > 0) s" (NOT converged, hit maxIters=$maxIters)" else ""))
+      if (changed > 0)
+        s"[graft] nearDupClustersDistributed: stopped at maxIters=$maxIters " +
+          s"after $i rounds without converging"
+      else s"[graft] nearDupClustersDistributed: converged in $i rounds")
     edges.unpersist()
     // hand back a localCheckpoint and release the SQL-cache entry: cached
     // DataFrames live in the CacheManager until explicitly unpersisted, but
     // localCheckpoint blocks are reference-tracked and reclaimed by the
     // ContextCleaner once the returned frame is garbage — no leak per call.
-    val result = labels.localCheckpoint(eager = true)
+    // (drop the loop-internal `old` convergence column if any round ran)
+    val result = labels.select("id", "cluster").localCheckpoint(eager = true)
     labels.unpersist()
     result
   }

@@ -80,6 +80,24 @@ object IvfIndex {
     if (cells.columns.contains("_gen")) cells
     else cells.withColumn("_gen", lit(0L))
 
+  /** Crash-window recovery for [[rebuild]]'s two-rename swap: a JVM death
+    * between move-out and move-in leaves NOTHING at `path`, with the
+    * previous index intact at `path.old` (and the finished rebuild at
+    * `path.rebuilding`). Every public entry point resolves through this:
+    * if `path` is gone but `.old` survives, rename it back into place
+    * (completing the rollback) — or, if the rename is denied, serve reads
+    * from `.old` directly. Manual recovery when preferred: rename
+    * `path.rebuilding` (the completed rebuild) to `path` instead.
+    * No-op (and no filesystem calls beyond two exists probes) on a
+    * healthy index. */
+  private def resolveRoot(path: String): String = {
+    val dir = new java.io.File(path)
+    val old = new java.io.File(s"$path.old")
+    if (dir.exists() || !old.exists()) path
+    else if (old.renameTo(dir)) path
+    else old.getPath
+  }
+
   /** Incremental append — the index-maintenance half of build-once/search-
     * many: new vectors are assigned to the EXISTING cells with the frozen
     * quantizer (map-only; centroids ride as plan literals, exactly the
@@ -95,14 +113,30 @@ object IvfIndex {
     * probe recall silently — [[staleness]] is the paired metric that makes
     * the rebuild decision measurable instead of scheduled. */
   def append(batch: DataFrame, idCol: String, vecCol: String,
-             spark: SparkSession, path: String, gen: Long = 1L): Long = {
+             spark: SparkSession, rawPath: String, gen: Long = 1L): Long = {
     require(gen > 0, s"append generations start at 1 (build is 0), got $gen")
+    val path = resolveRoot(rawPath)
     val cents = loadCentroids(spark, path)
     require(cents.nonEmpty, s"no centroids at $path")
     // write under the INDEX's column names (meta), not the batch's — a
-    // batch arriving as (uid, emb) must not fork the cells schema
-    val (baseId, baseVec) = loadMeta(spark, path,
-      spark.read.parquet(s"$path/cells"))
+    // batch arriving as (uid, emb) must not fork the cells schema.
+    // `lazy`: a modern (meta-carrying) index never evaluates it, so the
+    // O(index) file-listing + footer read stays off the O(batch) append.
+    lazy val baseCells = spark.read.parquet(s"$path/cells")
+    // Legacy guard: appending `_gen`-stamped files into a cells tree whose
+    // base files lack the column makes the merged read schema
+    // footer-order-dependent — `_gen` either vanishes (appends silently
+    // read as generation 0) or nulls for base rows, corrupting staleness
+    // generation attribution. `_gen` (round 9) predates the meta table
+    // (round 10), so a pre-`_gen` index is necessarily pre-meta and this
+    // probe rides the schema read the meta fallback pays anyway; a
+    // meta-carrying index was written by a build that also stamped `_gen`.
+    val metaExists = new java.io.File(s"$path/meta").exists()
+    if (!metaExists && !baseCells.columns.contains("_gen"))
+      throw new IllegalStateException(
+        s"index at $path predates generation stamping (no _gen column in " +
+          "cells) — run IvfIndex.rebuild first, then append")
+    val (baseId, baseVec) = loadMeta(spark, path, baseCells)
     val assigned = batch
       .withColumn("_cell", Ann.nearestCellInt(Ann.quantize3(col(vecCol)), cents))
       .select(col(idCol).as(baseId), col(vecCol).as(baseVec),
@@ -133,7 +167,8 @@ object IvfIndex {
     * convention). One map-only projection + one map-side-combinable
     * aggregate; centroids are plan literals, nothing shuffles but the
     * k·gens aggregate rows. */
-  def staleness(spark: SparkSession, path: String): DataFrame = {
+  def staleness(spark: SparkSession, rawPath: String): DataFrame = {
+    val path = resolveRoot(rawPath)
     val cents = loadCentroids(spark, path)
     require(cents.nonEmpty, s"no centroids at $path")
     val cells = cellsWithGen(spark.read.parquet(s"$path/cells"))
@@ -182,8 +217,9 @@ object IvfIndex {
     * posture; on an object store the swap is the same pattern over a
     * versioned prefix + pointer flip), so a concurrent reader never sees
     * a half-written layout. Returns the new cell count. */
-  def rebuild(spark: SparkSession, path: String,
+  def rebuild(spark: SparkSession, rawPath: String,
               centers: Int = 8, iters: Int = 2): Int = {
+    val path = resolveRoot(rawPath)
     val cells = spark.read.parquet(s"$path/cells")
     val (idCol, vecCol) = loadMeta(spark, path, cells)
     val corpus = cells.select(col(idCol), col(vecCol))
@@ -222,7 +258,7 @@ object IvfIndex {
   /** The persisted centroid table as the driver-side Seq the search and
     * any re-assignment path consume — k·dims longs, never corpus-sized. */
   def loadCentroids(spark: SparkSession, path: String): Seq[(Int, Array[Long])] =
-    spark.read.parquet(s"$path/centroids")
+    spark.read.parquet(s"${resolveRoot(path)}/centroids")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
@@ -234,8 +270,9 @@ object IvfIndex {
     * ONLY the probed partitions. Queries must be driver-small (they
     * broadcast, as in every Ann search). */
   def search(queries: DataFrame, qidCol: String, qvecCol: String,
-             spark: SparkSession, path: String,
+             spark: SparkSession, rawPath: String,
              k: Int, nprobe: Int = 2): DataFrame = {
+    val path = resolveRoot(rawPath)
     val cents = loadCentroids(spark, path)
     require(cents.nonEmpty, s"no centroids at $path")
     val cells = spark.read.parquet(s"$path/cells")

@@ -715,7 +715,7 @@ object TextStats {
     * group. Two 1-row broadcasts carry (N_ref, V). */
   def referenceDrift(df: DataFrame, groupCol: String, textCol: String,
                      refPred: Column): DataFrame = {
-    val oov = lit(" oov")
+    val oov = lit("\u0000oov")
     val tok = df
       .select(col(groupCol), refPred.as("_r"),
         explode(tokens(lower(col(textCol)))).as("token"))
