@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   *  - fact/dim keys shift by copy·(max+1) per key domain (orders↔lineitem,
   *    customer, supplier, part, events.user_id all stay consistent);
   *  - region/nation are genuine dims — copied once, never replicated;
+  *  - events shift ts by copy·30d so the corpus's TIME SERIES grows N×
+  *    (contiguous months), not N overlaid copies of the same month;
   *  - document TEXTS are perturbed per copy (every 2nd token gets a copy
   *    suffix) so the scale-up grows the corpus like new crawl data rather
   *    than planting every doc in a 10-way exact/near-dup clique that would
@@ -100,8 +102,19 @@ object MakeScale {
     write(replicate("lineitem",
       Map("l_orderkey" -> orderSpan, "l_partkey" -> partSpan,
         "l_suppkey" -> suppSpan)), "lineitem")
+    // Copy c's events shift forward c×30 days (the base corpus spans
+    // Jan 1–30), tiling the timeline contiguously: an N× corpus carries an
+    // N×-LONGER time series, not N overlaid replicas of the same month.
+    // Without this the per-minute aggregates every time-series query
+    // (sessions, rates, detection quality) builds collapse to the base
+    // corpus's length and a 10× events row adds no new scale evidence
+    // (round-10 advisor finding on the sf1 q_detect_quality claim).
     write(replicate("events",
-      Map("event_id" -> eventSpan, "user_id" -> userSpan)), "events")
+      Map("event_id" -> eventSpan, "user_id" -> userSpan),
+      extra = (df, c) =>
+        if (c == 0) df
+        else df.withColumn("ts",
+          col("ts") + expr(s"INTERVAL ${c.toLong * 30} DAYS"))), "events")
 
     if (profile == "default") {
       write(replicate("documents", Map("doc_id" -> 10000000L),
