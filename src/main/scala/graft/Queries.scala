@@ -1876,9 +1876,13 @@ object Queries {
 
     "q_cosine_neardup_md5" -> ((s, d) =>
       // md5-parity twin of q_cosine_neardup — LSH-bucketed pairs with the
-      // exact-integer bucket basis, fully oracle-checked.
-      graft.sim.Ann.cosineNearDup(Tables.embeddings(s, d), "vec_id",
-          "embedding", threshold = 0.15, bits = 4,
+      // exact-integer bucket basis, fully oracle-checked. AUTO-BITS since
+      // round 11 (the q_semdedup capacity rule, oracle-replayed): the
+      // frozen-4-bit variant's within-bucket join grows N²/16 and read
+      // 229× at 100× data; with targetCell=64 the candidate volume is
+      // linear in the corpus at every SF.
+      graft.sim.Ann.cosineNearDupAuto(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.15, targetCell = 64,
           bucketFn = graft.sim.Ann.lshBucketMd5(_, _))
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2")),
@@ -4093,9 +4097,28 @@ object Queries {
          |FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_cosine_neardup_md5" ->
-      s"""WITH ${annBucketMd5Cte(4)},
-         |e AS (SELECT emb.vec_id, emb.embedding, b.bucket
-         |  FROM embeddings emb JOIN bkt b USING (vec_id))
+      // AUTO-BITS (round 11): replays Ann.cosineNearDupAuto — b = min bits
+      // with 64·2^b >= count(*) (the q_semdedup integer rule), the b-bit
+      // md5-plane sign-LSH bucket per vector, then the bucket-keyed pair
+      // join at the same threshold.
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         |bb AS (SELECT coalesce(min(b), 32) AS bits FROM generate_series(0, 32) s(b), nn
+         |  WHERE 64 * (CAST(1 AS BIGINT) << b) >= nn.n),
+         |fx AS (
+         |  SELECT vec_id, CAST(g.i AS INTEGER) AS i,
+         |    CAST(floor(CAST(embedding[CAST(g.i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)),
+         |proj AS (
+         |  SELECT vec_id, p.p AS p,
+         |    CAST(sum(vi * (CAST('0x' || substr(md5(concat(p.p, '_', i - 1)), 1, 6) AS BIGINT) - 8388608)) AS BIGINT) AS pr
+         |  FROM fx CROSS JOIN generate_series(0, 31) p(p), bb
+         |  WHERE p.p < bb.bits
+         |  GROUP BY vec_id, p.p),
+         |bkt AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |e AS (SELECT emb.vec_id, emb.embedding, CAST(coalesce(k.bucket, 0) AS BIGINT) AS bucket
+         |  FROM embeddings emb LEFT JOIN bkt k USING (vec_id))
          |SELECT a.vec_id AS id1, b2.vec_id AS id2,
          |  round(list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 6) AS cosine
          |FROM e a JOIN e b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
@@ -5339,9 +5362,10 @@ object Queries {
 
     "q_cosine_neardup" -> ((s, d) =>
       // float-hyperplane LSH near-dup pairs (md5-plane twin:
-      // q_cosine_neardup_md5).
-      graft.sim.Ann.cosineNearDup(Tables.embeddings(s, d), "vec_id",
-          "embedding", threshold = 0.15, bits = 4)
+      // q_cosine_neardup_md5). Auto-bits like the twin (round 11) so the
+      // production substitution compares like-for-like capacity.
+      graft.sim.Ann.cosineNearDupAuto(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.15, targetCell = 64)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2")),
 

@@ -852,6 +852,25 @@ object Ann {
       .select("id1", "id2", "cosine").distinct()
   }
 
+  /** [[cosineNearDup]] in the OPERATING REGIME — the bucket count scales
+    * with the corpus instead of being pinned by the caller (the same
+    * [[autoBits]] capacity rule [[semDedupAuto]] uses, and for the same
+    * reason: with b frozen the within-bucket pair join grows as N²/2^b —
+    * the round-11 full-registry 100× run priced the frozen-4-bit row at
+    * 229× for 100× data). One count() aggregate gives N; the smallest b
+    * with targetCell·2^b ≥ N keeps expected bucket population ≤
+    * targetCell at every corpus size, so candidate pairs grow as
+    * ≈ N·targetCell/2 — linear in N by construction. Recall contract
+    * unchanged from [[cosineNearDup]]: sign-LSH is approximate, a pair
+    * split across a hyperplane is missed; more bits trade recall for
+    * candidate volume exactly as more SemDeDup cells do. */
+  def cosineNearDupAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, targetCell: Int = 64,
+                        bucketFn: (Column, Int) => Column = lshBucket)
+      : DataFrame =
+    cosineNearDup(corpus, idCol, vecCol, threshold,
+      autoBits(corpus.count(), targetCell), bucketFn)
+
   /** SemDeDup — semantic deduplication over an embedding corpus (the
     * "cluster, then prune near-identical neighbors within each cluster"
     * recipe): every vector is assigned to its nearest coarse-quantizer
