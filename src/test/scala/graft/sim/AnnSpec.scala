@@ -60,6 +60,19 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("cosineNearDupAuto: bit count follows the corpus via the autoBits rule") {
+    // the auto variant must be exactly the explicit-bits variant at
+    // autoBits(N, targetCell) — the capacity rule is the only difference
+    val n = corpus.count()
+    val bits = Ann.autoBits(n, targetCell = 2)
+    assert((2L << bits) >= n && (bits == 0 || (2L << (bits - 1)) < n))
+    val auto = Ann.cosineNearDupAuto(corpus, "vec_id", "embedding", 0.95,
+      targetCell = 2).orderBy("id1", "id2").collect().toSeq
+    val explicit = Ann.cosineNearDup(corpus, "vec_id", "embedding", 0.95,
+      bits = bits).orderBy("id1", "id2").collect().toSeq
+    assert(auto == explicit)
+  }
+
   test("lshTopK recall on clustered data: same-cluster neighbors are found") {
     // 4 well-separated direction clusters in 8-d; LSH must keep most
     // same-cluster neighbors (they share hyperplane signs with the query).
