@@ -1882,7 +1882,7 @@ object Queries {
       // 229× at 100× data; with targetCell=64 the candidate volume is
       // linear in the corpus at every SF.
       graft.sim.Ann.cosineNearDupAuto(Tables.embeddings(s, d), "vec_id",
-          "embedding", threshold = 0.15, targetCell = 64,
+          "embedding", threshold = 0.15, targetCell = AutoBitsTargetCell,
           bucketFn = graft.sim.Ann.lshBucketMd5(_, _))
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2")),
@@ -1931,7 +1931,7 @@ object Queries {
       // for q_semdedup_fixedk's N²/k law (measured near-flat 1.33/2.39/
       // 2.43 s at 1×/4×/8×).
       graft.sim.Ann.semDedupAuto(Tables.embeddings(s, d), "vec_id",
-          "embedding", threshold = 0.30)
+          "embedding", threshold = 0.30, targetCell = AutoBitsTargetCell)
         .orderBy("vec_id")),
 
     "q_semdedup_incremental" -> ((s, d) => {
@@ -1946,7 +1946,7 @@ object Queries {
       val incoming = emb.filter(col("vec_id") >= 250)
       // ONE count job: the same bits feed the base dedup and the
       // incremental index (semDedupAutoWithBits skips the internal count)
-      val bits = graft.sim.Ann.autoBits(base.count(), targetCell = 64)
+      val bits = graft.sim.Ann.autoBits(base.count(), targetCell = AutoBitsTargetCell)
       val baseSurv = graft.sim.Ann.semDedupAutoWithBits(base, "vec_id",
           "embedding", threshold = 0.30, bits = bits)
         .join(base, Seq("vec_id"))
@@ -4103,7 +4103,7 @@ object Queries {
       // join at the same threshold.
       s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
          |bb AS (SELECT coalesce(min(b), 32) AS bits FROM generate_series(0, 32) s(b), nn
-         |  WHERE 64 * (CAST(1 AS BIGINT) << b) >= nn.n),
+         |  WHERE ${autoBitsWhere("nn.n")}),
          |fx AS (
          |  SELECT vec_id, CAST(g.i AS INTEGER) AS i,
          |    CAST(floor(CAST(embedding[CAST(g.i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS vi
@@ -4299,7 +4299,7 @@ object Queries {
       // q_semdedup_fixedk.
       s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
          |bb AS (SELECT coalesce(min(b), 32) AS bits FROM generate_series(0, 32) s(b), nn
-         |  WHERE 64 * (CAST(1 AS BIGINT) << b) >= nn.n),
+         |  WHERE ${autoBitsWhere("nn.n")}),
          |fx AS (
          |  SELECT vec_id, CAST(g.i AS INTEGER) AS i,
          |    CAST(floor(CAST(embedding[CAST(g.i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS vi
@@ -4334,10 +4334,10 @@ object Queries {
       s"""WITH nb AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < 250),
          |ni AS (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 250),
          |bb AS (SELECT coalesce(min(b), 32) AS bits FROM generate_series(0, 32) s(b), nb
-         |  WHERE 64 * (CAST(1 AS BIGINT) << b) >= nb.n),
+         |  WHERE ${autoBitsWhere("nb.n")}),
          |bi AS (SELECT greatest(bb.bits,
          |    (SELECT coalesce(min(b), 32) FROM generate_series(0, 32) s(b), ni
-         |     WHERE 64 * (CAST(1 AS BIGINT) << b) >= ni.n)) AS bits FROM bb),
+         |     WHERE ${autoBitsWhere("ni.n")})) AS bits FROM bb),
          |fx AS (
          |  SELECT vec_id, CAST(g.i AS INTEGER) AS i,
          |    CAST(floor(CAST(embedding[CAST(g.i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS vi
@@ -4979,6 +4979,24 @@ object Queries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** The auto-bits capacity target (expected vectors per LSH cell) shared
+    * by BOTH replicas of the capacity rule: the Spark builders pass it to
+    * Ann.cosineNearDupAuto / autoBits / semDedupAuto, and every oracle
+    * CTE that replays `b = min{b : targetCell*2^b >= N}` derives its SQL
+    * from [[autoBitsWhere]] below — changing either side alone can no
+    * longer silently break the bit-parity contract. */
+  // `final` with a literal = a compile-time constant (inlined at use
+  // sites), immune to object-initialization order: the eagerly-built
+  // oracleSql val sits textually before this declaration and would read
+  // a plain val as 0.
+  private[graft] final val AutoBitsTargetCell = 64
+
+  /** SQL twin of Ann.autoBits' integer inequality, parameterized on the
+    * shared [[AutoBitsTargetCell]]: the WHERE fragment selecting the
+    * smallest b with targetCell*2^b >= `nRef` (a CTE count column). */
+  private def autoBitsWhere(nRef: String): String =
+    s"$AutoBitsTargetCell * (CAST(1 AS BIGINT) << b) >= $nRef"
+
   /** Shared CTE chain computing the md5-parity hyperplane bucket per vector
     * (mirrors Ann.lshBucketMd5's exact integer math). */
   private def annBucketMd5Cte(bits: Int): String =
@@ -5365,7 +5383,7 @@ object Queries {
       // q_cosine_neardup_md5). Auto-bits like the twin (round 11) so the
       // production substitution compares like-for-like capacity.
       graft.sim.Ann.cosineNearDupAuto(Tables.embeddings(s, d), "vec_id",
-          "embedding", threshold = 0.15, targetCell = 64)
+          "embedding", threshold = 0.15, targetCell = AutoBitsTargetCell)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2")),
 

@@ -80,22 +80,63 @@ object IvfIndex {
     if (cells.columns.contains("_gen")) cells
     else cells.withColumn("_gen", lit(0L))
 
-  /** Crash-window recovery for [[rebuild]]'s two-rename swap: a JVM death
-    * between move-out and move-in leaves NOTHING at `path`, with the
-    * previous index intact at `path.old` (and the finished rebuild at
-    * `path.rebuilding`). Every public entry point resolves through this:
-    * if `path` is gone but `.old` survives, rename it back into place
-    * (completing the rollback) — or, if the rename is denied, serve reads
-    * from `.old` directly. Manual recovery when preferred: rename
-    * `path.rebuilding` (the completed rebuild) to `path` instead.
-    * No-op (and no filesystem calls beyond two exists probes) on a
-    * healthy index. */
+  /** Crash-window resolution for [[rebuild]]'s two-rename swap — READ-ONLY
+    * (round 12; it used to rename `.old` back into place ambiently): a JVM
+    * death between move-out and move-in leaves NOTHING at `path`, with the
+    * previous index intact at `path.old`. Every entry point resolves
+    * through this and simply SERVES `.old` in place. Renaming from here
+    * was a reader-becomes-mutator bug: a search racing a live rebuild's
+    * move-out→move-in window saw the same state as a crash, yanked `.old`
+    * back under `path`, made the rebuild's move-in fail, and discarded a
+    * completed rebuild — and two concurrent readers could race each
+    * other's rename, the loser resolving to a now-nonexistent `.old`.
+    * Repair is explicit — [[recover]] — never a side effect of a read.
+    * No-op (one exists probe) on a healthy index. */
   private def resolveRoot(path: String): String = {
+    if (new java.io.File(path).exists()) path
+    else {
+      val old = new java.io.File(s"$path.old")
+      if (old.exists()) old.getPath else path
+    }
+  }
+
+  /** Explicit crash repair for [[rebuild]]'s swap window — the ONLY place
+    * the layout is renamed outside a rebuild's own critical section
+    * (readers resolve through [[resolveRoot]] and serve `.old` without
+    * touching the filesystem). Must not run concurrently with a rebuild
+    * of the same index — it is an operator/maintenance entry point, not
+    * part of the read path. Policy, newest-data-first:
+    *
+    *  - `path` present → "healthy"; stale `.old` / `.rebuilding` leftovers
+    *    (a crash after move-in, or before move-out) are swept;
+    *  - `path` missing, completed rebuild at `path.rebuilding` (both
+    *    parquet `_SUCCESS` markers present — move-out only ever happens
+    *    after [[build]] returns, so a mid-swap crash always leaves it
+    *    complete) → roll FORWARD: rename it in, drop `.old`;
+    *  - otherwise `.old` present → roll BACK the previous index.
+    *
+    * Returns the action taken ("healthy" | "rolled-forward" |
+    * "rolled-back"); throws when there is nothing to recover from. */
+  def recover(path: String): String = {
     val dir = new java.io.File(path)
     val old = new java.io.File(s"$path.old")
-    if (dir.exists() || !old.exists()) path
-    else if (old.renameTo(dir)) path
-    else old.getPath
+    val tmp = new java.io.File(s"$path.rebuilding")
+    def complete(d: java.io.File): Boolean =
+      new java.io.File(d, "centroids/_SUCCESS").exists() &&
+        new java.io.File(d, "cells/_SUCCESS").exists()
+    if (dir.exists()) {
+      graft.util.Fs.deleteRecursively(old)
+      graft.util.Fs.deleteRecursively(tmp)
+      "healthy"
+    } else if (complete(tmp)) {
+      require(tmp.renameTo(dir), s"recover: move-in of ${tmp.getPath} failed")
+      graft.util.Fs.deleteRecursively(old)
+      "rolled-forward"
+    } else if (old.exists()) {
+      require(old.renameTo(dir), s"recover: rollback of ${old.getPath} failed")
+      graft.util.Fs.deleteRecursively(tmp)
+      "rolled-back"
+    } else throw new IllegalStateException(s"nothing to recover at $path")
   }
 
   /** Incremental append — the index-maintenance half of build-once/search-

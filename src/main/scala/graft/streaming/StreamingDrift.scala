@@ -35,7 +35,11 @@ object StreamingDrift {
                               klNats: Double)
 
   /** The OOV bucket key — contains a space, which whitespace tokenization
-    * can never produce, so it cannot collide with a real token. */
+    * can never produce, so it cannot collide with a real token. THE single
+    * shared definition: the batch twin ([[graft.text.TextStats
+    * .referenceDrift]]) uses this constant and the q_drift_ref DuckDB
+    * oracle mirrors it as the literal `' oov'` — change all three
+    * together or the bitwise batch/stream/oracle parity breaks. */
   val OovToken = " oov"
 
   /** The shared scalar micro-nat log

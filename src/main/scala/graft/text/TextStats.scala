@@ -715,7 +715,11 @@ object TextStats {
     * group. Two 1-row broadcasts carry (N_ref, V). */
   def referenceDrift(df: DataFrame, groupCol: String, textCol: String,
                      refPred: Column): DataFrame = {
-    val oov = lit("\u0000oov")
+    // THE shared OOV sentinel (StreamingDrift.OovToken -- which the
+    // q_drift_ref oracle's ' oov' literal mirrors): one definition, so the
+    // batch path, the streaming twin, and the oracle can never silently
+    // diverge on the bucket key.
+    val oov = lit(graft.streaming.StreamingDrift.OovToken)
     val tok = df
       .select(col(groupCol), refPred.as("_r"),
         explode(tokens(lower(col(textCol)))).as("token"))

@@ -171,6 +171,53 @@ class IvfIndexSpec extends SparkSpec {
       s"rebuild should give the drifted cluster its own cell: $after")
   }
 
+  test("crash window: readers serve .old WITHOUT renaming; recover() repairs explicitly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crash")
+      .resolve("idx").toString
+    IvfIndex.build(corpus, "vec_id", "embedding", dir, centers = 3, iters = 2)
+    val q = corpus.filter($"vec_id" === 4L)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val healthyTop = IvfIndex.search(q, "qid", "qv", spark, dir, k = 3)
+      .collect().map(_.getLong(1)).toSet
+
+    // simulate a rebuild crash between move-out and move-in: path gone,
+    // previous index at .old (exactly rebuild's intermediate state)
+    val d = new java.io.File(dir)
+    val old = new java.io.File(s"$dir.old")
+    assert(d.renameTo(old))
+    // a reader resolves to .old and serves the same answer — and must NOT
+    // rename anything (the round-11 resolveRoot did, which let a reader
+    // racing a LIVE rebuild's swap window discard the completed rebuild)
+    val crashTop = IvfIndex.search(q, "qid", "qv", spark, dir, k = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(crashTop == healthyTop)
+    assert(!d.exists() && old.exists(),
+      "reader mutated the layout: resolveRoot must be read-only")
+    assert(IvfIndex.staleness(spark, dir).count() > 0 && !d.exists())
+
+    // explicit repair, roll-back flavor (no completed rebuild on disk)
+    assert(IvfIndex.recover(dir) == "rolled-back")
+    assert(d.exists() && !old.exists())
+    assert(IvfIndex.search(q, "qid", "qv", spark, dir, k = 3)
+      .collect().map(_.getLong(1)).toSet == healthyTop)
+
+    // roll-FORWARD flavor: crash left a COMPLETED rebuild at .rebuilding —
+    // recover prefers the newest data and moves it in
+    val tmp = new java.io.File(s"$dir.rebuilding")
+    IvfIndex.build(corpus, "vec_id", "embedding", tmp.getPath,
+      centers = 3, iters = 2)
+    assert(d.renameTo(old))
+    assert(IvfIndex.recover(dir) == "rolled-forward")
+    assert(d.exists() && !old.exists() && !tmp.exists())
+    assert(IvfIndex.search(q, "qid", "qv", spark, dir, k = 3)
+      .collect().map(_.getLong(1)).toSet == healthyTop)
+
+    // healthy index: recover is a no-op that sweeps stale leftovers
+    assert(old.mkdirs())
+    assert(IvfIndex.recover(dir) == "healthy")
+    assert(d.exists() && !old.exists())
+  }
+
   test("search scans only the probed cell partitions (partition pruning contract)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf3").toString
     IvfIndex.build(corpus, "vec_id", "embedding", dir, centers = 3, iters = 2)
