@@ -63,6 +63,16 @@ object Queries {
     def track(p: java.nio.file.Path): Unit = { dirs.add(p); () }
   }
 
+  /** The decode-once media index for this dataset's synthetic mediaAssets
+    * (dim 16 — the registry's feature arity): build-if-absent, cached in
+    * the JVM temp dir keyed by the documents.parquet identity, so the
+    * FIRST media query in any JVM (bench child, Verify, a spec) pays the
+    * single indexRow decode pass and every other one reads parquet. See
+    * MediaIndex.cachedFor for the cross-process install protocol. */
+  private def mediaIndexPath(s: SparkSession, d: String): String =
+    graft.multimodal.MediaIndex.cachedFor(s, d)(
+      graft.multimodal.Multimodal.mediaAssets(Tables.documents(s, d), "doc_id"))
+
   /** Same dispatch for the xxhash64 production basis: `graft_simhash64`
     * (one codegen'd pass) over the HOF fallback, whose 64-wide
     * transform-of-aggregate tree costs ~8 s of ANALYSIS+codegen per
@@ -2217,12 +2227,13 @@ object Queries {
     "q_phash" -> ((s, d) =>
       // Perceptual hash (dHash) of the REAL image payloads: PNG bytes →
       // ImageIO decode → 4×4 luma grid → 24 adjacent-cell comparison bits.
-      // The oracle replays the pixel FORMULA in SQL — two fully
-      // independent paths to the same integer.
-      graft.multimodal.Multimodal.dHashImages(
-          graft.multimodal.Multimodal.mediaAssets(
-            Tables.documents(s, d), "doc_id"))
-        .filter(col("dhash").isNotNull)
+      // Served from the decode-once MEDIA INDEX since round 12 (the same
+      // dHashImages kernel ran exactly once when the index was built —
+      // MediaIndexSpec pins the equality); the oracle still replays the
+      // pixel FORMULA in SQL, so the persisted values meet a fully
+      // independent path to the same integer every round.
+      graft.multimodal.MediaIndex.hashes(s, mediaIndexPath(s, d),
+          "image", "dhash")
         .orderBy("asset_id")),
 
     "q_phash_pairs" -> ((s, d) =>
@@ -2232,10 +2243,11 @@ object Queries {
       // expansion. 5 bands is the minimum maxDist 4 allows (pigeonhole),
       // so {5,5,5,5,4} bits are the widest bands that tile 24 bits —
       // strictly more selective than the former 6×4 equal banding.
+      // Hashes come from the persisted media index (round 12): the pair
+      // row reads two parquet columns instead of re-decoding the corpus.
       graft.sim.Hamming.pairCounts(
-        graft.multimodal.Multimodal.dHashImages(
-          graft.multimodal.Multimodal.mediaAssets(
-            Tables.documents(s, d), "doc_id")),
+        graft.multimodal.MediaIndex.hashes(s, mediaIndexPath(s, d),
+          "image", "dhash"),
         "dhash", bandWidths = Seq(5, 5, 5, 5, 4), maxDist = 4)),
 
     "q_ahash_pairs" -> ((s, d) =>
@@ -2245,18 +2257,16 @@ object Queries {
       // than the former 7×2 banding (2-bit bands collide 1-in-4 on random
       // hashes; near-useless pruning at high distinct-hash cardinality).
       graft.sim.Hamming.pairCounts(
-        graft.multimodal.Multimodal.audioEnergyHash(
-          graft.multimodal.Multimodal.mediaAssets(
-            Tables.documents(s, d), "doc_id")),
+        graft.multimodal.MediaIndex.hashes(s, mediaIndexPath(s, d),
+          "audio", "ahash"),
         "ahash", bandWidths = Seq(5, 5, 4), maxDist = 2)),
 
     "q_vhash_pairs" -> ((s, d) =>
       // Video near-dup pairs over the 48-bit two-frame hash (6 bands × 8
       // bits, distance ≤ 4).
       graft.sim.Hamming.pairCounts(
-        graft.multimodal.Multimodal.videoTemporalHash(
-          graft.multimodal.Multimodal.mediaAssets(
-            Tables.documents(s, d), "doc_id")),
+        graft.multimodal.MediaIndex.hashes(s, mediaIndexPath(s, d),
+          "video", "vhash"),
         "vhash", nBands = 6, bandBits = 8, maxDist = 4)),
 
     "q_ahash" -> ((s, d) =>
@@ -2264,20 +2274,18 @@ object Queries {
       // block energies + zero-crossing counts → 14 adjacent-comparison
       // bits. Integer energies make the bits order-independent, so the
       // formula-replay oracle is bit-exact (float RMS would not be).
-      graft.multimodal.Multimodal.audioEnergyHash(
-          graft.multimodal.Multimodal.mediaAssets(
-            Tables.documents(s, d), "doc_id"))
-        .filter(col("ahash").isNotNull)
+      // Served from the decode-once media index since round 12.
+      graft.multimodal.MediaIndex.hashes(s, mediaIndexPath(s, d),
+          "audio", "ahash")
         .orderBy("asset_id")),
 
     "q_vhash" -> ((s, d) =>
       // Video fingerprint of the REAL Y4M payloads: frame walk → per-frame
       // integer luma-cell comparisons (24 bits × 2 frames). Exact integers
       // end-to-end, so the formula-replay oracle is bit-exact.
-      graft.multimodal.Multimodal.videoTemporalHash(
-          graft.multimodal.Multimodal.mediaAssets(
-            Tables.documents(s, d), "doc_id"))
-        .filter(col("vhash").isNotNull)
+      // Served from the decode-once media index since round 12.
+      graft.multimodal.MediaIndex.hashes(s, mediaIndexPath(s, d),
+          "video", "vhash")
         .orderBy("asset_id")),
 
     "q_mm_features_real" -> ((s, d) =>
@@ -2288,10 +2296,10 @@ object Queries {
       // DuckDB replays the formulas + feature math directly, so every
       // decoded value meets the oracle bit-for-bit (all float ops in the
       // feature math are exact or IEEE-identical cross-engine — see
-      // Multimodal.scala's media-fixture notes).
-      graft.multimodal.Multimodal.extractFeatures(
-          graft.multimodal.Multimodal.mediaAssets(
-            Tables.documents(s, d), "doc_id"), dim = 16)
+      // Multimodal.scala's media-fixture notes). Served from the
+      // decode-once media index since round 12 — float32 round-trips
+      // parquet exactly, so the persisted vectors ARE the decoded ones.
+      graft.multimodal.MediaIndex.features(s, mediaIndexPath(s, d))
         .select(col("asset_id"),
           posexplode(col("features")).as(Seq("pos", "f")))
         .select(col("asset_id"), col("pos"),
@@ -2320,6 +2328,45 @@ object Queries {
       graft.multimodal.Multimodal.adpcmParity(
           Tables.documents(s, d), "doc_id")
         .orderBy("asset_id")),
+
+    "q_mm_index" -> ((s, d) =>
+      // The decode-once MEDIA INDEX itself, read back and certified: ONE
+      // Multimodal.indexRow pass decoded every payload exactly once into
+      // (dhash, ahash, vhash, features[16]) — this row checks the whole
+      // persisted table (every fingerprint, the feature arity, the build
+      // generation) against the DuckDB formula replay of all three
+      // modalities at once. q_phash/q_ahash/q_vhash/q_*hash_pairs/
+      // q_mm_features_real all read this index instead of re-decoding.
+      graft.multimodal.MediaIndex.load(s, mediaIndexPath(s, d))
+        .select(col("asset_id"), col("modality"), col("dhash"),
+          col("ahash"), col("vhash"), size(col("features")).as("n_feat"),
+          col("_gen").as("gen"))
+        .orderBy("asset_id")),
+
+    "q_mm_index_append" -> ((s, d) => {
+      // Index MAINTENANCE lifecycle for media (the q_ann_ivf_append shape):
+      // build the index from the base 70% of assets (pmod(doc_id,10) < 7 —
+      // SF-independent split), decode-and-append ONLY the arriving 30% as
+      // generation 1 (O(batch): the base is never re-read, let alone
+      // re-decoded), then read back the per-(modality, generation)
+      // population + decode-health report. The oracle replays the split
+      // and the all-payloads-decodable closed form. BOUNDED to a fixed
+      // 3000-asset slice (oracle restricted identically, q_semdedup_fixedk
+      // pattern): the row certifies the lifecycle, not its scaling — the
+      // append-vs-rebuild cost law at volume is measured by
+      // tools/MediaIndexProbe (SCALE.md), so re-running a corpus-sized
+      // build+append per bench rep would only re-price what the probe
+      // already prices.
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 3000)
+      val base = graft.multimodal.Multimodal.mediaAssets(
+        docs.filter(pmod(col("doc_id"), lit(10)) < 7), "doc_id")
+      val batch = graft.multimodal.Multimodal.mediaAssets(
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 7), "doc_id")
+      val path = scratchDir("graft_mm_index_append")
+      graft.multimodal.MediaIndex.build(base, path)
+      graft.multimodal.MediaIndex.append(batch, s, path)
+      graft.multimodal.MediaIndex.generations(s, path)
+    }),
 
     "q_unigram_ppl" -> ((s, d) =>
       // Unigram-LM perplexity quality filter (KenLM analog at model order
@@ -2595,44 +2642,69 @@ object Queries {
   /** Shared CTE chains for the audio / video fingerprint oracles (formula
     * replay of the real-decoder hashes); the hash and pair-count queries
     * both build on them. */
-  private val AhashCtes: String =
-    s"""ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
-       |smp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+  /** The image dHash formula replay as a WITH-fragment ending at
+    * `${p}dh(asset_id, dhash)`. `p` prefixes every CTE name so the three
+    * modality chains can share one WITH clause (q_mm_index). */
+  private def phashCtes(p: String): String =
+    s"""${p}ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+       |${p}rb AS (SELECT doc_id, (r*3 + c) AS k,
+       |    CASE WHEN (doc_id*131 + (r*4+c)*17) % 256
+       |           < (doc_id*131 + (r*4+c+1)*17) % 256 THEN 1 ELSE 0 END AS b
+       |  FROM ${p}ids, range(4) t1(r), range(3) t2(c)),
+       |${p}cb AS (SELECT doc_id, 12 + (r*4 + c) AS k,
+       |    CASE WHEN (doc_id*131 + (r*4+c)*17) % 256
+       |           < (doc_id*131 + ((r+1)*4+c)*17) % 256 THEN 1 ELSE 0 END AS b
+       |  FROM ${p}ids, range(3) t1(r), range(4) t2(c)),
+       |${p}dh AS (SELECT doc_id AS asset_id,
+       |    CAST(sum(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS dhash
+       |  FROM (SELECT * FROM ${p}rb UNION ALL SELECT * FROM ${p}cb)
+       |  GROUP BY 1)""".stripMargin
+
+  /** The audio energy-hash formula replay, ending at
+    * `${p}ah(asset_id, ahash)`. */
+  private def ahashCtes(p: String): String =
+    s"""${p}ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+       |${p}smp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
        |    ((doc_id*7919 + i*104729) % 20001) - 10000 AS x
-       |  FROM ids, range(256) t(i)),
-       |blk AS (SELECT doc_id, i // 32 AS b,
+       |  FROM ${p}ids, range(256) t(i)),
+       |${p}blk AS (SELECT doc_id, i // 32 AS b,
        |    sum(x*x) AS e,
        |    sum(CASE WHEN i % 32 > 0 AND ((x >= 0) <>
        |      (((doc_id*7919 + (i-1)*104729) % 20001) - 10000 >= 0))
        |      THEN 1 ELSE 0 END) AS z
-       |  FROM smp GROUP BY 1, 2),
-       |bits AS (SELECT a.doc_id,
+       |  FROM ${p}smp GROUP BY 1, 2),
+       |${p}bits AS (SELECT a.doc_id,
        |    (CASE WHEN a.e < n.e THEN CAST(1 AS BIGINT) << a.b
        |          ELSE 0 END) +
        |    (CASE WHEN a.z < n.z THEN CAST(1 AS BIGINT) << (7 + a.b)
        |          ELSE 0 END) AS v
-       |  FROM blk a JOIN blk n ON a.doc_id = n.doc_id AND n.b = a.b + 1),
-       |ah AS (SELECT doc_id AS asset_id, CAST(sum(v) AS BIGINT) AS ahash
-       |  FROM bits GROUP BY 1)""".stripMargin
+       |  FROM ${p}blk a JOIN ${p}blk n ON a.doc_id = n.doc_id AND n.b = a.b + 1),
+       |${p}ah AS (SELECT doc_id AS asset_id, CAST(sum(v) AS BIGINT) AS ahash
+       |  FROM ${p}bits GROUP BY 1)""".stripMargin
 
-  private val VhashCtes: String =
-    s"""ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
-       |px AS (SELECT doc_id, CAST(f AS BIGINT) AS f, CAST(pos AS BIGINT) AS pos,
+  /** The video temporal-hash formula replay, ending at
+    * `${p}vh(asset_id, vhash)`. */
+  private def vhashCtes(p: String): String =
+    s"""${p}ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+       |${p}px AS (SELECT doc_id, CAST(f AS BIGINT) AS f, CAST(pos AS BIGINT) AS pos,
        |    (doc_id*37 + pos*13 + f) % 256 AS v
-       |  FROM ids, range(2) tf(f), range(16) tp(pos)),
-       |hb AS (SELECT a.doc_id,
+       |  FROM ${p}ids, range(2) tf(f), range(16) tp(pos)),
+       |${p}hb AS (SELECT a.doc_id,
        |    a.f*24 + (a.pos // 4)*3 + (a.pos % 4) AS k,
        |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
-       |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.f = b.f
+       |  FROM ${p}px a JOIN ${p}px b ON a.doc_id = b.doc_id AND a.f = b.f
        |    AND b.pos = a.pos + 1 AND a.pos % 4 < 3),
-       |vb AS (SELECT a.doc_id, a.f*24 + 12 + a.pos AS k,
+       |${p}vb AS (SELECT a.doc_id, a.f*24 + 12 + a.pos AS k,
        |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
-       |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.f = b.f
+       |  FROM ${p}px a JOIN ${p}px b ON a.doc_id = b.doc_id AND a.f = b.f
        |    AND b.pos = a.pos + 4 AND a.pos < 12),
-       |vh AS (SELECT doc_id AS asset_id,
+       |${p}vh AS (SELECT doc_id AS asset_id,
        |    CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS vhash
-       |  FROM (SELECT * FROM hb UNION ALL SELECT * FROM vb)
+       |  FROM (SELECT * FROM ${p}hb UNION ALL SELECT * FROM ${p}vb)
        |  GROUP BY 1)""".stripMargin
+
+  private val AhashCtes: String = ahashCtes("")
+  private val VhashCtes: String = vhashCtes("")
 
   /** N-round BPE oracle: each round is a generated CTE trio — pair counts
     * from the comma-form words, argmax with the (count desc, pair asc)
@@ -3918,58 +3990,26 @@ object Queries {
     // order exactly; RMS partial sums are dyadic rationals (x²/2³⁰,
     // |x| ≤ 10⁴) so summation order cannot matter.
     "q_phash" ->
-      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
-         |rb AS (SELECT doc_id, (r*3 + c) AS k,
-         |    CASE WHEN (doc_id*131 + (r*4+c)*17) % 256
-         |           < (doc_id*131 + (r*4+c+1)*17) % 256 THEN 1 ELSE 0 END AS b
-         |  FROM ids, range(4) t1(r), range(3) t2(c)),
-         |cb AS (SELECT doc_id, 12 + (r*4 + c) AS k,
-         |    CASE WHEN (doc_id*131 + (r*4+c)*17) % 256
-         |           < (doc_id*131 + ((r+1)*4+c)*17) % 256 THEN 1 ELSE 0 END AS b
-         |  FROM ids, range(3) t1(r), range(4) t2(c))
-         |SELECT doc_id AS asset_id,
-         |  CAST(sum(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS dhash
-         |FROM (SELECT * FROM rb UNION ALL SELECT * FROM cb)
-         |GROUP BY 1 ORDER BY asset_id""".stripMargin,
+      s"""WITH ${phashCtes("")}
+         |SELECT asset_id, dhash FROM dh ORDER BY asset_id""".stripMargin,
 
     "q_phash_pairs" ->
-      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
-         |rb AS (SELECT doc_id, (r*3 + c) AS k,
-         |    CASE WHEN (doc_id*131 + (r*4+c)*17) % 256
-         |           < (doc_id*131 + (r*4+c+1)*17) % 256 THEN 1 ELSE 0 END AS b
-         |  FROM ids, range(4) t1(r), range(3) t2(c)),
-         |cb AS (SELECT doc_id, 12 + (r*4 + c) AS k,
-         |    CASE WHEN (doc_id*131 + (r*4+c)*17) % 256
-         |           < (doc_id*131 + ((r+1)*4+c)*17) % 256 THEN 1 ELSE 0 END AS b
-         |  FROM ids, range(3) t1(r), range(4) t2(c)),
-         |h AS (SELECT doc_id,
-         |    CAST(sum(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS dhash
-         |  FROM (SELECT * FROM rb UNION ALL SELECT * FROM cb) GROUP BY 1)
+      s"""WITH ${phashCtes("")}
          |SELECT CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming,
          |  count(*) AS n_pairs
-         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |FROM dh a JOIN dh b ON a.asset_id < b.asset_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
          |GROUP BY 1 ORDER BY hamming""".stripMargin,
 
     // PNG-side dHash replayed exactly (same CTEs as q_phash); the JPEG
     // bound flags are the oracle-stated contract: literal 1.
     "q_mm_jpeg" ->
-      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
-         |rb AS (SELECT doc_id, (r*3 + c) AS k,
-         |    CASE WHEN (doc_id*131 + (r*4+c)*17) % 256
-         |           < (doc_id*131 + (r*4+c+1)*17) % 256 THEN 1 ELSE 0 END AS b
-         |  FROM ids, range(4) t1(r), range(3) t2(c)),
-         |cb AS (SELECT doc_id, 12 + (r*4 + c) AS k,
-         |    CASE WHEN (doc_id*131 + (r*4+c)*17) % 256
-         |           < (doc_id*131 + ((r+1)*4+c)*17) % 256 THEN 1 ELSE 0 END AS b
-         |  FROM ids, range(3) t1(r), range(4) t2(c))
-         |SELECT doc_id AS asset_id,
-         |  CAST(sum(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS dhash,
+      s"""WITH ${phashCtes("")}
+         |SELECT asset_id, dhash,
          |  CAST(1 AS BIGINT) AS jpeg_decoded,
          |  CAST(1 AS BIGINT) AS dev_ok,
          |  CAST(1 AS BIGINT) AS hamming_ok
-         |FROM (SELECT * FROM rb UNION ALL SELECT * FROM cb)
-         |GROUP BY 1 ORDER BY asset_id""".stripMargin,
+         |FROM dh ORDER BY asset_id""".stripMargin,
 
     "q_mm_adpcm" ->
       // first_sample replays adpcmSamples' closed-form s(0); the codec
@@ -4038,6 +4078,37 @@ object Queries {
          |FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
          |      UNION ALL SELECT * FROM vid)
          |ORDER BY asset_id, pos""".stripMargin,
+
+    "q_mm_index" ->
+      // The whole persisted media index vs the three modality formula
+      // replays at once (prefixed CTE chains so one WITH clause carries
+      // all three); every asset decodes (real containers), features are
+      // always dim 16, and a fresh build is all generation 0.
+      s"""WITH ${phashCtes("p_")},
+         |${ahashCtes("a_")},
+         |${vhashCtes("v_")}
+         |SELECT d.doc_id AS asset_id,
+         |  CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |    ELSE 'video' END AS modality,
+         |  ph.dhash, ah.ahash, vh.vhash,
+         |  CAST(16 AS INTEGER) AS n_feat, CAST(0 AS BIGINT) AS gen
+         |FROM documents d
+         |  LEFT JOIN p_dh ph ON ph.asset_id = d.doc_id
+         |  LEFT JOIN a_ah ah ON ah.asset_id = d.doc_id
+         |  LEFT JOIN v_vh vh ON vh.asset_id = d.doc_id
+         |ORDER BY asset_id""".stripMargin,
+
+    "q_mm_index_append" ->
+      // Build/append generations: base = pmod(doc_id,10) < 7 at gen 0,
+      // batch at gen 1; every real-container payload decodes, so
+      // n_hashed = n per group.
+      s"""SELECT
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |    ELSE 'video' END AS modality,
+         |  CAST(CASE WHEN doc_id % 10 < 7 THEN 0 ELSE 1 END AS BIGINT) AS gen,
+         |  count(*) AS n, count(*) AS n_hashed
+         |FROM documents WHERE doc_id < 3000
+         |GROUP BY 1, 2 ORDER BY modality, gen""".stripMargin,
 
     "q_doc_stats" ->
       s"""SELECT lang, count(*) AS cnt, round(avg(n_chars), 6) AS avg_chars,

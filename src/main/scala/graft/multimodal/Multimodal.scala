@@ -120,6 +120,18 @@ object Multimodal {
     * non-audio corpora deterministic, and corrupt payloads task-safe. */
   def decodeAudioFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
     decodePcm16(bytes).flatMap { case (data, ch) =>
+      audioFeaturesFromPcm(data, ch, dim)
+    }
+
+  /** The post-decode half of [[decodeAudioFeatures]] — the exact feature
+    * math over already-decoded PCM16 bytes, factored out so the decode-
+    * once index kernel ([[indexRow]]) can derive features AND fingerprint
+    * from a single [[decodePcm16]] call. Bit-identical to the previous
+    * inline body by construction (the code moved, nothing changed). */
+  private[multimodal] def audioFeaturesFromPcm(data: Array[Byte], ch: Int,
+                                               dim: Int): Option[Array[Float]] = {
+    {
+      // (indentation preserved from the original inline body)
       val nFrames = data.length / (2 * ch)
       if (nFrames == 0) None
       else {
@@ -158,6 +170,7 @@ object Multimodal {
         Some(feats)
       }
     }
+  }
 
   /** Shared decode plumbing: any supported audio container → (little-endian
     * signed PCM16 bytes, channel count). Tries the JDK path first (PCM
@@ -333,19 +346,26 @@ object Multimodal {
     * Mono frames are the PCM16 values themselves. */
   private def pcmFrameInts(bytes: Array[Byte]): Option[Array[Long]] =
     decodePcm16(bytes).flatMap { case (data, ch) =>
-      val nFrames = data.length / (2 * ch)
-      if (nFrames == 0) None
-      else Some(Array.tabulate(nFrames) { f =>
-        var s = 0L
-        var c = 0
-        while (c < ch) {
-          val o = (f * ch + c) * 2 // little-endian signed 16-bit
-          s += ((data(o + 1) << 8) | (data(o) & 0xff)).toShort.toLong
-          c += 1
-        }
-        s
-      })
+      frameIntsFromPcm(data, ch)
     }
+
+  /** The post-decode half of [[pcmFrameInts]] (see
+    * [[audioFeaturesFromPcm]] for why it is factored out). */
+  private[multimodal] def frameIntsFromPcm(data: Array[Byte], ch: Int)
+      : Option[Array[Long]] = {
+    val nFrames = data.length / (2 * ch)
+    if (nFrames == 0) None
+    else Some(Array.tabulate(nFrames) { f =>
+      var s = 0L
+      var c = 0
+      while (c < ch) {
+        val o = (f * ch + c) * 2 // little-endian signed 16-bit
+        s += ((data(o + 1) << 8) | (data(o) & 0xff)).toShort.toLong
+        c += 1
+      }
+      s
+    })
+  }
 
   /** Audio fingerprint — the [[dHashImages]] analog for sound: the decoded
     * stream splits into 8 equal time blocks; bit b (0–6) compares adjacent
@@ -354,6 +374,36 @@ object Multimodal {
     * adjacent block zero-crossing counts. 14 bits total: near-identical
     * recordings land within a small Hamming distance. Null for non-audio /
     * undecodable payloads (same rationale as the image hash). */
+  /** The 14-bit fingerprint fold over the exact per-frame channel sums —
+    * [[audioEnergyHash]]'s per-row kernel, factored out for the
+    * decode-once index ([[indexRow]]). */
+  private[multimodal] def audioHashBits(x: Array[Long]): Long = {
+    val nBlocks = 8
+    val e = new Array[Long](nBlocks)
+    val z = new Array[Int](nBlocks)
+    var b = 0
+    while (b < nBlocks) {
+      val lo = (b.toLong * x.length / nBlocks).toInt
+      val hi = math.max(lo + 1,
+        ((b + 1).toLong * x.length / nBlocks).toInt)
+      var i = lo
+      while (i < hi) {
+        e(b) += x(i) * x(i)
+        if (i > lo && (x(i) >= 0) != (x(i - 1) >= 0)) z(b) += 1
+        i += 1
+      }
+      b += 1
+    }
+    var bits = 0L
+    b = 0
+    while (b < nBlocks - 1) {
+      if (e(b) < e(b + 1)) bits |= 1L << b
+      if (z(b) < z(b + 1)) bits |= 1L << (7 + b)
+      b += 1
+    }
+    bits
+  }
+
   def audioEnergyHash(assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -367,32 +417,8 @@ object Multimodal {
         val hash: java.lang.Long =
           if (bytes == null || r.getAs[String](mIdx) != "audio") null
           else pcmFrameInts(bytes) match {
-            case Some(x) =>
-              val nBlocks = 8
-              val e = new Array[Long](nBlocks)
-              val z = new Array[Int](nBlocks)
-              var b = 0
-              while (b < nBlocks) {
-                val lo = (b.toLong * x.length / nBlocks).toInt
-                val hi = math.max(lo + 1,
-                  ((b + 1).toLong * x.length / nBlocks).toInt)
-                var i = lo
-                while (i < hi) {
-                  e(b) += x(i) * x(i)
-                  if (i > lo && (x(i) >= 0) != (x(i - 1) >= 0)) z(b) += 1
-                  i += 1
-                }
-                b += 1
-              }
-              var bits = 0L
-              b = 0
-              while (b < nBlocks - 1) {
-                if (e(b) < e(b + 1)) bits |= 1L << b
-                if (z(b) < z(b + 1)) bits |= 1L << (7 + b)
-                b += 1
-              }
-              java.lang.Long.valueOf(bits)
-            case None => null
+            case Some(x) => java.lang.Long.valueOf(audioHashBits(x))
+            case None    => null
           }
         Row(r.getLong(idIdx), hash)
       }
@@ -478,13 +504,18 @@ object Multimodal {
     * stub for those, keeping corrupt payloads task-safe. */
   def decodeVideoLuma(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
     try {
-      parseY4mHeader(bytes).flatMap { hdr =>
-        y4mFrameOffsets(bytes, hdr).buffered.headOption.map { case (_, yOff) =>
-          lumaGrid(hdr.w, hdr.h, dim,
-            (x, y) => (bytes(yOff + y * hdr.w + x) & 0xff) / 255.0)
-        }
-      }
+      parseY4mHeader(bytes).flatMap(videoLumaFromHeader(bytes, _, dim))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The post-parse half of [[decodeVideoLuma]] (see
+    * [[audioFeaturesFromPcm]] for why it is factored out): frame-0 Y
+    * plane of an already-parsed header -> the shared luma grid. */
+  private[multimodal] def videoLumaFromHeader(bytes: Array[Byte],
+      hdr: Y4mHeader, dim: Int): Option[Array[Float]] =
+    y4mFrameOffsets(bytes, hdr).buffered.headOption.map { case (_, yOff) =>
+      lumaGrid(hdr.w, hdr.h, dim,
+        (x, y) => (bytes(yOff + y * hdr.w + x) & 0xff) / 255.0)
+    }
 
   /** Video fingerprint — the [[dHashImages]] analog for the first TWO
     * frames of a Y4M stream: each frame's luma folds into a 4×4 grid of
@@ -495,6 +526,55 @@ object Multimodal {
     * captured because both frames hash independently — a reordered or
     * frozen clip lands at a different Hamming distance. Null for
     * non-video / undecodable payloads. */
+  /** The 48-bit two-frame fingerprint fold — [[videoTemporalHash]]'s
+    * per-row kernel over an already-parsed header, factored out for the
+    * decode-once index ([[indexRow]]). None when the stream carries no
+    * complete frame. */
+  private[multimodal] def videoHashBits(bytes: Array[Byte],
+                                        hdr: Y4mHeader): Option[Long] = {
+    val frames = y4mFrameOffsets(bytes, hdr).take(2).toSeq
+    if (frames.isEmpty) None
+    else {
+      var bits = 0L
+      frames.foreach { case (fno, yOff) =>
+        val base = 24 * fno.toInt
+        val sums = new Array[Long](16)
+        val cnts = new Array[Long](16)
+        var y = 0
+        while (y < hdr.h) {
+          val cy = math.min(3, y * 4 / hdr.h)
+          var x = 0
+          while (x < hdr.w) {
+            val cell = cy * 4 + math.min(3, x * 4 / hdr.w)
+            sums(cell) += bytes(yOff + y * hdr.w + x) & 0xff
+            cnts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        // mean(i) < mean(j) as cross-multiplied integers
+        def lt(i: Int, j: Int): Boolean =
+          sums(i) * cnts(j) < sums(j) * cnts(i)
+        var rr = 0
+        while (rr < 4) {
+          var c = 0
+          while (c < 3) {
+            if (lt(rr * 4 + c, rr * 4 + c + 1))
+              bits |= 1L << (base + rr * 3 + c)
+            c += 1
+          }
+          rr += 1
+        }
+        var pos = 0
+        while (pos < 12) {
+          if (lt(pos, pos + 4)) bits |= 1L << (base + 12 + pos)
+          pos += 1
+        }
+      }
+      Some(bits)
+    }
+  }
+
   def videoTemporalHash(assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -508,48 +588,8 @@ object Multimodal {
         val hash: java.lang.Long =
           if (bytes == null || r.getAs[String](mIdx) != "video") null
           else parseY4mHeader(bytes) match {
-            case Some(hdr) =>
-              val frames = y4mFrameOffsets(bytes, hdr).take(2).toSeq
-              if (frames.isEmpty) null
-              else {
-                var bits = 0L
-                frames.foreach { case (fno, yOff) =>
-                  val base = 24 * fno.toInt
-                  val sums = new Array[Long](16)
-                  val cnts = new Array[Long](16)
-                  var y = 0
-                  while (y < hdr.h) {
-                    val cy = math.min(3, y * 4 / hdr.h)
-                    var x = 0
-                    while (x < hdr.w) {
-                      val cell = cy * 4 + math.min(3, x * 4 / hdr.w)
-                      sums(cell) += bytes(yOff + y * hdr.w + x) & 0xff
-                      cnts(cell) += 1
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  // mean(i) < mean(j) as cross-multiplied integers
-                  def lt(i: Int, j: Int): Boolean =
-                    sums(i) * cnts(j) < sums(j) * cnts(i)
-                  var rr = 0
-                  while (rr < 4) {
-                    var c = 0
-                    while (c < 3) {
-                      if (lt(rr * 4 + c, rr * 4 + c + 1))
-                        bits |= 1L << (base + rr * 3 + c)
-                      c += 1
-                    }
-                    rr += 1
-                  }
-                  var pos = 0
-                  while (pos < 12) {
-                    if (lt(pos, pos + 4)) bits |= 1L << (base + 12 + pos)
-                    pos += 1
-                  }
-                }
-                java.lang.Long.valueOf(bits)
-              }
+            case Some(hdr) => videoHashBits(bytes, hdr)
+              .map(java.lang.Long.valueOf).orNull
             case None => null
           }
         Row(r.getLong(idIdx), hash)
@@ -616,6 +656,64 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** ONE-DECODE row kernel — the amortization primitive behind
+    * [[MediaIndex]]: decodes the payload AT MOST ONCE for its modality and
+    * derives every downstream artifact from that single decode —
+    * (dhash, ahash, vhash, features). Each output is bit-identical to its
+    * standalone producer ([[dHashImages]] / [[audioEnergyHash]] /
+    * [[videoTemporalHash]] / [[extractFeatures]]) because all four call
+    * the same factored kernels; MediaIndexSpec pins the equality
+    * column-for-column. `dim` = the feature dimensionality; at dim 16 the
+    * image path shares one luma-grid decode between dhash and features
+    * (other dims pay a second grid decode for the image features only —
+    * audio and video always share).
+    *
+    * This is the kernel the standalone per-query decodes were costing:
+    * at the 100x record the media family re-decoded the same assets once
+    * per query (~260 s of the sf10 wall); with the index they decode once
+    * per corpus generation. */
+  private[multimodal] def indexRow(modality: String, bytes: Array[Byte],
+      dim: Int): (java.lang.Long, java.lang.Long, java.lang.Long, Seq[Float]) = {
+    if (bytes == null) return (null, null, null, null)
+    modality match {
+      case "image" =>
+        val grid16 = decodeImageLuma(bytes, 16)
+        val dhash = grid16 match {
+          case Some(g) => java.lang.Long.valueOf(dHashBitsOfGrid(g))
+          case None    => null
+        }
+        val featGrid = if (dim == 16) grid16 else decodeImageLuma(bytes, dim)
+        (dhash, null, null,
+          featGrid.getOrElse(fakeDecode(bytes, dim)).toSeq)
+      case "audio" =>
+        val pcm = decodePcm16(bytes) // the expensive call — exactly once
+        val ahash = pcm.flatMap { case (d, c) => frameIntsFromPcm(d, c) }
+          .map(x => java.lang.Long.valueOf(audioHashBits(x))).orNull
+        val feats =
+          if (looksLikeAudio(bytes))
+            pcm.flatMap { case (d, c) => audioFeaturesFromPcm(d, c, dim) }
+              .getOrElse(fakeDecode(bytes, dim))
+          else fakeDecode(bytes, dim)
+        (null, ahash, null, feats.toSeq)
+      case "video" =>
+        val hdr = try parseY4mHeader(bytes) catch {
+          case scala.util.control.NonFatal(_) => None
+        }
+        val vhash = try {
+          hdr.flatMap(videoHashBits(bytes, _))
+            .map(java.lang.Long.valueOf).orNull
+        } catch { case scala.util.control.NonFatal(_) => null }
+        val feats =
+          if (looksLikeY4m(bytes))
+            (try hdr.flatMap(videoLumaFromHeader(bytes, _, dim)) catch {
+              case scala.util.control.NonFatal(_) => None
+            }).getOrElse(fakeDecode(bytes, dim))
+          else fakeDecode(bytes, dim)
+        (null, null, vhash, feats.toSeq)
+      case _ => (null, null, null, fakeDecode(bytes, dim).toSeq)
+    }
+  }
+
   /** Perceptual difference hash (dHash) over the decoded 4×4 luminance
     * grid — the image-dedup primitive: bits 0–11 compare horizontally
     * adjacent cells (`g[r][c] < g[r][c+1]`), bits 12–23 vertically
@@ -628,6 +726,33 @@ object Multimodal {
     *
     * Per-row mapPartitions, zero shuffle; pair generation over the hashes
     * is a banded equi-join (see q_phash_pairs), never all-pairs. */
+  /** The 24-bit dHash fold over a 16-cell luma grid — the per-row kernel
+    * shared by [[dHashImages]], [[jpegParity]] and the decode-once index
+    * ([[indexRow]]): bits 0-11 horizontal comparisons, 12-23 vertical. */
+  private[multimodal] def dHashBitsOfGrid(g: Array[Float]): Long = {
+    var bits = 0L
+    var k = 0
+    var row = 0
+    while (row < 4) {
+      var c = 0
+      while (c < 3) {
+        if (g(row * 4 + c) < g(row * 4 + c + 1)) bits |= 1L << k
+        k += 1; c += 1
+      }
+      row += 1
+    }
+    row = 0
+    while (row < 3) {
+      var c = 0
+      while (c < 4) {
+        if (g(row * 4 + c) < g((row + 1) * 4 + c)) bits |= 1L << k
+        k += 1; c += 1
+      }
+      row += 1
+    }
+    bits
+  }
+
   def dHashImages(assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -641,29 +766,8 @@ object Multimodal {
         val hash: java.lang.Long =
           if (bytes == null || r.getAs[String](mIdx) != "image") null
           else decodeImageLuma(bytes, 16) match {
-            case Some(g) =>
-              var bits = 0L
-              var k = 0
-              var row = 0
-              while (row < 4) {
-                var c = 0
-                while (c < 3) {
-                  if (g(row * 4 + c) < g(row * 4 + c + 1)) bits |= 1L << k
-                  k += 1; c += 1
-                }
-                row += 1
-              }
-              row = 0
-              while (row < 3) {
-                var c = 0
-                while (c < 4) {
-                  if (g(row * 4 + c) < g((row + 1) * 4 + c)) bits |= 1L << k
-                  k += 1; c += 1
-                }
-                row += 1
-              }
-              java.lang.Long.valueOf(bits)
-            case None => null
+            case Some(g) => java.lang.Long.valueOf(dHashBitsOfGrid(g))
+            case None    => null
           }
         Row(r.getLong(idIdx), hash)
       }
@@ -1012,28 +1116,6 @@ object Multimodal {
       StructField("jpeg_decoded", LongType, nullable = false),
       StructField("dev_ok", LongType, nullable = false),
       StructField("hamming_ok", LongType, nullable = false)))
-    def dHashOf(g: Array[Float]): Long = {
-      var bits = 0L; var k = 0
-      var row = 0
-      while (row < 4) {
-        var c = 0
-        while (c < 3) {
-          if (g(row * 4 + c) < g(row * 4 + c + 1)) bits |= 1L << k
-          k += 1; c += 1
-        }
-        row += 1
-      }
-      row = 0
-      while (row < 3) {
-        var c = 0
-        while (c < 4) {
-          if (g(row * 4 + c) < g((row + 1) * 4 + c)) bits |= 1L << k
-          k += 1; c += 1
-        }
-        row += 1
-      }
-      bits
-    }
     src.select(col(idCol).cast("long").as("asset_id"))
       .filter(pmod(col("asset_id"), lit(3)) === 0)
       .mapPartitions { it =>
@@ -1049,11 +1131,11 @@ object Multimodal {
                 dev = math.max(dev, math.abs(gp(i).toDouble - gj(i).toDouble))
                 i += 1
               }
-              val ham = java.lang.Long.bitCount(dHashOf(gp) ^ dHashOf(gj))
-              Row(id, java.lang.Long.valueOf(dHashOf(gp)), 1L,
+              val ham = java.lang.Long.bitCount(dHashBitsOfGrid(gp) ^ dHashBitsOfGrid(gj))
+              Row(id, java.lang.Long.valueOf(dHashBitsOfGrid(gp)), 1L,
                 if (dev <= maxDev) 1L else 0L,
                 if (ham <= maxHam) 1L else 0L)
-            case (Some(gp), None) => Row(id, java.lang.Long.valueOf(dHashOf(gp)), 0L, 0L, 0L)
+            case (Some(gp), None) => Row(id, java.lang.Long.valueOf(dHashBitsOfGrid(gp)), 0L, 0L, 0L)
             case _ => Row(id, null, 0L, 0L, 0L)
           }
         }

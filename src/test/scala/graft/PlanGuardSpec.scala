@@ -151,14 +151,17 @@ class PlanGuardSpec extends SparkSpec {
         _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
       "q_embed_quant grew an aggregation")
 
-    // q_mm_features_real: payloads are synthesized from doc_id alone — the
-    // documents scan must not read text (binary/feature work is per-row
-    // mapPartitions, so a text read means the pruning regressed)
+    // q_mm_features_real reads the persisted media index (round 12): the
+    // plan must scan ONLY (asset_id, features) from the index parquet —
+    // never documents.text, never the sibling hash columns (a full-index
+    // read means column pruning regressed), and never re-decode (no
+    // documents scan at all once the index exists)
     val mmCols = nodesOf("q_mm_features_real").collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         s.requiredSchema.fieldNames.toSeq
     }.flatten.toSet
-    assert(mmCols.contains("doc_id") && !mmCols.contains("text"),
+    assert(mmCols.contains("asset_id") && mmCols.contains("features") &&
+        !mmCols.contains("text") && !mmCols.contains("dhash"),
       s"q_mm_features_real scan columns regressed: $mmCols")
   }
 
