@@ -168,7 +168,15 @@ final class Detector(
   def runCycleFromBatch(batch: DataFrame): Option[Double] = {
     if (missingArtifacts()) { publishFetchHealth(); return None }
     try {
-      batch.select(col("alias"), col("ts"), col("value")).collect().foreach { r =>
+      val added = batch.select(col("alias"), col("ts"), col("value")).collect()
+      // idle tick: an empty micro-batch (offsets advanced, no samples)
+      // leaves the trailing state — and therefore the score — unchanged;
+      // re-running the scoring jobs would only republish the same gauges.
+      // The clockwork path (runCycle) re-fetches by design; the source-fed
+      // path is event-driven, so no data = no cycle (health still
+      // publishes via the finally).
+      if (added.isEmpty) return None
+      added.foreach { r =>
         trailing += ((r.getString(0), r.getTimestamp(1),
           if (r.isNullAt(2)) null else r.getDouble(2)))
       }
@@ -195,6 +203,12 @@ final class Detector(
                                  // source-fed path's gauge contract equal
                                  // to runCycle's
   }
+
+  /** Test-visible size of the trailing source-fed buffer — the DSv2 soak's
+    * boundedness assert: [[runCycleFromBatch]] trims to the (L+2)-step
+    * horizon on every data-carrying batch, so this must stay
+    * O(#queries · L) regardless of how many micro-batches have run. */
+  private[graft] def trailingSize: Int = trailing.size
 
   /** ST1: the 30 s polling loop (`realtime_detector.py:392-398`). Runs
     * `cycles` iterations (negative = forever); interruptible. */
