@@ -12,29 +12,36 @@ import graft.streaming._
   * alone. The batch-parity specs pin semantics; this pins rates.
   *
   * Protocol (mirrors the batch bench's steady discipline):
-  *  - the source table is staged once as a 16-file parquet dir under
-  *    `.scratch/streamprobe/`, and each operator streams it with
-  *    `maxFilesPerTrigger=2` → 8 micro-batches per run — a real
-  *    incremental consumption, not one giant batch;
+  *  - the source table is staged once as a `files`-file parquet dir under
+  *    `.scratch/streamprobe/` (default 200), and each operator streams it
+  *    with `maxFilesPerTrigger=2` → `files`/2 micro-batches per run
+  *    (default 100) — a real incremental consumption, not one giant
+  *    batch;
   *  - sink is `noop`, trigger `AvailableNow`, so wall time is operator +
   *    state-store cost, not sink I/O;
   *  - every operator runs TWICE (fresh checkpoint each rep) and the
   *    recorded number is the STEADY second rep (first-rep JIT/codegen
   *    inflation hits streaming harder than batch — each micro-batch
   *    replans);
-  *  - reported per op: input rows, wall s, rows/s, micro-batches, and
-  *    peak state rows from the engine's own `stateOperators` metrics —
-  *    the number that must track ACTIVE KEYS, not stream length, for the
-  *    100 TB story to hold.
+  *  - reported per op: input rows, wall s, rows/s, micro-batches,
+  *    batch-latency avg/p95 ms, and the engine's own `stateOperators`
+  *    state rows at the HALFWAY batch and at the END — the growth curve
+  *    that must track ACTIVE KEYS, not stream length, for the 100 TB
+  *    story to hold (state_rows_end ≈ state_rows_mid on a key-bounded
+  *    operator once all keys have appeared).
   *
-  * Usage: {{{ runMain graft.tools.StreamProbe /root/testdata/sf0.1 }}} */
+  * Usage:
+  * {{{ runMain graft.tools.StreamProbe <sfDir> [op,...|all] [files] }}} */
 object StreamProbe {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: StreamProbe <sfDir> [op,...]")
     val sfDir = args(0)
     val only: Set[String] =
-      if (args.length > 1) args(1).split(",").map(_.trim).toSet else Set.empty
+      if (args.length > 1 && args(1) != "all")
+        args(1).split(",").map(_.trim).toSet
+      else Set.empty
+    val files = if (args.length > 2) args(2).toInt else 200
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,13 +55,13 @@ object StreamProbe {
     import spark.implicits._
 
     val tag = new java.io.File(sfDir).getName
-    val stageRoot = s".scratch/streamprobe/$tag"
+    val stageRoot = s".scratch/streamprobe/$tag-f$files"
 
     // ---- stage sources: normalized tables as 16-file parquet dirs ----
     def stage(name: String, df: => DataFrame): String = {
       val path = s"$stageRoot/$name"
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        df.repartition(16).write.mode("overwrite").parquet(path)
+        df.repartition(files).write.mode("overwrite").parquet(path)
       }
       path
     }
@@ -67,6 +74,13 @@ object StreamProbe {
     val docsPath = stage("documents",
       graft.Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("source"), col("text")))
+    val embPath = stage("embeddings",
+      graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")))
+    // semdedup's quantizer bits: frozen at the corpus's auto-bits capacity
+    // (the batch rule) BEFORE the stream starts — one count job
+    lazy val semBits = graft.sim.Ann.autoBits(
+      spark.read.parquet(embPath).count(), targetCell = 64)
 
     def stream(path: String): DataFrame =
       spark.readStream
@@ -99,9 +113,14 @@ object StreamProbe {
           "user_id", "ts", gap = "30 minutes", watermark = "10 minutes")),
       "counter_rate" -> (() => StreamingRates.counterRate(sampleStream()).toDF),
       "ewma" -> (() => StreamingRates.ewma(sampleStream(), 0.3).toDF),
+      "zscore" -> (() =>
+        StreamingRates.zscore(sampleStream(), rangeUs = 600L * 1000000).toDF),
       "dedup_ingest" -> (() =>
         StreamingDedup.nearDupCandidates(stream(docsPath),
           "doc_id", "text").toDF),
+      "semdedup" -> (() =>
+        StreamingSemDedup.admittedStream(stream(embPath),
+          "vec_id", "embedding", threshold = 0.30, bits = semBits).toDF),
       "drift" -> (() => {
         val ref = refVocab; val n = refTotal // force before the stream starts
         StreamingDrift.drift(
@@ -111,8 +130,14 @@ object StreamProbe {
             .as[StreamingDrift.Doc], ref, n).toDF
       }))
 
-    def runOnce(name: String, build: () => DataFrame): (Double, Long, Int, Long) = {
+    final case class Run(wall: Double, rows: Long, batches: Int,
+                         latAvgMs: Double, latP95Ms: Double,
+                         stateMid: Long, stateEnd: Long)
+    def runOnce(name: String, build: () => DataFrame): Run = {
       val ckpt = graft.Queries.scratchDir(s"streamprobe-$name-")
+      // recentProgress keeps only the last ~100 entries by default — a
+      // 100-batch run needs them all for the latency/state series
+      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "512")
       val t0 = System.nanoTime()
       val q = build().writeStream
         .format("noop")
@@ -121,22 +146,29 @@ object StreamProbe {
         .start()
       q.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
-      val progress = q.recentProgress
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
       val rows = progress.map(_.numInputRows).sum
-      val batches = progress.count(_.numInputRows > 0)
-      val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-        .foldLeft(0L)(math.max)
-      (wall, rows, batches, stateRows)
+      val lats = progress.map(_.batchDuration.toDouble).sorted
+      val latAvg = if (lats.isEmpty) 0.0 else lats.sum / lats.length
+      val latP95 =
+        if (lats.isEmpty) 0.0
+        else lats(math.min(lats.length - 1, (lats.length * 95) / 100))
+      val states = progress.map(p =>
+        p.stateOperators.map(_.numRowsTotal).foldLeft(0L)(math.max))
+      val stateMid = if (states.isEmpty) 0L else states(states.length / 2)
+      val stateEnd = if (states.isEmpty) 0L else states.last
+      Run(wall, rows, progress.length, latAvg, latP95, stateMid, stateEnd)
     }
 
     val results = ops
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, build) =>
         val _ = runOnce(name, build) // rep 1: JIT/codegen warm-up
-        val (wall, rows, batches, stateRows) = runOnce(name, build)
-        val line = f"""{"op":"$name","rows":$rows,"wall_s":$wall%.3f,""" +
-          f""""rows_per_s":${rows / wall}%.0f,"batches":$batches,""" +
-          f""""state_rows":$stateRows}"""
+        val r = runOnce(name, build)
+        val line = f"""{"op":"$name","rows":${r.rows},"wall_s":${r.wall}%.3f,""" +
+          f""""rows_per_s":${r.rows / r.wall}%.0f,"batches":${r.batches},""" +
+          f""""batch_ms_avg":${r.latAvgMs}%.0f,"batch_ms_p95":${r.latP95Ms}%.0f,""" +
+          f""""state_rows_mid":${r.stateMid},"state_rows_end":${r.stateEnd}}"""
         println(line)
         line
       }
