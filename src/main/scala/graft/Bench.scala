@@ -116,7 +116,14 @@ object Bench {
     // construction — extend it to this family (round-10 verdict item 1).
     def isConstructionHeavy(name: String): Boolean =
       name == "q_neardup_survivors" || name == "q_neardup_quality" ||
-      name == "q_neardup_clusters" || name == "q_neardup_clusters_dist"
+      name == "q_neardup_clusters" || name == "q_neardup_clusters_dist" ||
+      // the two index-LIFECYCLE rows build a scratch index at query-build
+      // time (driver-side write jobs dominate — the solo attribution says
+      // ~94% for ivf_append); in-session they inherit the long session's
+      // heap/JIT placement exactly like the union-find trio, reading
+      // 1.3–1.4× their quiet-cert steadies in the r12 driver record —
+      // round-13 order #4 extends the fork to them
+      name == "q_ann_ivf_append" || name == "q_mm_index_append"
     def isForked(name: String): Boolean =
       isBinaryFamily(name) || isConstructionHeavy(name)
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -229,7 +236,7 @@ object Bench {
     // fails falls back to the in-session path at plain `reps`, and the
     // record's reps_override must not advertise a discipline that row
     // didn't get.
-    val overrideApplied = scala.collection.mutable.Set.empty[String]
+    val overrideApplied = scala.collection.mutable.Map.empty[String, Int]
     val forked: Seq[(String, Double, Double)] =
       forkedReg.flatMap { case (name, fn) =>
         // Construction-heavy rows do JIT-heavy DRIVER work (pair-set
@@ -239,10 +246,18 @@ object Bench {
         // the REPS=4 solo cert. Match the cert's rep discipline inside the
         // child (≥4 reps; extra reps cost the child wall clock only).
         val childReps =
-          if (isConstructionHeavy(name)) Some(math.max(4, reps)) else None
+          // clusters_dist runs ~10 propagation rounds × 2 shuffle stages of
+          // driver-coordinated jobs — the longest-exposure row to the
+          // host's external load waves (its r12 driver-record read 2.1×
+          // its three quiet certs WITH the fork + 4-rep override already
+          // on, ctx load 3.08). Median of 5 steadies rides out a wave that
+          // spans part of the child; nothing in-process can ride out one
+          // that spans all of it (the record's ctx then says so).
+          if (name == "q_neardup_clusters_dist") Some(math.max(6, reps))
+          else if (isConstructionHeavy(name)) Some(math.max(4, reps)) else None
         runForked(Seq(name), childReps) match {
           case Some(rows) =>
-            childReps.foreach(_ => overrideApplied += name)
+            childReps.foreach(r => overrideApplied += name -> r)
             rows
           case None =>
             System.err.println(
@@ -301,7 +316,7 @@ object Bench {
       // rows whose child actually succeeded appear (a failed fork falls
       // back to the in-session path at plain `reps`).
       val overrides = overrideApplied.toSeq
-        .sorted.map(n => s""""$n":${math.max(4, reps)}""").mkString(",")
+        .sortBy(_._1).map { case (n, r) => s""""$n":$r""" }.mkString(",")
       s"""{"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps,"reps_override":{$overrides}}"""
     }
     val json =

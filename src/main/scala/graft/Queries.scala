@@ -73,6 +73,51 @@ object Queries {
     graft.multimodal.MediaIndex.cachedFor(s, d)(
       graft.multimodal.Multimodal.mediaAssets(Tables.documents(s, d), "doc_id"))
 
+  /** SF-gated deterministic doc sample for the per-asset CODEC-
+    * CERTIFICATION rows (q_mm_jpeg / q_mm_adpcm / q_mm_probe): at
+    * ≤ [[MediaCertBudget]] docs (every driver corpus — oracle sf0.01 =
+    * 500 docs, cert base sf0.1 = 5000) K = 1 and the rows certify the
+    * FULL corpus, so the static DuckDB oracles replay unchanged; above it
+    * (builder scale corpora — ld1 51k, sf10 510k) they certify the
+    * deterministic `doc_id % K == 0` slice sized back to the budget.
+    * Per-asset codec certification is population-independent — each
+    * asset's encode→decode round-trip is checked in isolation, so a
+    * fixed-budget deterministic sample asserts the same per-asset law at
+    * 1/K the decode wall (round-13 order #5: these three rows were
+    * 106.9 s of the 112.7 s sf10 media family, re-certifying 510k assets
+    * one by one per bench rep). The sampled FORMULA itself stays
+    * oracle-certified at EVERY sf by the static-K `q_mm_*_sampled` rows
+    * below. The count is parquet metadata-only (no filter, no data scan). */
+  /** Checkpoint strategy for [[graft.dedup.Dedup.duplicatedSpans]]'s
+    * anchored-shingle self-join, gated on SOURCE size: under the
+    * threshold, localCheckpoint (zero format cost — the sf0.1 cert row's
+    * steady path, unchanged); over it, a zstd-parquet scratch round-trip —
+    * the shingle table is corpus-token-sized and block-manager checkpoint
+    * blocks are UNCOMPRESSED, which is what ran the 1000× rung out of
+    * disk (SCALE.md r12). 64 MB of documents.parquet ≈ half a billion
+    * shingle rows downstream — far past where compression wins. */
+  private def shingleCheckpoint(s: SparkSession, d: String)
+      : DataFrame => DataFrame = {
+    val src = new java.io.File(d, "documents.parquet")
+    val bytes: Long =
+      if (src.isFile) src.length
+      else Option(src.listFiles()).getOrElse(Array.empty)
+        .map(_.length()).sum
+    if (bytes < (64L << 20)) _.localCheckpoint(true)
+    else df => {
+      val path = scratchDir("graft_shingle_ckpt")
+      df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+      s.read.parquet(path)
+    }
+  }
+
+  private val MediaCertBudget = 5000L
+  private def mediaCertDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val k = (docs.count() + MediaCertBudget - 1) / MediaCertBudget
+    if (k <= 1L) docs else docs.filter(pmod(col("doc_id"), lit(k)) === 0)
+  }
+
   /** Same dispatch for the xxhash64 production basis: `graft_simhash64`
     * (one codegen'd pass) over the HOF fallback, whose 64-wide
     * transform-of-aggregate tree costs ~8 s of ANALYSIS+codegen per
@@ -1718,9 +1763,14 @@ object Queries {
       // Substring-level dedup: longest verbatim shared token span per doc
       // pair via rare-shingle anchoring + diagonal gaps-and-islands — the
       // exact-substring pass doc-level dedup misses (two documents can
-      // share a 50-token quote at 0.1 Jaccard).
+      // share a 50-token quote at 0.1 Jaccard). The anchored-shingle
+      // materialization is size-gated (shingleCheckpoint): localCheckpoint
+      // at driver SFs, zstd parquet at builder scale — semantics
+      // identical, checkpoint bytes ~10× smaller (round-13 order #2: the
+      // 1000× rung's rep 2 died on uncompressed block-manager bytes).
       graft.dedup.Dedup.duplicatedSpans(Tables.documents(s, d),
-          "doc_id", "text", k = 3, maxDf = 5, minSpan = 5)
+          "doc_id", "text", k = 3, maxDf = 5, minSpan = 5,
+          checkpoint = shingleCheckpoint(s, d))
         .orderBy("id1", "id2")),
 
     "q_bpe_merges" -> ((s, d) => {
@@ -2219,9 +2269,22 @@ object Queries {
       // Typed metadata parsed FROM the payload bytes (PNG IHDR, WAV RIFF
       // chunks, Y4M header+frames) — the oracle knows the closed form per
       // modality, so every parsed field meets DuckDB.
+      // SF-gated sample (mediaCertDocs): full corpus at driver SFs, the
+      // deterministic budget slice at builder scale — see the helper.
       graft.multimodal.Multimodal.probeAssets(
           graft.multimodal.Multimodal.mediaAssets(
-            Tables.documents(s, d), "doc_id"))
+            mediaCertDocs(s, d), "doc_id"))
+        .orderBy("asset_id")),
+
+    "q_mm_probe_sampled" -> ((s, d) =>
+      // The static-K twin that keeps the SAMPLED certification formula
+      // oracle-green at every sf (mediaCertDocs' gate is corpus-size-
+      // driven, so the oracle could never see it fire): same probe path
+      // over the fixed doc_id % 5 slice.
+      graft.multimodal.Multimodal.probeAssets(
+          graft.multimodal.Multimodal.mediaAssets(
+            Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
+            "doc_id"))
         .orderBy("asset_id")),
 
     "q_phash" -> ((s, d) =>
@@ -2315,8 +2378,18 @@ object Queries {
       // literal 1 — measured max luma deviation 0.0275 / dHash drift 0,
       // bounds 0.06 / 4 carry 2× headroom, same pattern as the sketch
       // certifications (q_cms_bounds / q_bloom_bounds).
+      // SF-gated sample (mediaCertDocs): full corpus at driver SFs, the
+      // deterministic budget slice at builder scale — see the helper.
       graft.multimodal.Multimodal.jpegParity(
-          Tables.documents(s, d), "doc_id")
+          mediaCertDocs(s, d), "doc_id")
+        .orderBy("asset_id")),
+
+    "q_mm_jpeg_sampled" -> ((s, d) =>
+      // Static-K oracle twin of the sampled jpeg certification (see
+      // q_mm_probe_sampled).
+      graft.multimodal.Multimodal.jpegParity(
+          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id")
         .orderBy("asset_id")),
 
     "q_mm_adpcm" -> ((s, d) =>
@@ -2325,8 +2398,18 @@ object Queries {
       // the production decodePcm16 path. first_sample is a hard
       // cross-engine value (block header stores sample 0 verbatim);
       // n/first/deviation bounds are literal-1 flags, jpegParity-style.
+      // SF-gated sample (mediaCertDocs): full corpus at driver SFs, the
+      // deterministic budget slice at builder scale — see the helper.
       graft.multimodal.Multimodal.adpcmParity(
-          Tables.documents(s, d), "doc_id")
+          mediaCertDocs(s, d), "doc_id")
+        .orderBy("asset_id")),
+
+    "q_mm_adpcm_sampled" -> ((s, d) =>
+      // Static-K oracle twin of the sampled ADPCM certification (see
+      // q_mm_probe_sampled).
+      graft.multimodal.Multimodal.adpcmParity(
+          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id")
         .orderBy("asset_id")),
 
     "q_mm_index" -> ((s, d) =>
@@ -3983,6 +4066,19 @@ object Queries {
          |    ELSE NULL END AS duration_ms
          |FROM documents ORDER BY asset_id""".stripMargin,
 
+    // Same closed form over the static doc_id % 5 slice — certifies the
+    // sampled-certification formula the SF-gated main row applies at
+    // builder scale (mediaCertDocs).
+    "q_mm_probe_sampled" ->
+      s"""SELECT doc_id AS asset_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'y4m' END AS format,
+         |  CASE WHEN doc_id % 3 = 1 THEN NULL ELSE 4 END AS width,
+         |  CASE WHEN doc_id % 3 = 1 THEN NULL ELSE 4 END AS height,
+         |  CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE NULL END AS sample_rate,
+         |  CASE doc_id % 3 WHEN 1 THEN CAST(32 AS BIGINT) WHEN 2 THEN CAST(80 AS BIGINT)
+         |    ELSE NULL END AS duration_ms
+         |FROM documents WHERE doc_id % 5 = 0 ORDER BY asset_id""".stripMargin,
+
     // Replays the media-fixture formulas (Multimodal.imagePixel/audioSample/
     // videoLumaPx) and the decoders' feature math: image/video are one
     // pixel per grid cell (4×4 @ dim 16), audio is 8 blocks of 32 samples
@@ -4011,6 +4107,16 @@ object Queries {
          |  CAST(1 AS BIGINT) AS hamming_ok
          |FROM dh ORDER BY asset_id""".stripMargin,
 
+    // Static doc_id % 5 slice of the jpeg certification (see
+    // q_mm_probe_sampled's rationale).
+    "q_mm_jpeg_sampled" ->
+      s"""WITH ${phashCtes("")}
+         |SELECT asset_id, dhash,
+         |  CAST(1 AS BIGINT) AS jpeg_decoded,
+         |  CAST(1 AS BIGINT) AS dev_ok,
+         |  CAST(1 AS BIGINT) AS hamming_ok
+         |FROM dh WHERE asset_id % 5 = 0 ORDER BY asset_id""".stripMargin,
+
     "q_mm_adpcm" ->
       // first_sample replays adpcmSamples' closed-form s(0); the codec
       // bounds are literal-1 flags (jpegParity pattern).
@@ -4021,6 +4127,18 @@ object Queries {
          |  CAST(1 AS BIGINT) AS first_exact,
          |  CAST(1 AS BIGINT) AS dev_ok
          |FROM documents WHERE doc_id % 3 = 1
+         |ORDER BY asset_id""".stripMargin,
+
+    // Static doc_id % 5 slice of the ADPCM certification (see
+    // q_mm_probe_sampled's rationale).
+    "q_mm_adpcm_sampled" ->
+      s"""SELECT doc_id AS asset_id,
+         |  CAST(((doc_id * 7919) % 4001) - 2000 AS BIGINT) AS first_sample,
+         |  CAST(1 AS BIGINT) AS decoded,
+         |  CAST(1 AS BIGINT) AS n_ok,
+         |  CAST(1 AS BIGINT) AS first_exact,
+         |  CAST(1 AS BIGINT) AS dev_ok
+         |FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 0
          |ORDER BY asset_id""".stripMargin,
 
     "q_ahash" ->

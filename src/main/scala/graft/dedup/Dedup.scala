@@ -229,11 +229,23 @@ object Dedup {
     * and pair join are shingle-keyed equi-joins (hash-distributed, never
     * all-pairs); span assembly is one window + aggregate partitioned by
     * (id1, id2, diag) — naturally parallel, no single-partition stage. The
-    * anchored shingle table is localCheckpointed across its self-join (same
-    * trade — and same no-unpersistable-persist rule — as
-    * [[candidatePairs]]). */
+    * anchored shingle table is materialized across its self-join via
+    * `checkpoint` (same trade — and same no-unpersistable-persist rule —
+    * as [[candidatePairs]]). The default is localCheckpoint (eager,
+    * reference-tracked, zero serialization format cost) — right up to the
+    * point where the shingle rows are a corpus-token-sized table: block-
+    * manager blocks are UNCOMPRESSED, and the 1000× rung measured tens of
+    * GB of them racing the scan for one disk (SCALE.md r12: rep-2 ENOSPC
+    * at 59 GB free). Big-corpus callers pass a COMPRESSED checkpoint
+    * (zstd parquet — the repeated shingle strings dictionary-encode away;
+    * graft.Queries's q_dup_spans row gates on source size) — same
+    * materialize-once semantics, ~10× fewer checkpoint bytes, and on a
+    * cluster it lands on the shuffle/scratch volume per node instead of
+    * one machine's only disk. */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int = 3, maxDf: Int = 5, minSpan: Int = 5): DataFrame = {
+                      k: Int = 3, maxDf: Int = 5, minSpan: Int = 5,
+                      checkpoint: DataFrame => DataFrame =
+                        _.localCheckpoint(true)): DataFrame = {
     val sh = docs
       .select(col(idCol).as("_id"), normTokens(col(textCol)).as("_tk"))
       .select(col("_id"),
@@ -242,8 +254,7 @@ object Dedup {
     val rare = sh.groupBy("shingle")
       .agg(countDistinct(col("_id")).as("_df"))
       .filter(col("_df") <= maxDf).select("shingle")
-    val anchored = sh.join(rare, Seq("shingle"))
-      .localCheckpoint(true)
+    val anchored = checkpoint(sh.join(rare, Seq("shingle")))
     val pairs = anchored
       .select(col("shingle"), col("_id").as("id1"), col("pos").as("pos1"))
       .join(anchored.select(col("shingle"), col("_id").as("id2"), col("pos").as("pos2")),

@@ -139,7 +139,7 @@ object MediaIndex {
   /** Key a cached index on the IDENTITY of its source parquet directory:
     * canonical path + per-file (name, size, mtime). A regenerated corpus
     * changes the key, so a stale cache can never serve (it is simply
-    * never found); /tmp lifetime bounds the cache like any spill. */
+    * never found); stale keys are garbage a cache clear sweeps. */
   private def sourceKey(sourceDir: String, dim: Int): String = {
     val dir = new java.io.File(sourceDir, "documents.parquet")
     val canonical = dir.getCanonicalPath
@@ -154,40 +154,61 @@ object MediaIndex {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** The cache root: a USER-OWNED directory, not the world-shared
+    * `java.io.tmpdir` (round 13) — a predictable /tmp path trusted on a
+    * marker file alone let any local user pre-plant a poisoned index that
+    * Verify/Bench would then serve. Default `~/.cache/graft_media_index`
+    * (created 0700 via the JVM's owner-only default on fresh dirs);
+    * `GRAFT_MEDIA_CACHE` overrides for tests and for pointing scale runs
+    * at a bigger disk. Clearing it is the documented cold-run step
+    * (BASELINE.md protocol note). */
+  private def cacheRoot(): java.io.File =
+    sys.env.get("GRAFT_MEDIA_CACHE").map(new java.io.File(_)).getOrElse(
+      new java.io.File(
+        new java.io.File(sys.props("user.home"), ".cache"),
+        "graft_media_index"))
+
   /** Build-if-absent: the persisted index for `mkAssets` over `sourceDir`,
-    * cached under the JVM temp dir keyed by [[sourceKey]]. The FIRST
+    * cached under [[cacheRoot]] keyed by [[sourceKey]]. The FIRST
     * consumer in a session (or across sessions — the key survives JVM
     * restarts, which is what lets the per-query forked bench children and
     * the Verify/Bench/test JVMs share one decode) pays the one-pass
-    * build; everyone else reads parquet. Concurrency-safe the IvfIndex
-    * way: build into a process-unique temp sibling, then one atomic
-    * rename — a losing racer deletes its copy and reads the winner's.
-    * Returns the index path. */
+    * build; everyone else reads parquet.
+    *
+    * Cross-process protocol (round 13): installs are serialized by an
+    * exclusive `FileLock` on a sibling `<key>.lock` — the round-12
+    * unguarded delete-then-rename let two processes that both saw a
+    * marker-less root each clear it, one deleting the other's
+    * just-renamed COMPLETE index, after which both renames failed and no
+    * index was installed at all. Under the lock the sequence is trivially
+    * safe: re-check the marker (the winner installed while we waited),
+    * sweep a crashed build's marker-less leftover, build into a
+    * process-unique temp sibling, one rename. A waiter pays the winner's
+    * build as lock-wait instead of a second redundant decode — strictly
+    * less total work. Returns the index path. */
   def cachedFor(spark: SparkSession, sourceDir: String, dim: Int = 16)
                (mkAssets: => DataFrame): String = synchronized {
-    val root = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir"), "graft_media_index"),
-      sourceKey(sourceDir, dim))
+    val root = new java.io.File(cacheRoot(), sourceKey(sourceDir, dim))
     val marker = new java.io.File(root, "hashes/_SUCCESS")
-    if (marker.exists()) return root.getPath
-    val tmp = new java.io.File(root.getParentFile,
-      s"${root.getName}.tmp.${java.lang.ProcessHandle.current().pid()}")
-    graft.util.Fs.deleteRecursively(tmp)
-    tmp.getParentFile.mkdirs()
-    build(mkAssets, tmp.getPath, dim)
-    if (!tmp.renameTo(root)) {
-      // lost the cross-process race (or a stale root without a marker —
-      // a crashed build — blocks the rename: clear it and retry once)
-      if (marker.exists()) graft.util.Fs.deleteRecursively(tmp)
-      else {
-        graft.util.Fs.deleteRecursively(root)
-        if (!tmp.renameTo(root)) {
-          require(marker.exists(),
-            s"media index install failed at ${root.getPath}")
-          graft.util.Fs.deleteRecursively(tmp)
-        }
-      }
-    }
-    root.getPath
+    if (marker.exists()) return root.getPath // fast path: no lock traffic
+    root.getParentFile.mkdirs()
+    val lockFile = new java.io.File(root.getParentFile, s"${root.getName}.lock")
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = ch.lock() // blocks until the concurrent installer finishes
+    try {
+      if (marker.exists()) return root.getPath // installed while we waited
+      // marker-less root under the lock = a CRASHED build (no live racer
+      // can hold one now) — safe to clear before installing fresh
+      graft.util.Fs.deleteRecursively(root)
+      val tmp = new java.io.File(root.getParentFile,
+        s"${root.getName}.tmp.${java.lang.ProcessHandle.current().pid()}")
+      graft.util.Fs.deleteRecursively(tmp)
+      build(mkAssets, tmp.getPath, dim)
+      require(tmp.renameTo(root),
+        s"media index install failed at ${root.getPath}")
+      root.getPath
+    } finally { lock.release(); ch.close() }
   }
 }

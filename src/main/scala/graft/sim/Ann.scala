@@ -144,6 +144,45 @@ object Ann {
     aggregate(bitVals, lit(0L), (acc, v) => acc + v)
   }
 
+  /** The md5 LSH plane family as a DRIVER-SIDE matrix (bits × dims longs —
+    * a few KB): the same c(p,i) constants [[lshBucketMd5]] ships as plan
+    * literals, for consumers that assign cells in JVM code instead of a
+    * Catalyst expression. The streaming quantizer is the motivating case
+    * (round-13 order #6): the bits×dims-literal HOF expression tree was
+    * re-analyzed and interpreted per MICRO-BATCH, and the per-batch
+    * planning + per-row lambda interpretation dominated the probe's
+    * semdedup row by ~5× over the actual arithmetic — a closure-captured
+    * matrix plus [[cellOfMd5]]'s tight loop is planned once and runs at
+    * memory speed. */
+  def md5PlaneMatrix(bits: Int, dims: Int = 64,
+                     prefix: String = ""): Array[Array[Long]] =
+    Array.tabulate(bits, dims)((p, i) => md5Hex24(s"$prefix${p}_$i") - 8388608L)
+
+  /** Bit-identical JVM replica of [[lshBucketMd5]] over one float vector:
+    * exact integer dot products (floor(v·10⁶) quantization, the matrix's
+    * 24-bit plane components — products ≤ ~2^45/term, sums ≤ ~2^51, far
+    * inside Long; integer addition is order-free so loop order cannot
+    * matter), sign bits packed ascending. Parity with the Catalyst
+    * expression is pinned by AnnSpec over real embeddings. */
+  def cellOfMd5(vec: Array[Float], planes: Array[Array[Long]]): Long = {
+    require(planes.isEmpty || planes(0).length == vec.length,
+      s"md5 plane family: vector length ${vec.length} must equal dims ${planes(0).length}")
+    var cell = 0L
+    var p = 0
+    while (p < planes.length) {
+      val row = planes(p)
+      var dot = 0L
+      var i = 0
+      while (i < row.length) {
+        dot += math.floor(vec(i).toDouble * 1e6).toLong * row(i)
+        i += 1
+      }
+      if (dot >= 0L) cell |= (1L << p)
+      p += 1
+    }
+    cell
+  }
+
   /** First 6 hex chars of md5(s) as an integer — the driver-side mirror of
     * the oracle's `CAST('0x' || substr(md5(s), 1, 6) AS BIGINT)`. */
   private def md5Hex24(s: String): Long = {

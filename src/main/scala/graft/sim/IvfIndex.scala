@@ -281,7 +281,14 @@ object IvfIndex {
         s"index swap failed at $path (move-in); previous index " +
           (if (restored) "restored" else s"left at ${old.getPath}"))
     }
-    graft.util.Fs.deleteRecursively(old)
+    // `.old` is RETAINED after a successful swap (round 13): a concurrent
+    // search that resolved through resolveRoot during the move-out→move-in
+    // window holds the `.old` path and reads its parquet LAZILY — deleting
+    // it here (as this method did through round 12) made that reader fail
+    // mid-job on a vanished directory, contradicting resolveRoot's
+    // "readers simply serve .old" contract. The stale copy is swept by the
+    // NEXT rebuild's own pre-clean above, or by an explicit recover() —
+    // both maintenance entry points, never a read or this swap's tail.
     k
   }
 

@@ -73,13 +73,39 @@ object StreamingSemDedup {
 
   /** (id, vec, cell) rows for a streaming (or batch) vector frame — the
     * same frozen-bits md5-plane cell family as the batch operators.
-    * Pure per-row expressions, no shuffle. */
+    * Pure per-row expressions, no shuffle. This Catalyst form is the
+    * PARITY REFERENCE; [[admittedStream]] assigns cells with the JVM
+    * replica instead (see below), and StreamingSemDedupSpec pins the two
+    * equal over real embeddings. */
   def cellRows(vecs: DataFrame, idCol: String, vecCol: String,
                bits: Int, dims: Int = 64): DataFrame = {
     require(bits >= 0 && bits <= 32, "bits must be in 0..32")
     val cell = if (bits == 0) lit(0L) else Ann.lshBucketMd5(col(vecCol), bits, dims)
     vecs.select(col(idCol).cast("long").as("_id"),
       col(vecCol).cast("array<float>").as("_v"), cell.as("_cell"))
+  }
+
+  /** JVM cell assignment for the streaming path (round-13 order #6): the
+    * frozen quantizer rides ONCE as a closure-captured bits×dims long
+    * matrix instead of a bits×dims-LITERAL Catalyst HOF tree. In
+    * Structured Streaming every micro-batch re-analyzes and re-plans the
+    * logical plan — with autoBits-sized quantizers (10+ planes × 64 dims
+    * = 640+ literals inside interpreted aggregate/zip_with lambdas) the
+    * probe measured the semdedup row at 174 rows/s, ~5× slower than its
+    * state-store-only floor, all of it per-batch planning + per-row
+    * lambda interpretation. [[Ann.cellOfMd5]] is bit-identical (exact
+    * integer arithmetic, same floor(v·10⁶) quantization), so admission
+    * semantics and batch parity are unchanged. */
+  private[streaming] def cellRowsJvm(vecs: DataFrame, idCol: String,
+                                     vecCol: String, bits: Int, dims: Int)
+      : Dataset[(Long, Seq[Float], Long)] = {
+    require(bits >= 0 && bits <= 32, "bits must be in 0..32")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val planes = Ann.md5PlaneMatrix(bits, dims) // bits×dims longs — a few KB
+    vecs.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, v, Ann.cellOfMd5(v.toArray, planes)) }
   }
 
   /** The admitted-survivor stream over (id, vec) rows. Within one batch
@@ -125,8 +151,7 @@ object StreamingSemDedup {
     val timeoutConf =
       if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    cellRows(vecs, idCol, vecCol, bits, dims)
-      .as[(Long, Seq[Float], Long)]
+    cellRowsJvm(vecs, idCol, vecCol, bits, dims)
       .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(update)
   }

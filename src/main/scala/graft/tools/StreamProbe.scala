@@ -78,9 +78,13 @@ object StreamProbe {
       graft.Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding")))
     // semdedup's quantizer bits: frozen at the corpus's auto-bits capacity
-    // (the batch rule) BEFORE the stream starts — one count job
+    // (the batch rule, graft.Queries.AutoBitsTargetCell — the SINGLE
+    // definition; a probe-local 64 would silently desync from the
+    // batch/oracle contract if the constant ever moved) BEFORE the stream
+    // starts — one count job
     lazy val semBits = graft.sim.Ann.autoBits(
-      spark.read.parquet(embPath).count(), targetCell = 64)
+      spark.read.parquet(embPath).count(),
+      targetCell = graft.Queries.AutoBitsTargetCell)
 
     def stream(path: String): DataFrame =
       spark.readStream
@@ -108,6 +112,12 @@ object StreamProbe {
         .as[StreamingRates.Sample]
 
     val ops: Seq[(String, () => DataFrame)] = Seq(
+      // the probe's own floor: a stateless one-column projection through
+      // the same source/trigger/sink — what 100 micro-batches of replan +
+      // scheduling + state-store-free execution cost, the baseline every
+      // stateful row's wall should be read against (per-batch operator
+      // cost = row wall − this wall, per-batch)
+      "floor" -> (() => stream(docsPath).select(col("doc_id"))),
       "sessions" -> (() =>
         StreamingSessions.sessionize(stream(eventsPath),
           "user_id", "ts", gap = "30 minutes", watermark = "10 minutes")),
@@ -118,6 +128,15 @@ object StreamProbe {
       "dedup_ingest" -> (() =>
         StreamingDedup.nearDupCandidates(stream(docsPath),
           "doc_id", "text").toDF),
+      // the PRODUCTION posture of dedup-at-ingest: bucket state is
+      // TTL-evicted (idle buckets dropped wholesale), so state tracks
+      // RECENTLY-ACTIVE buckets instead of growing with stream length —
+      // ttlMs=0 above measures the by-definition-unbounded exact path,
+      // this row measures the bounded one (round-13 order; semantics
+      // pinned by StreamingDedupSpec's TTL tests)
+      "dedup_ingest_ttl" -> (() =>
+        StreamingDedup.nearDupCandidates(stream(docsPath),
+          "doc_id", "text", ttlMs = 10000L).toDF),
       "semdedup" -> (() =>
         StreamingSemDedup.admittedStream(stream(embPath),
           "vec_id", "embedding", threshold = 0.30, bits = semBits).toDF),

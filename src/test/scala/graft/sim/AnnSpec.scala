@@ -327,6 +327,27 @@ class AnnSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("cellOfMd5 (JVM quantizer) bit-matches lshBucketMd5 over real embeddings") {
+    // The streaming path assigns cells with the closure-captured plane
+    // matrix instead of the literal-heavy Catalyst tree — every cell must
+    // be identical or streaming/batch semdedup admission would diverge.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bits = 10
+    val planes = Ann.md5PlaneMatrix(bits)
+    val viaExpr = emb.select(col("vec_id"),
+        Ann.lshBucketMd5(col("embedding"), bits, dims = 64).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaJvm = emb.select(col("vec_id"), col("embedding").cast("array<float>"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        Ann.cellOfMd5(r.getSeq[Float](1).toArray, planes)).toMap
+    assert(viaJvm.nonEmpty && viaJvm == viaExpr)
+    // dims guard fires loudly on a mismatched vector, like the expression's
+    intercept[IllegalArgumentException] {
+      Ann.cellOfMd5(Array(1.0f, 2.0f), planes)
+    }
+  }
+
   test("centroids: per-label mean vectors with ordered components") {
     val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(0.0f, 2.0f)))
       .toDF("label", "embedding")

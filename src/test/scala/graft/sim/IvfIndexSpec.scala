@@ -218,6 +218,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(d.exists() && !old.exists())
   }
 
+  test("rebuild RETAINS .old: a reader that resolved mid-swap can finish its lazy reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_retain")
+      .resolve("idx").toString
+    IvfIndex.build(corpus, "vec_id", "embedding", dir, centers = 3, iters = 2)
+    IvfIndex.rebuild(spark, dir, centers = 3, iters = 2)
+    // the previous generation stays on disk after a SUCCESSFUL swap — a
+    // concurrent search that resolved to .old during the two-rename window
+    // reads its cells lazily and must not find a deleted directory
+    // (round-12 deleted it here; ADVICE r12 item 1)
+    val old = new java.io.File(s"$dir.old")
+    assert(old.exists(), ".old must survive a successful rebuild swap")
+    assert(spark.read.parquet(s"${old.getPath}/cells").count() == corpus.count())
+    // the stale copy is swept by maintenance entry points, not by reads:
+    // recover() on a healthy index clears it
+    assert(IvfIndex.recover(dir) == "healthy")
+    assert(!old.exists())
+    // ...and the NEXT rebuild's pre-clean also starts from a swept slate
+    IvfIndex.rebuild(spark, dir, centers = 3, iters = 2)
+    assert(old.exists())
+    IvfIndex.rebuild(spark, dir, centers = 3, iters = 2)
+    assert(old.exists(), "second rebuild leaves ITS previous generation")
+  }
+
   test("search scans only the probed cell partitions (partition pruning contract)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf3").toString
     IvfIndex.build(corpus, "vec_id", "embedding", dir, centers = 3, iters = 2)

@@ -172,4 +172,18 @@ class StreamingSemDedupSpec extends SparkSpec {
     val admitted = got.values().asScala.flatten.toSeq.distinct.sorted
     assert(admitted == Seq(0L), admitted.toString)
   }
+
+  test("JVM cell assignment (cellRowsJvm) equals the Catalyst parity reference over real embeddings") {
+    // admittedStream keys state by cellRowsJvm's cells; any divergence
+    // from the batch family's lshBucketMd5 cells would silently change
+    // which survivors an arrival is compared against.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val viaExpr = StreamingSemDedup.cellRows(emb, "vec_id", "embedding",
+        bits = 10, dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val viaJvm = StreamingSemDedup.cellRowsJvm(emb, "vec_id", "embedding",
+        bits = 10, dims = 64)
+      .collect().map(t => t._1 -> t._3).toMap
+    assert(viaJvm.nonEmpty && viaJvm == viaExpr)
+  }
 }
