@@ -133,7 +133,10 @@ object StreamProbe {
       // RECENTLY-ACTIVE buckets instead of growing with stream length —
       // ttlMs=0 above measures the by-definition-unbounded exact path,
       // this row measures the bounded one (round-13 order; semantics
-      // pinned by StreamingDedupSpec's TTL tests)
+      // pinned by StreamingDedupSpec's TTL tests). Needs the manual-stop
+      // run path: with timeouts armed the engine schedules empty batches
+      // forever (nearDupCandidates scaladoc), so AvailableNow never
+      // self-terminates.
       "dedup_ingest_ttl" -> (() =>
         StreamingDedup.nearDupCandidates(stream(docsPath),
           "doc_id", "text", ttlMs = 10000L).toDF),
@@ -149,6 +152,22 @@ object StreamProbe {
             .as[StreamingDrift.Doc], ref, n).toDF
       }))
 
+    // Ops whose query NEVER self-terminates under AvailableNow: an armed
+    // processing-time timeout makes the engine schedule empty batches
+    // forever to fire future timeouts, so awaitTermination would hang
+    // (measured: 25 min of ~1 s empty batches before this path existed).
+    // These are run to data completion — consumed rows polled against the
+    // staged source count — and stopped explicitly; wall is the time to
+    // consume all staged rows, directly comparable to the self-
+    // terminating rows' wall. Timeout-only batches carry zero input rows
+    // and are already excluded from the rows/latency/state series.
+    val manualStop = Set("dedup_ingest_ttl")
+    val sourceOf = Map(
+      "dedup_ingest_ttl" -> docsPath)
+    val srcCount = scala.collection.mutable.Map.empty[String, Long]
+    def expectedRows(path: String): Long =
+      srcCount.getOrElseUpdate(path, spark.read.parquet(path).count())
+
     final case class Run(wall: Double, rows: Long, batches: Int,
                          latAvgMs: Double, latP95Ms: Double,
                          stateMid: Long, stateEnd: Long)
@@ -163,8 +182,17 @@ object StreamProbe {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      if (manualStop(name)) {
+        val expected = expectedRows(sourceOf(name))
+        val deadline = System.nanoTime() + 30L * 60 * 1000000000L
+        def consumed: Long = q.recentProgress.map(_.numInputRows).sum
+        while (q.isActive && consumed < expected && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        require(consumed >= expected,
+          s"$name: only $consumed/$expected rows consumed before deadline")
+      } else q.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
+      if (manualStop(name)) q.stop()
       val progress = q.recentProgress.filter(_.numInputRows > 0)
       val rows = progress.map(_.numInputRows).sum
       val lats = progress.map(_.batchDuration.toDouble).sorted
