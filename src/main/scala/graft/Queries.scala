@@ -106,7 +106,18 @@ object Queries {
     if (bytes < (64L << 20)) _.localCheckpoint(true)
     else df => {
       val path = scratchDir("graft_shingle_ckpt")
-      df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+      df.write.mode("overwrite")
+        .option("compression", "zstd")
+        // writer memory, not output size, is the binding constraint: 32
+        // concurrent tasks each buffer a full row group + dictionary
+        // pages, and the default 128 MB groups + dictionary-encoding of
+        // high-cardinality shingle strings OOM'd an 8g driver-executor at
+        // 1000×. Anchored shingles appear ≤ maxDf times each, so a
+        // dictionary can't pay for itself — zstd alone carries the
+        // compression; 32 MB groups cap the per-task buffer.
+        .option("parquet.block.size", (32L << 20).toString)
+        .option("parquet.enable.dictionary", "false")
+        .parquet(path)
       s.read.parquet(path)
     }
   }
@@ -2280,10 +2291,13 @@ object Queries {
       // The static-K twin that keeps the SAMPLED certification formula
       // oracle-green at every sf (mediaCertDocs' gate is corpus-size-
       // driven, so the oracle could never see it fire): same probe path
-      // over the fixed doc_id % 5 slice.
+      // over the doc_id % 5 slice. COMPOSED with the SF gate (at driver
+      // SFs the gate is identity, so the oracle sees pure % 5; at builder
+      // scale the twin certifies % 5 OF the budget slice instead of 20%
+      // of a 100× corpus — it prices the formula, not a second sweep).
       graft.multimodal.Multimodal.probeAssets(
           graft.multimodal.Multimodal.mediaAssets(
-            Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
+            mediaCertDocs(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
             "doc_id"))
         .orderBy("asset_id")),
 
@@ -2385,10 +2399,10 @@ object Queries {
         .orderBy("asset_id")),
 
     "q_mm_jpeg_sampled" -> ((s, d) =>
-      // Static-K oracle twin of the sampled jpeg certification (see
-      // q_mm_probe_sampled).
+      // Static-K oracle twin of the sampled jpeg certification, composed
+      // with the SF gate (see q_mm_probe_sampled).
       graft.multimodal.Multimodal.jpegParity(
-          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
+          mediaCertDocs(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
           "doc_id")
         .orderBy("asset_id")),
 
@@ -2405,10 +2419,10 @@ object Queries {
         .orderBy("asset_id")),
 
     "q_mm_adpcm_sampled" -> ((s, d) =>
-      // Static-K oracle twin of the sampled ADPCM certification (see
-      // q_mm_probe_sampled).
+      // Static-K oracle twin of the sampled ADPCM certification, composed
+      // with the SF gate (see q_mm_probe_sampled).
       graft.multimodal.Multimodal.adpcmParity(
-          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
+          mediaCertDocs(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
           "doc_id")
         .orderBy("asset_id")),
 
