@@ -246,15 +246,18 @@ object Bench {
         // the REPS=4 solo cert. Match the cert's rep discipline inside the
         // child (≥4 reps; extra reps cost the child wall clock only).
         val childReps =
-          // clusters_dist runs ~10 propagation rounds × 2 shuffle stages of
-          // driver-coordinated jobs — the longest-exposure row to the
-          // host's external load waves (its r12 driver-record read 2.1×
-          // its three quiet certs WITH the fork + 4-rep override already
-          // on, ctx load 3.08). Median of 5 steadies rides out a wave that
-          // spans part of the child; nothing in-process can ride out one
-          // that spans all of it (the record's ctx then says so).
-          if (name == "q_neardup_clusters_dist") Some(math.max(6, reps))
-          else if (isConstructionHeavy(name)) Some(math.max(4, reps)) else None
+          // max(6, reps), measured not guessed: a fresh child's
+          // construction work (scratch index build/append jobs, pair-set
+          // collect, propagation rounds) is still descending at rep 4 —
+          // q_ann_ivf_append's solo rep curve reads 3.39 / 2.64 / 2.67 /
+          // 2.51 / 2.37 for reps 2–6, so a 4-rep median prices rep-2
+          // warmup into the "steady" number (it read 3.37 in the first
+          // r13 cert vs 2.25 in-session r12). Median of 5 steadies also
+          // rides out a host load wave that spans part of the child —
+          // clusters_dist's r12 driver record ate a whole one at 12.57 s
+          // vs 5.4–6.4 s quiet-cert; nothing in-process can ride out a
+          // wave that spans ALL reps (ctx then says so).
+          if (isConstructionHeavy(name)) Some(math.max(6, reps)) else None
         runForked(Seq(name), childReps) match {
           case Some(rows) =>
             childReps.foreach(r => overrideApplied += name -> r)

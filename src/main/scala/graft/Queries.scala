@@ -123,9 +123,19 @@ object Queries {
   }
 
   private val MediaCertBudget = 5000L
+  // one count JOB per corpus per JVM, not per row-build per rep: the
+  // metadata-only count still costs ~0.2–0.3 s of job overhead, and the
+  // first r13 cert showed every gated row paying it in every rep. Keyed
+  // on the canonical dataset dir — bench/verify corpora are immutable
+  // for a JVM's lifetime (regenerating one mid-JVM is not a supported
+  // measurement posture).
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def mediaCertDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val k = (docs.count() + MediaCertBudget - 1) / MediaCertBudget
+    val n = docCountCache.computeIfAbsent(
+      new java.io.File(d).getCanonicalPath, _ => docs.count()).longValue
+    val k = (n + MediaCertBudget - 1) / MediaCertBudget
     if (k <= 1L) docs else docs.filter(pmod(col("doc_id"), lit(k)) === 0)
   }
 
