@@ -54,6 +54,14 @@ import org.apache.spark.sql.SparkSession
   * excluded from per-query timings like the parent's own warmup). On any
   * fork failure the parent falls back to the in-session GC-fence path and
   * says so on stderr. `SPARK_GRAFT_FORK_BINARY=0` disables.
+  *
+  * Round-14 order #1 closes the fork protocol's remaining truthfulness
+  * gap: `q_detect_quality` joins the construction-heavy fork family
+  * (driver-side LSTM scoring), every forked row's record carries its
+  * child's own start/end load (`ctx.child_ctx`), and a child that
+  * STARTED hot (load > `ctx.child_retry_load`, default 3.0) is re-run
+  * once with the lower steady kept and both attempts recorded — the
+  * retry rule BASELINE.md documents.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -123,7 +131,13 @@ object Bench {
       // heap/JIT placement exactly like the union-find trio, reading
       // 1.3–1.4× their quiet-cert steadies in the r12 driver record —
       // round-13 order #4 extends the fork to them
-      name == "q_ann_ivf_append" || name == "q_mm_index_append"
+      name == "q_ann_ivf_append" || name == "q_mm_index_append" ||
+      // driver-side LSTM window scoring: the model forward pass runs in
+      // the query BUILDER (collected windows scored on the driver, same
+      // profile as the union-find trio) — the r13 driver record read it
+      // at 3.3× its quiet cert UNFORKED while every executor-compute row
+      // around it was steady (round-14 order #1a)
+      name == "q_detect_quality"
     def isForked(name: String): Boolean =
       isBinaryFamily(name) || isConstructionHeavy(name)
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -175,8 +189,15 @@ object Bench {
     // filter): a new heap + storage pool makes the family's session
     // numbers equal its solo numbers by construction — the in-session GC
     // fence only moved the old-gen inflation between rows (scaladoc).
+    // A forked child's own record carries its ctx (load at child start/
+    // end) — surface it per child in the parent record so a hot child is
+    // attributable WITHOUT a re-run (round-14 order #1b: the r12/r13
+    // driver records showed 2.6–3.3× phantoms on forked rows and only the
+    // session-wide parent load said why).
+    final case class ChildRun(rows: Seq[(String, Double, Double)],
+                              loadStart: Double, loadEnd: Double)
     def runForked(names: Seq[String], repsOverride: Option[Int] = None)
-        : Option[Seq[(String, Double, Double)]] =
+        : Option[ChildRun] =
       try {
         import scala.jdk.CollectionConverters._
         val javaBin = java.nio.file.Paths.get(
@@ -214,7 +235,10 @@ object Bench {
           root.get("failed").elements().asScala.foreach { f =>
             val n = f.asText; if (!failed.contains(n)) failed ::= n
           }
-          Some(rows)
+          val cctx = Option(root.get("ctx"))
+          def ld(f: String) = cctx.flatMap(c => Option(c.get(f)))
+            .fold(-1.0)(_.asDouble)
+          Some(ChildRun(rows, ld("load_avg_start"), ld("load_avg_end")))
         } else {
           System.err.println(
             s"[bench] forked record missing ${names.size - rows.size} rows (rc=$rc)")
@@ -237,6 +261,25 @@ object Bench {
     // record's reps_override must not advertise a discipline that row
     // didn't get.
     val overrideApplied = scala.collection.mutable.Map.empty[String, Int]
+    // Load-gated single retry (round-14 order #1c): a child whose OWN
+    // record says it started under host contention (load_avg_start above
+    // the gate) is re-run ONCE and the LOWER steady kept — a bounded,
+    // honest retry, not best-of-N shopping: it fires only on recorded
+    // evidence of contention, runs at most one extra child, and BOTH
+    // attempts' ctx stay in the record (`child_ctx`) so the kept number
+    // is auditable. Rationale: a host wave that spans a whole child
+    // inflates every rep, so no in-process rep discipline can ride it
+    // out — the r12/r13 driver records each carried 2.6–3.3× phantoms on
+    // exactly such children. Gate default 3.0 (the quiet-cert sessions
+    // read 1.4–2.3; the hot r13 session read 4.06 at end);
+    // SPARK_GRAFT_CHILD_RETRY_LOAD overrides, 0 disables.
+    val retryLoad = sys.env.getOrElse(
+      "SPARK_GRAFT_CHILD_RETRY_LOAD", "3.0").toDouble
+    val childCtx = scala.collection.mutable.Map.empty[String, String]
+    def d2j(x: Double) = String.format(java.util.Locale.ROOT, "%.2f",
+      java.lang.Double.valueOf(x))
+    def d3j(x: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      java.lang.Double.valueOf(x))
     val forked: Seq[(String, Double, Double)] =
       forkedReg.flatMap { case (name, fn) =>
         // Construction-heavy rows do JIT-heavy DRIVER work (pair-set
@@ -259,9 +302,22 @@ object Bench {
           // wave that spans ALL reps (ctx then says so).
           if (isConstructionHeavy(name)) Some(math.max(6, reps)) else None
         runForked(Seq(name), childReps) match {
-          case Some(rows) =>
+          case Some(run1) =>
+            val attempts =
+              if (retryLoad > 0 && run1.loadStart > retryLoad) {
+                System.err.println(s"[bench] $name child started hot " +
+                  s"(load ${run1.loadStart} > $retryLoad); single retry")
+                runForked(Seq(name), childReps)
+                  .fold(Seq(run1))(run2 => Seq(run1, run2))
+              } else Seq(run1)
+            val kept = attempts.minBy(_.rows.head._3)
+            childCtx += name -> attempts.map(a =>
+              s"""{"load_start":${d2j(a.loadStart)},"load_end":${d2j(
+                a.loadEnd)},"steady":${d3j(a.rows.head._3)}}""")
+              .mkString(s"""{"attempts":[""",
+                ",", s"""],"kept":${attempts.indexOf(kept) + 1}}""")
             childReps.foreach(r => overrideApplied += name -> r)
-            rows
+            kept.rows
           case None =>
             System.err.println(
               s"[bench] fork of $name failed; falling back to in-session GC-fence path")
@@ -320,7 +376,12 @@ object Bench {
       // back to the in-session path at plain `reps`).
       val overrides = overrideApplied.toSeq
         .sortBy(_._1).map { case (n, r) => s""""$n":$r""" }.mkString(",")
-      s"""{"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps,"reps_override":{$overrides}}"""
+      // child_ctx: per-forked-row load at the CHILD's start/end plus each
+      // attempt's steady and which attempt was kept — the reader can tell
+      // a host wave from a plan regression row-by-row (order #1b/#1c).
+      val children = childCtx.toSeq
+        .sortBy(_._1).map { case (n, j) => s""""$n":$j""" }.mkString(",")
+      s"""{"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps,"reps_override":{$overrides},"child_retry_load":${d2(retryLoad)},"child_ctx":{$children}}"""
     }
     val json =
       s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","queries":$qsSteady,"value_first":$totalFirst,"queries_first":$qsFirst,"oracle_total":$totalSteady,"production_total":$productionTotal,"queries_bench_only":$qsTwins,"failed":$fs,"sf":"$sfDir","ctx":$ctx}"""

@@ -73,21 +73,6 @@ object Queries {
     graft.multimodal.MediaIndex.cachedFor(s, d)(
       graft.multimodal.Multimodal.mediaAssets(Tables.documents(s, d), "doc_id"))
 
-  /** SF-gated deterministic doc sample for the per-asset CODEC-
-    * CERTIFICATION rows (q_mm_jpeg / q_mm_adpcm / q_mm_probe): at
-    * ≤ [[MediaCertBudget]] docs (every driver corpus — oracle sf0.01 =
-    * 500 docs, cert base sf0.1 = 5000) K = 1 and the rows certify the
-    * FULL corpus, so the static DuckDB oracles replay unchanged; above it
-    * (builder scale corpora — ld1 51k, sf10 510k) they certify the
-    * deterministic `doc_id % K == 0` slice sized back to the budget.
-    * Per-asset codec certification is population-independent — each
-    * asset's encode→decode round-trip is checked in isolation, so a
-    * fixed-budget deterministic sample asserts the same per-asset law at
-    * 1/K the decode wall (round-13 order #5: these three rows were
-    * 106.9 s of the 112.7 s sf10 media family, re-certifying 510k assets
-    * one by one per bench rep). The sampled FORMULA itself stays
-    * oracle-certified at EVERY sf by the static-K `q_mm_*_sampled` rows
-    * below. The count is parquet metadata-only (no filter, no data scan). */
   /** Checkpoint strategy for [[graft.dedup.Dedup.duplicatedSpans]]'s
     * anchored-shingle self-join, gated on SOURCE size: under the
     * threshold, localCheckpoint (zero format cost — the sf0.1 cert row's
@@ -96,7 +81,7 @@ object Queries {
     * blocks are UNCOMPRESSED, which is what ran the 1000× rung out of
     * disk (SCALE.md r12). 64 MB of documents.parquet ≈ half a billion
     * shingle rows downstream — far past where compression wins. */
-  private def shingleCheckpoint(s: SparkSession, d: String)
+  private[graft] def shingleCheckpoint(s: SparkSession, d: String)
       : DataFrame => DataFrame = {
     val src = new java.io.File(d, "documents.parquet")
     val bytes: Long =
@@ -131,11 +116,52 @@ object Queries {
   // measurement posture).
   private val docCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Sample modulus for [[mediaCertDocs]]: the budget ceiling, bumped past
+    * any multiple of 3 — the corpus generator assigns modality as
+    * `doc_id % 3`, so a K ≡ 0 (mod 3) slice contains exactly ONE modality
+    * (round-14 ADVICE, high: at sf10 n=510k gave K=102, every sampled doc
+    * an image — q_mm_adpcm certified ZERO audio assets and q_mm_probe
+    * never touched the WAV/Y4M parsers at builder scale). With
+    * gcd(K, 3) = 1 the multiples of K cycle through every residue mod 3,
+    * so each modality keeps ≈ budget/3 coverage at ANY corpus size. */
+  private[graft] def mediaCertK(n: Long): Long = {
+    var k = (n + MediaCertBudget - 1) / MediaCertBudget
+    while (k % 3 == 0) k += 1
+    k
+  }
+
+  /** SF-gated deterministic doc sample for the per-asset CODEC-
+    * CERTIFICATION rows (q_mm_jpeg / q_mm_adpcm / q_mm_probe): at
+    * ≤ [[MediaCertBudget]] docs (every driver corpus — oracle sf0.01 =
+    * 500 docs, cert base sf0.1 = 5000) K = 1 and the rows certify the
+    * FULL corpus, so the static DuckDB oracles replay unchanged; above it
+    * (builder scale corpora — ld1 51k, sf10 510k) they certify the
+    * deterministic `doc_id % K == 0` slice sized back to the budget, with
+    * K kept coprime to the 3-way modality cycle ([[mediaCertK]]) so every
+    * codec keeps nonzero coverage. Per-asset codec certification is
+    * population-independent — each asset's encode→decode round-trip is
+    * checked in isolation, so a fixed-budget deterministic sample asserts
+    * the same per-asset law at 1/K the decode wall (round-13 order #5:
+    * these three rows were 106.9 s of the 112.7 s sf10 media family,
+    * re-certifying 510k assets one by one per bench rep). The sampled
+    * FORMULA itself stays oracle-certified at EVERY sf by the static-K
+    * `q_mm_*_sampled` rows below. The count is parquet metadata-only (no
+    * filter, no data scan). */
   private def mediaCertDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val n = docCountCache.computeIfAbsent(
       new java.io.File(d).getCanonicalPath, _ => docs.count()).longValue
-    val k = (n + MediaCertBudget - 1) / MediaCertBudget
+    val k = mediaCertK(n)
+    // Pure-arithmetic coverage guard (no extra job): doc_ids come in
+    // dense runs (0..base-1 per scale copy, shifted by copy·10⁷ —
+    // MakeScale) far longer than 3k, and modality = doc_id % 3; with
+    // gcd(k,3)=1 any dense run holding ≥ 3 multiples of k covers all
+    // three residues — every modality certified non-vacuously. Fires
+    // only if the formula regresses (k divisible by 3) or the budget
+    // outgrows the corpus.
+    require(k <= 1L || (k % 3 != 0 && n >= 3 * k),
+      s"media-cert sample would drop a modality: n=$n k=$k")
     if (k <= 1L) docs else docs.filter(pmod(col("doc_id"), lit(k)) === 0)
   }
 

@@ -246,6 +246,13 @@ object Dedup {
                       k: Int = 3, maxDf: Int = 5, minSpan: Int = 5,
                       checkpoint: DataFrame => DataFrame =
                         _.localCheckpoint(true)): DataFrame = {
+    val anchored = checkpoint(anchoredShingles(docs, idCol, textCol, k, maxDf))
+    spanAssembly(spanPairRows(anchored), k, minSpan)
+  }
+
+  /** Stages 1+2 of [[duplicatedSpans]]: positional shingles, rare-anchored. */
+  private def anchoredShingles(docs: DataFrame, idCol: String,
+                               textCol: String, k: Int, maxDf: Int): DataFrame = {
     val sh = docs
       .select(col(idCol).as("_id"), normTokens(col(textCol)).as("_tk"))
       .select(col("_id"),
@@ -254,14 +261,24 @@ object Dedup {
     val rare = sh.groupBy("shingle")
       .agg(countDistinct(col("_id")).as("_df"))
       .filter(col("_df") <= maxDf).select("shingle")
-    val anchored = checkpoint(sh.join(rare, Seq("shingle")))
-    val pairs = anchored
+    sh.join(rare, Seq("shingle"))
+  }
+
+  /** Stage 3 of [[duplicatedSpans]]: the anchored-shingle self-join —
+    * (id1, pos1, id2, pos2, _diag) match rows, one per shared shingle
+    * occurrence pair. */
+  private def spanPairRows(anchored: DataFrame): DataFrame =
+    anchored
       .select(col("shingle"), col("_id").as("id1"), col("pos").as("pos1"))
       .join(anchored.select(col("shingle"), col("_id").as("id2"), col("pos").as("pos2")),
         Seq("shingle"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("pos1"), col("id2"), col("pos2"),
         (col("pos1") - col("pos2")).as("_diag"))
+
+  /** Stage 4 of [[duplicatedSpans]]: gaps-and-islands span assembly over
+    * the pair-match rows. */
+  private def spanAssembly(pairs: DataFrame, k: Int, minSpan: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id1", "id2", "_diag").orderBy("pos1")
     pairs
@@ -272,6 +289,41 @@ object Dedup {
       .groupBy("id1", "id2")
       .agg(max("span_tokens").as("max_span_tokens"),
         count(lit(1)).as("n_spans"))
+  }
+
+  /** [[duplicatedSpans]] with the self-join CHUNKED over
+    * `pmod(xxhash64(shingle), chunks)` ranges, each chunk's pair-match
+    * rows materialized through `chunkSink` before the next chunk starts
+    * (round-14 order #5): the join is an equi-join on the shingle key, so
+    * hash-slicing the key space partitions the pair set EXACTLY — every
+    * match row comes from one shingle, hence one chunk; the union is the
+    * full pair set, bit-identical input to the same span assembly.
+    * (Span GROUPS do cross chunks — consecutive positions have different
+    * shingles — which is why chunking stops at the pair rows and
+    * assembly runs over the union.)
+    *
+    * What this buys: the full self-join's shuffle spill for a
+    * corpus-token-sized shingle table lands on scratch ALL AT ONCE — the
+    * single-node 1000× rung measured 14.8× wall for 10× data mostly in
+    * that spill race. Driver-sequential chunks cap peak join scratch at
+    * ~1/chunks (each chunk's sort/shuffle blocks are freed before the
+    * next starts), trading one extra scan of the checkpointed anchored
+    * table per chunk. Same cap applies per node on a cluster. Worth it
+    * only when the join spills; below spill scale the extra scans are
+    * pure overhead — measured either way in SCALE.md (ScaleProbe first,
+    * promote on ≥1.5× at sf100 with sf0.1 in-noise). */
+  def duplicatedSpansChunked(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int = 3, maxDf: Int = 5, minSpan: Int = 5,
+                             chunks: Int,
+                             checkpoint: DataFrame => DataFrame,
+                             chunkSink: (DataFrame, Int) => DataFrame): DataFrame = {
+    require(chunks >= 1, s"chunks=$chunks")
+    val anchored = checkpoint(anchoredShingles(docs, idCol, textCol, k, maxDf))
+    val slices = (0 until chunks).map { c =>
+      chunkSink(spanPairRows(
+        anchored.filter(pmod(xxhash64(col("shingle")), lit(chunks)) === c)), c)
+    }
+    spanAssembly(slices.reduce(_.union(_)), k, minSpan)
   }
 
   /** Exact n-gram Jaccard for (id1, id2) candidate pairs — joins the shingle

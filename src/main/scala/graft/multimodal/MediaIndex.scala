@@ -157,16 +157,32 @@ object MediaIndex {
   /** The cache root: a USER-OWNED directory, not the world-shared
     * `java.io.tmpdir` (round 13) — a predictable /tmp path trusted on a
     * marker file alone let any local user pre-plant a poisoned index that
-    * Verify/Bench would then serve. Default `~/.cache/graft_media_index`
-    * (created 0700 via the JVM's owner-only default on fresh dirs);
-    * `GRAFT_MEDIA_CACHE` overrides for tests and for pointing scale runs
-    * at a bigger disk. Clearing it is the documented cold-run step
-    * (BASELINE.md protocol note). */
-  private def cacheRoot(): java.io.File =
-    sys.env.get("GRAFT_MEDIA_CACHE").map(new java.io.File(_)).getOrElse(
-      new java.io.File(
+    * Verify/Bench would then serve. Default `~/.cache/graft_media_index`,
+    * created 0700 EXPLICITLY — `File.mkdirs()` honors the process umask
+    * (typically 0755), so "the JVM default" the round-13 comment leaned
+    * on does not exist (round-14 ADVICE, low); under a permissive umask
+    * that would have re-opened the poisoning door the move out of /tmp
+    * closed. `GRAFT_MEDIA_CACHE` overrides for tests and for pointing
+    * scale runs at a bigger disk. Clearing it is the documented cold-run
+    * step (BASELINE.md protocol note). */
+  private def cacheRoot(): java.io.File = {
+    val dir = sys.env.get("GRAFT_MEDIA_CACHE").map(new java.io.File(_))
+      .getOrElse(new java.io.File(
         new java.io.File(sys.props("user.home"), ".cache"),
         "graft_media_index"))
+    try {
+      java.nio.file.Files.createDirectories(dir.toPath)
+      // set AFTER creation, not via createDirectories attrs: attrs apply
+      // only to dirs created by THIS call and are still umask-filtered on
+      // some filesystems — setPosixFilePermissions is unconditional
+      java.nio.file.Files.setPosixFilePermissions(dir.toPath,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+    } catch {
+      case _: UnsupportedOperationException => () // non-POSIX fs: best effort
+      case _: java.io.IOException => () // created by a racer / read-only parent
+    }
+    dir
+  }
 
   /** Build-if-absent: the persisted index for `mkAssets` over `sourceDir`,
     * cached under [[cacheRoot]] keyed by [[sourceKey]]. The FIRST

@@ -43,14 +43,29 @@ object StreamProbe {
       else Set.empty
     val files = if (args.length > 2) args(2).toInt else 200
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Round-14 order #2 knobs — the streaming state-commit floor is
+    // per-STATE-PARTITION per micro-batch (each partition opens, updates
+    // and commits its store every batch, data or not), so the floor
+    // scales with shuffle partitions, not rows. The probe family's
+    // active-key counts are 100–85k: 32 state partitions is provisioning
+    // for a 32-core BATCH shuffle, not for per-batch commit cost.
+    //  - SPARK_GRAFT_STREAM_PARTS: shuffle/state partitions for the
+    //    probe session (fresh checkpoints per rep, so the setting binds);
+    //  - SPARK_GRAFT_STATE_PROVIDER=rocksdb: the RocksDB state store
+    //    (changelog-free local instances) vs the default HDFS-backed one.
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", cpus)
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "hdfs")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", streamParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (provider == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
@@ -171,40 +186,77 @@ object StreamProbe {
     final case class Run(wall: Double, rows: Long, batches: Int,
                          latAvgMs: Double, latP95Ms: Double,
                          stateMid: Long, stateEnd: Long)
+    // Progress accounting rides a StreamingQueryListener, NOT
+    // `q.recentProgress`: that is a ring buffer capped by
+    // spark.sql.streaming.numRecentProgressUpdates, and the manual-stop
+    // ops emit an unbounded tail of timeout-only EMPTY batches that can
+    // evict the data batches — `consumed` then never reaches `expected`
+    // and the probe spins to its deadline (round-14 ADVICE, medium). The
+    // listener sees every progress event exactly once; data batches
+    // (numInputRows > 0) are kept for the rows/latency/state series.
+    final class ProgressTap extends org.apache.spark.sql.streaming
+        .StreamingQueryListener {
+      val dataBatches = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Double, Long)]() // (rows, batchDurationMs, stateRowsMax)
+      @volatile var consumed = 0L
+      override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) {
+          consumed += p.numInputRows
+          dataBatches.add((p.numInputRows, p.batchDuration.toDouble,
+            p.stateOperators.map(_.numRowsTotal).foldLeft(0L)(math.max)))
+        }
+      }
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
     def runOnce(name: String, build: () => DataFrame): Run = {
       val ckpt = graft.Queries.scratchDir(s"streamprobe-$name-")
-      // recentProgress keeps only the last ~100 entries by default — a
-      // 100-batch run needs them all for the latency/state series
-      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "512")
+      val tap = new ProgressTap
+      spark.streams.addListener(tap)
       val t0 = System.nanoTime()
       val q = build().writeStream
         .format("noop")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      if (manualStop(name)) {
-        val expected = expectedRows(sourceOf(name))
-        val deadline = System.nanoTime() + 30L * 60 * 1000000000L
-        def consumed: Long = q.recentProgress.map(_.numInputRows).sum
-        while (q.isActive && consumed < expected && System.nanoTime() < deadline)
+      try {
+        if (manualStop(name)) {
+          val expected = expectedRows(sourceOf(name))
+          val deadline = System.nanoTime() + 30L * 60 * 1000000000L
+          while (q.isActive && tap.consumed < expected &&
+              System.nanoTime() < deadline)
+            Thread.sleep(100)
+          require(tap.consumed >= expected,
+            s"$name: only ${tap.consumed}/$expected rows consumed before deadline")
+        } else q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (manualStop(name)) q.stop()
+        // listener events post asynchronously — drain until the series is
+        // stable so the LAST data batch is in it before we summarize
+        var last = -1
+        var stable = 0
+        while (stable < 5) { // 5 × 100 ms of no growth
+          val n = tap.dataBatches.size
+          if (n == last) stable += 1 else { stable = 0; last = n }
           Thread.sleep(100)
-        require(consumed >= expected,
-          s"$name: only $consumed/$expected rows consumed before deadline")
-      } else q.awaitTermination()
-      val wall = (System.nanoTime() - t0) / 1e9
-      if (manualStop(name)) q.stop()
-      val progress = q.recentProgress.filter(_.numInputRows > 0)
-      val rows = progress.map(_.numInputRows).sum
-      val lats = progress.map(_.batchDuration.toDouble).sorted
-      val latAvg = if (lats.isEmpty) 0.0 else lats.sum / lats.length
-      val latP95 =
-        if (lats.isEmpty) 0.0
-        else lats(math.min(lats.length - 1, (lats.length * 95) / 100))
-      val states = progress.map(p =>
-        p.stateOperators.map(_.numRowsTotal).foldLeft(0L)(math.max))
-      val stateMid = if (states.isEmpty) 0L else states(states.length / 2)
-      val stateEnd = if (states.isEmpty) 0L else states.last
-      Run(wall, rows, progress.length, latAvg, latP95, stateMid, stateEnd)
+        }
+        import scala.jdk.CollectionConverters._
+        val progress = tap.dataBatches.asScala.toVector
+        val rows = progress.map(_._1).sum
+        val lats = progress.map(_._2).sorted
+        val latAvg = if (lats.isEmpty) 0.0 else lats.sum / lats.length
+        val latP95 =
+          if (lats.isEmpty) 0.0
+          else lats(math.min(lats.length - 1, (lats.length * 95) / 100))
+        val states = progress.map(_._3)
+        val stateMid = if (states.isEmpty) 0L else states(states.length / 2)
+        val stateEnd = if (states.isEmpty) 0L else states.last
+        Run(wall, rows, progress.length, latAvg, latP95, stateMid, stateEnd)
+      } finally spark.streams.removeListener(tap)
     }
 
     val results = ops
@@ -219,7 +271,7 @@ object StreamProbe {
         println(line)
         line
       }
-    println(s"""{"probe":"streaming","sf":"$sfDir","ops":[${results.mkString(",")}]}""")
+    println(s"""{"probe":"streaming","sf":"$sfDir","files":$files,"state_parts":$streamParts,"provider":"$provider","ops":[${results.mkString(",")}]}""")
     spark.stop()
   }
 }

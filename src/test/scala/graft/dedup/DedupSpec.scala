@@ -166,6 +166,30 @@ class DedupSpec extends SparkSpec {
     assert((r.getLong(2), r.getLong(3)) == ((7L, 2L)), r.toString)
   }
 
+  test("duplicatedSpansChunked: pair set partitions exactly — result equals the one-join form at any chunk count") {
+    val quote = "the quick brown fox jumps over the lazy sleeping dog"
+    val a = "first shared span of six tokens"
+    val d = Seq(
+      (1L, s"alpha beta $quote gamma delta $a"),
+      (2L, s"unrelated prefix words here $quote and a suffix"),
+      (3L, s"$a trailing filler about other things entirely"),
+      (4L, "totally different content about nothing")).toDF("doc_id", "text")
+    val base = Dedup.duplicatedSpans(d, "doc_id", "text", k = 3, maxDf = 5,
+        minSpan = 5)
+      .orderBy("id1", "id2").collect().map(_.toSeq).toSeq
+    for (c <- Seq(1, 3, 7)) {
+      // chunkSink: the test materializes via localCheckpoint (the probe/
+      // scale path writes parquet) — the parity under test is the hash
+      // partitioning of the pair set, not the sink format
+      val chunked = Dedup.duplicatedSpansChunked(d, "doc_id", "text", k = 3,
+          maxDf = 5, minSpan = 5, chunks = c,
+          checkpoint = _.localCheckpoint(true),
+          chunkSink = (df, _) => df.localCheckpoint(true))
+        .orderBy("id1", "id2").collect().map(_.toSeq).toSeq
+      assert(chunked == base, s"chunks=$c: $chunked vs $base")
+    }
+  }
+
   test("simhash: identical texts equal, near texts close in Hamming distance") {
     val s = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)

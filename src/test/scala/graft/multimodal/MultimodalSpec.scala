@@ -457,4 +457,40 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(1) == ((r.getLong(0) * 7919) % 4001) - 2000)
     }
   }
+
+  test("mediaCertK: never a multiple of 3, slice stays budget-sized, all modalities covered") {
+    // modality is doc_id % 3 in the corpus generator; a K ≡ 0 (mod 3)
+    // slice holds ONE modality (r14 ADVICE: sf10's K=102 made q_mm_adpcm
+    // certify zero audio assets). Sweep corpus sizes incl. the real
+    // builder-scale ones (ld1 51k, sf10 510k, sf100 5.1M).
+    val sizes = Seq(1L, 4999L, 5000L, 5001L, 15000L, 51000L, 510000L,
+      5100000L, 509999L, 510001L) ++ (1L to 300L).map(_ * 4999L)
+    for (n <- sizes) {
+      val k = graft.Queries.mediaCertK(n)
+      assert(k % 3 != 0, s"n=$n k=$k divisible by 3")
+      assert(k >= (n + 4999) / 5000, s"n=$n k=$k under the budget ceil")
+      // bump is ≤ +2 (ceil, ceil+1, ceil+2 cannot all be multiples of 3)
+      assert(k <= (n + 4999) / 5000 + 2, s"n=$n k=$k over-bumped")
+      if (n >= 3 * k) {
+        // multiples of k in a dense id run cycle all residues mod 3
+        val residues = (0L until n by k).map(_ % 3).toSet
+        assert(residues == Set(0L, 1L, 2L), s"n=$n k=$k covers $residues")
+      }
+    }
+    // end-to-end on a synthetic gated-size corpus: the sampled slice
+    // feeds every modality to the cert rows (non-vacuous by count)
+    val docs = spark.range(0, 15000)
+      .selectExpr("id AS doc_id", "'s' AS source", "'t' AS text")
+    val k = graft.Queries.mediaCertK(15000L)
+    val byMod = docs
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(k)) === 0)
+      .groupBy(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(3)).as("m"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byMod.keySet == Set(0L, 1L, 2L), byMod.toString)
+    assert(byMod.values.forall(_ > 0), byMod.toString)
+  }
 }
