@@ -24,19 +24,38 @@ import org.apache.spark.sql.functions._
 object Fill {
 
   /** Forward-fill by time order, then backward-fill what remains (leading
-    * nulls) — `preprocess_data.py:46-47`. */
+    * nulls) — `preprocess_data.py:46-47`.
+    *
+    * The bfill leg is a RUNNING frame over DESCENDING order —
+    * `last(ignoreNulls) OVER (ORDER BY o DESC ROWS UNBOUNDED PRECEDING..
+    * CURRENT)` — not the textbook `first_value OVER (CURRENT..UNBOUNDED
+    * FOLLOWING)`: Spark executes a growing frame incrementally (one
+    * aggregate update per row, O(n) per partition) but re-aggregates an
+    * UnboundedFollowing frame FROM SCRATCH for every row — O(n²). At the
+    * reference's ~8k rows both are instant; at a 10× corpus's ~389k
+    * minutes per series the shrinking frame measured 30+ min PER SERIES
+    * TASK in the flagship while the descending running frame is
+    * sub-second (round 14; the registry bench rows never caught it
+    * because `.count()` lets Catalyst prune an unreferenced window —
+    * the END-TO-END pipeline, which feeds the fill into mapPartitions
+    * scoring, paid the real cost). The two forms are row-identical:
+    * scanning the frame [max..current] in descending order, the LAST
+    * non-null is the one closest to the current row from above — the
+    * first non-null at-or-after it in ascending order. Cost: one extra
+    * in-partition sort (desc) instead of a quadratic frame. */
   def ffillBfill(df: DataFrame, orderCol: String, cols: Seq[String],
                  partitionCols: Seq[String] = Nil): DataFrame = {
-    val base =
-      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
-      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
-    val back = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val fwd = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def w(order: org.apache.spark.sql.Column) =
+      (if (partitionCols.isEmpty) Window.orderBy(order)
+       else Window.partitionBy(partitionCols.map(col): _*).orderBy(order))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w(col(orderCol))
+    val back = w(col(orderCol).desc)
     cols.foldLeft(df) { (d, c) =>
       d.withColumn(c,
         coalesce(
           last(col(c), ignoreNulls = true).over(fwd),
-          first(col(c), ignoreNulls = true).over(back)))
+          last(col(c), ignoreNulls = true).over(back)))
     }
   }
 
@@ -92,8 +111,11 @@ object Fill {
       byPid.get(p).map(r => r.get(r.fieldIndex(name))).orNull
     val wF = Window.partitionBy("_pid").orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wB = Window.partitionBy("_pid").orderBy(col(orderCol))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // descending running frame, NOT current..unboundedFollowing: the
+    // shrinking frame re-aggregates per row (O(n²) per bucket) — see
+    // ffillBfill's scaladoc; identical results, one extra local sort
+    val wB = Window.partitionBy("_pid").orderBy(col(orderCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cols.foldLeft(sorted) { (d, c) =>
       val dt = df.schema(c).dataType
       // driver scans: carryIn(p) = last non-null before bucket p;
@@ -118,7 +140,7 @@ object Fill {
         element_at(array(a.map(v => lit(v).cast(dt)).toSeq: _*), col("_pid") + 1)
       d.withColumn(c, coalesce(
         last(col(c), ignoreNulls = true).over(wF), atPid(carryIn),
-        first(col(c), ignoreNulls = true).over(wB), atPid(backCarry)))
+        last(col(c), ignoreNulls = true).over(wB), atPid(backCarry)))
     }.drop("_pid")
   }
 

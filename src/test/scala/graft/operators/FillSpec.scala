@@ -79,4 +79,20 @@ class FillSpec extends SparkSpec {
   test("fillWithAgg guards empty column list") {
     assert(Fill.fillMean(df, Nil).count() == 4)
   }
+
+  test("no UnboundedFollowing frame in any fill plan (quadratic at scale)") {
+    // Spark re-aggregates a shrinking (current..unboundedFollowing) frame
+    // from scratch per row — O(n²) per partition; at 389k minutes/series
+    // the flagship's bfill measured 30+ min per task before the
+    // descending-running-frame rewrite (round 14). Results are pinned
+    // equal by the tests above; this pins the PLAN so the frame can't
+    // silently come back.
+    val filled = Fill.ffillBfill(df, "ts", Seq("x"))
+    val filledP = Fill.ffillBfill(df, "ts", Seq("x"), partitionCols = Seq("ts"))
+    val bucketed = Fill.ffillBfillBucketed(df, "ts", Seq("x"))
+    for (d <- Seq(filled, filledP, bucketed)) {
+      val plan = d.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!plan.contains("unboundedfollowing"), plan.take(400))
+    }
+  }
 }
