@@ -29,9 +29,20 @@ object Pipeline {
   val SeqLen = 20 // config.yaml:97
 
   /** Score a windows DataFrame (window_id, window: array<struct>) with
-    * broadcast LSTM weights — M3 batch inference. */
+    * broadcast LSTM weights — M3 batch inference.
+    *
+    * The feed is REPARTITIONED to the session's default parallelism
+    * before the per-row forward pass: the windows arrive from a
+    * shuffle whose BYTES are small (≈1 KB/row), so AQE coalesces it to
+    * a handful of partitions — correct for byte-bound stages, serial
+    * for this CPU-bound one (measured round 14: the ld1 flagship
+    * scored 389k windows on ONE core while 31 idled; an explicit
+    * numPartitions repartition is exempt from AQE coalescing by
+    * design). Cost: one shuffle of the window arrays — milliseconds at
+    * oracle SFs, repaid ~30× over in the scoring stage at scale. */
   def scoreWindows(spark: SparkSession, windows: DataFrame,
                    featureCols: Seq[String], params: Lstm.AeParams): DataFrame = {
+    val scoreParts = spark.sparkContext.defaultParallelism
     val bc = spark.sparkContext.broadcast(params)
     val outSchema = StructType(Seq(
       StructField("window_id", LongType),
@@ -39,7 +50,7 @@ object Pipeline {
     val widIdx = windows.schema.fieldIndex("window_id")
     val winIdx = windows.schema.fieldIndex("window")
     val nf = featureCols.size
-    windows.mapPartitions { it =>
+    windows.repartition(scoreParts, col("window_id")).mapPartitions { it =>
       val p = bc.value
       it.map { r =>
         val rows = r.getSeq[Row](winIdx)
