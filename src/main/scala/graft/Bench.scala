@@ -270,11 +270,21 @@ object Bench {
     // is auditable. Rationale: a host wave that spans a whole child
     // inflates every rep, so no in-process rep discipline can ride it
     // out — the r12/r13 driver records each carried 2.6–3.3× phantoms on
-    // exactly such children. Gate default 3.0 (the quiet-cert sessions
-    // read 1.4–2.3; the hot r13 session read 4.06 at end);
+    // exactly such children.
+    //
+    // Gate default = procs/2, CALIBRATED, not guessed: the naive "3.0"
+    // fired for 22/22 children on an otherwise-idle machine — each child
+    // runs local[procs], so the 1-min load the NEXT child starts under
+    // is the bench's own decaying self-load (measured 4–14 on 32 cores
+    // at ld1, median attempt spread 7.7% — the retries re-measured the
+    // same quiet number and "keep lower" became a small systematic
+    // bias). procs/2 sits above the measured self-load ceiling with
+    // margin while a genuinely contended host (a second machine-wide
+    // job: self ≤14 + external ≥16) still clears it.
     // SPARK_GRAFT_CHILD_RETRY_LOAD overrides, 0 disables.
-    val retryLoad = sys.env.getOrElse(
-      "SPARK_GRAFT_CHILD_RETRY_LOAD", "3.0").toDouble
+    val retryLoad = sys.env.get("SPARK_GRAFT_CHILD_RETRY_LOAD")
+      .map(_.toDouble)
+      .getOrElse(Runtime.getRuntime.availableProcessors / 2.0)
     val childCtx = scala.collection.mutable.Map.empty[String, String]
     def d2j(x: Double) = String.format(java.util.Locale.ROOT, "%.2f",
       java.lang.Double.valueOf(x))
