@@ -58,10 +58,39 @@ import org.apache.spark.sql.SparkSession
   * Round-14 order #1 closes the fork protocol's remaining truthfulness
   * gap: `q_detect_quality` joins the construction-heavy fork family
   * (driver-side LSTM scoring), every forked row's record carries its
-  * child's own start/end load (`ctx.child_ctx`), and a child that
-  * STARTED hot (load > `ctx.child_retry_load`, default 3.0) is re-run
-  * once with the lower steady kept and both attempts recorded — the
-  * retry rule BASELINE.md documents.
+  * child's own start/end load (`ctx.child_ctx`), and a child that ran
+  * hot (max(load_start, load_end) > `ctx.child_retry_load`, default
+  * procs/2 — calibrated in commit 855cf23 against the bench's own
+  * decaying self-load) is re-run once with the lower steady kept and
+  * both attempts recorded — the retry rule BASELINE.md documents.
+  * Gating on the WHOLE child window, not just its start, is round-15
+  * order #2: the r14 `q_detect_quality` child started at load 2.06 and
+  * ENDED at 15.68 — a wave that arrives mid-child inflates every rep
+  * and a start-only gate structurally misses it.
+  *
+  * Sink modes (round-15 order #4): the historical protocol times
+  * `fn(...).count()`, which lets Catalyst prune projections no
+  * downstream consumer references — window-only fill/scaler columns
+  * are planned away and those rows are priced count-shaped (this is
+  * exactly how the O(n²) bfill frame hid for three rounds; see
+  * `tools/CountPlanProbe` and Fill.ffillBfill's scaladoc).
+  * `SPARK_GRAFT_SINK=noop` instead writes every row to Spark's noop
+  * sink — full materialization of every output column, no I/O — so a
+  * noop record beside a count record names the rows whose real
+  * materialized cost the count protocol under-prices. The count mode
+  * stays the default: every historical record is count-shaped and
+  * cross-round comparability outranks per-row completeness (the
+  * flagship, which FEEDS the fill into scoring, audits the
+  * materialized path every round). The record's `ctx.sink` says which
+  * mode produced it.
+  *
+  * IO context (round-15 order #1b): `ctx` additionally carries the
+  * machine-wide iowait share and disk sectors read over the bench
+  * window (`/proc/stat`, `/proc/diskstats` deltas), and each forked
+  * attempt in `child_ctx` carries its child's own values — the 1-min
+  * load average is blind to a bench that stalls on disk (the r14
+  * clusters_dist child read 3.3× its cert band at load 3.5: QUIET by
+  * load, unexplained until io is in the record).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -85,9 +114,16 @@ object Bench {
     } catch { case _: Throwable => () }
 
     var failed = List.empty[String]
+    // noop sink = full materialization of every output column (scaladoc);
+    // count stays the default so historical records remain comparable
+    val sinkMode = sys.env.getOrElse("SPARK_GRAFT_SINK", "count")
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try {
+        val df = fn(spark, sfDir)
+        if (sinkMode == "noop") df.write.format("noop").mode("overwrite").save()
+        else df.count()
+      }
       catch { case e: Throwable =>
         if (!failed.contains(name)) failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -106,6 +142,33 @@ object Bench {
     }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
+    // Machine-wide IO counters (Linux /proc; (-1,-1) elsewhere): the 1-min
+    // load average cannot see a bench stalled on disk — iowaiting tasks
+    // count as runnable-adjacent noise at best. iowait share of total cpu
+    // ticks + sectors read over the bench window make an IO-bound record
+    // attributable without a re-run (round-15 order #1b: the r14
+    // clusters_dist child was QUIET by load and 3.3× its cert band).
+    def ioSnapshot(): (Double, Double, Long) =
+      try {
+        val stat = scala.io.Source.fromFile("/proc/stat")
+        val cpu = try stat.getLines().next().trim.split("\\s+").drop(1)
+          .map(_.toDouble) finally stat.close()
+        val disks = scala.io.Source.fromFile("/proc/diskstats")
+        // whole-disk device names only (sd*/vd*/xvd* without a partition
+        // digit; nvme<N>n<M>): partitions would double-count their disk
+        val sectors = try disks.getLines().map(_.trim.split("\\s+"))
+          .filter(f => f.length > 5 &&
+            f(2).matches("(sd[a-z]+|vd[a-z]+|xvd[a-z]+|nvme\\d+n\\d+)"))
+          .map(_(5).toLong).sum finally disks.close()
+        (cpu.sum, cpu(4), sectors)
+      } catch { case _: Throwable => (-1.0, -1.0, -1L) }
+    val ioStart = ioSnapshot()
+    // delta between two snapshots → (iowait % of cpu ticks, MB read)
+    def ioDelta(a: (Double, Double, Long), b: (Double, Double, Long))
+        : (Double, Double) =
+      if (a._1 < 0 || b._1 < 0 || b._1 <= a._1) (-1.0, -1.0)
+      else (100.0 * (b._2 - a._2) / (b._1 - a._1),
+            (b._3 - a._3) * 512.0 / 1e6)
     // Binary-payload family: decoded media batches (tens of MB per task)
     // promote into the old gen during whatever ran before, and the sf1
     // session record showed q_vhash at 12.6x in-session vs 3.2x solo —
@@ -195,7 +258,8 @@ object Bench {
     // driver records showed 2.6–3.3× phantoms on forked rows and only the
     // session-wide parent load said why).
     final case class ChildRun(rows: Seq[(String, Double, Double)],
-                              loadStart: Double, loadEnd: Double)
+                              loadStart: Double, loadEnd: Double,
+                              iowaitPct: Double, diskReadMb: Double)
     def runForked(names: Seq[String], repsOverride: Option[Int] = None)
         : Option[ChildRun] =
       try {
@@ -238,7 +302,8 @@ object Bench {
           val cctx = Option(root.get("ctx"))
           def ld(f: String) = cctx.flatMap(c => Option(c.get(f)))
             .fold(-1.0)(_.asDouble)
-          Some(ChildRun(rows, ld("load_avg_start"), ld("load_avg_end")))
+          Some(ChildRun(rows, ld("load_avg_start"), ld("load_avg_end"),
+            ld("iowait_pct"), ld("disk_read_mb")))
         } else {
           System.err.println(
             s"[bench] forked record missing ${names.size - rows.size} rows (rc=$rc)")
@@ -313,17 +378,25 @@ object Bench {
           if (isConstructionHeavy(name)) Some(math.max(6, reps)) else None
         runForked(Seq(name), childReps) match {
           case Some(run1) =>
+            // gate on the WHOLE child window: a wave that arrives
+            // mid-child inflates every remaining rep, and load_start
+            // alone structurally misses it (r14 q_detect_quality:
+            // start 2.06, end 15.68, no retry fired) — round-15 order #2
             val attempts =
-              if (retryLoad > 0 && run1.loadStart > retryLoad) {
-                System.err.println(s"[bench] $name child started hot " +
-                  s"(load ${run1.loadStart} > $retryLoad); single retry")
+              if (retryLoad > 0 &&
+                  math.max(run1.loadStart, run1.loadEnd) > retryLoad) {
+                System.err.println(s"[bench] $name child ran hot " +
+                  s"(load ${run1.loadStart}->${run1.loadEnd} peak > " +
+                  s"$retryLoad); single retry")
                 runForked(Seq(name), childReps)
                   .fold(Seq(run1))(run2 => Seq(run1, run2))
               } else Seq(run1)
             val kept = attempts.minBy(_.rows.head._3)
             childCtx += name -> attempts.map(a =>
               s"""{"load_start":${d2j(a.loadStart)},"load_end":${d2j(
-                a.loadEnd)},"steady":${d3j(a.rows.head._3)}}""")
+                a.loadEnd)},"iowait_pct":${d2j(a.iowaitPct)},""" +
+              s""""disk_read_mb":${d2j(a.diskReadMb)},"steady":${d3j(
+                a.rows.head._3)}}""")
               .mkString(s"""{"attempts":[""",
                 ",", s"""],"kept":${attempts.indexOf(kept) + 1}}""")
             childReps.foreach(r => overrideApplied += name -> r)
@@ -391,7 +464,8 @@ object Bench {
       // a host wave from a plan regression row-by-row (order #1b/#1c).
       val children = childCtx.toSeq
         .sortBy(_._1).map { case (n, j) => s""""$n":$j""" }.mkString(",")
-      s"""{"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps,"reps_override":{$overrides},"child_retry_load":${d2(retryLoad)},"child_ctx":{$children}}"""
+      val (iowaitPct, diskReadMb) = ioDelta(ioStart, ioSnapshot())
+      s"""{"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"iowait_pct":${d2(iowaitPct)},"disk_read_mb":${d2(diskReadMb)},"sink":"$sinkMode","procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps,"reps_override":{$overrides},"child_retry_load":${d2(retryLoad)},"child_ctx":{$children}}"""
     }
     val json =
       s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","queries":$qsSteady,"value_first":$totalFirst,"queries_first":$qsFirst,"oracle_total":$totalSteady,"production_total":$productionTotal,"queries_bench_only":$qsTwins,"failed":$fs,"sf":"$sfDir","ctx":$ctx}"""

@@ -39,10 +39,17 @@ object Pipeline {
     * scored 389k windows on ONE core while 31 idled; an explicit
     * numPartitions repartition is exempt from AQE coalescing by
     * design). Cost: one shuffle of the window arrays — milliseconds at
-    * oracle SFs, repaid ~30× over in the scoring stage at scale. */
+    * oracle SFs, repaid ~30× over in the scoring stage at scale.
+    *
+    * `numParts` overrides the feed width (default: the session's
+    * defaultParallelism — one partition per core). The stage is map-only
+    * with uniform hash-distributed window ids, so widening past the core
+    * count should NOT help; `tools/ScoreScaleProbe` measures exactly
+    * that curve (flat ⇒ nothing hidden serializes — round-15 order #6). */
   def scoreWindows(spark: SparkSession, windows: DataFrame,
-                   featureCols: Seq[String], params: Lstm.AeParams): DataFrame = {
-    val scoreParts = spark.sparkContext.defaultParallelism
+                   featureCols: Seq[String], params: Lstm.AeParams,
+                   numParts: Option[Int] = None): DataFrame = {
+    val scoreParts = numParts.getOrElse(spark.sparkContext.defaultParallelism)
     val bc = spark.sparkContext.broadcast(params)
     val outSchema = StructType(Seq(
       StructField("window_id", LongType),

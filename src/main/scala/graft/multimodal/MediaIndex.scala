@@ -179,7 +179,23 @@ object MediaIndex {
         java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
     } catch {
       case _: UnsupportedOperationException => () // non-POSIX fs: best effort
-      case _: java.io.IOException => () // created by a racer / read-only parent
+      case _: java.io.IOException =>
+        // created by a racer is benign, but a FAILED chmod under a
+        // permissive umask silently leaves the dir group/world-accessible —
+        // verify the actual bits and say so instead of proceeding quietly
+        // (round-15 ADVICE, low)
+        try {
+          import java.nio.file.attribute.PosixFilePermission._
+          import scala.jdk.CollectionConverters._
+          val owner = Set(OWNER_READ, OWNER_WRITE, OWNER_EXECUTE)
+          val perms = java.nio.file.Files
+            .getPosixFilePermissions(dir.toPath).asScala.toSet
+          if (!perms.subsetOf(owner))
+            System.err.println(s"[graft] WARNING: media cache $dir is not " +
+              s"owner-only (perms $perms) and chmod failed — another local " +
+              "user could read or pre-plant a decoded index; chmod 700 it " +
+              "or point GRAFT_MEDIA_CACHE at a private directory")
+        } catch { case _: Throwable => () }
     }
     dir
   }

@@ -42,7 +42,15 @@ object Fill {
     * scanning the frame [max..current] in descending order, the LAST
     * non-null is the one closest to the current row from above — the
     * first non-null at-or-after it in ascending order. Cost: one extra
-    * in-partition sort (desc) instead of a quadratic frame. */
+    * in-partition sort (desc) instead of a quadratic frame.
+    *
+    * Row-identity requires `orderCol` UNIQUE within each partition group
+    * (every caller here satisfies it: the flagship fills per-series
+    * minute keys, the oracle rows fill a distinct time grid). With tied
+    * order keys BOTH forms are nondeterministic — an asc and a desc sort
+    * may each pick a different tied row — so ties don't make this form
+    * wrong relative to the shrinking-frame one, just differently
+    * arbitrary; `ffillBfillBucketed` documents the same requirement. */
   def ffillBfill(df: DataFrame, orderCol: String, cols: Seq[String],
                  partitionCols: Seq[String] = Nil): DataFrame = {
     def w(order: org.apache.spark.sql.Column) =

@@ -35,6 +35,11 @@ import graft.dedup.Dedup
   * at the TTL horizon for bounded state the way production dedup windows
   * do. The checkpoint story is identical to the scoring stream's (proven
   * by the recovery test).
+  *
+  * Throughput: size the STATE partition count to the active bucket set,
+  * not the core count — start the query inside
+  * [[StreamingConf.withStatePartitions]] (32 → 4 partitions measured
+  * 2.3× rows/s on the TTL path; rationale there).
   */
 object StreamingDedup {
 

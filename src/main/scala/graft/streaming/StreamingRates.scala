@@ -19,6 +19,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * out-of-order arrival inside a batch are deterministic; cross-batch
   * regressions in event time are counted as counter resets, same as a
   * Prometheus scrape target restarting.
+  *
+  * Throughput: size the STATE partition count to the active key set, not
+  * the core count — start the query inside
+  * [[StreamingConf.withStatePartitions]] (32 → 4 partitions measured
+  * 2.6–3.5× rows/s on this family at ≤85k keys; rationale there).
   */
 object StreamingRates {
 

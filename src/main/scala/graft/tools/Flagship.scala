@@ -14,7 +14,15 @@ import org.apache.spark.sql.SparkSession
   * Per-stage attribution: `SPARK_GRAFT_FLAGSHIP_STAGES=1` additionally
   * times a cumulative-prefix ladder (minute-agg → +fill → +align →
   * +scale → +window → +score+stats ≡ full) on ONE extra rep each, so the
-  * record names the dominant stage without a profiler.
+  * record names the dominant stage without a profiler. Each prefix is
+  * MATERIALIZED through the noop sink, not count()ed: count() lets
+  * Catalyst prune unreferenced window projections, so a bare-count
+  * ladder silently defers the fill/window cost to the first prefix that
+  * references the columns — the r14 record priced 'fill' BELOW
+  * 'minute_agg', impossible for a true cumulative ladder (round-15
+  * ADVICE, medium; same trap as `tools/CountPlanProbe` documents). The
+  * full-pipeline wall above is unaffected: its final aggregate
+  * references every upstream column.
   *
   * Usage: {{{ runMain graft.tools.Flagship <sfDir> [reps] }}} */
 object Flagship {
@@ -44,6 +52,11 @@ object Flagship {
       try { spark.catalog.clearCache() } catch { case _: Throwable => () }
       (dt, n)
     }
+    // full materialization: every output column reaches the sink, so no
+    // prefix can shed its window/fill cost to a later one (scaladoc)
+    def materialize(df: org.apache.spark.sql.DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -62,7 +75,7 @@ object Flagship {
     val stages: Seq[(String, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_FLAGSHIP_STAGES", "0") == "1")
         graft.Pipeline.flagshipPrefixes(spark, sfDir).map {
-          case (name, mk) => name -> timeOnce(mk().count())._1
+          case (name, mk) => name -> timeOnce(materialize(mk()))._1
         }
       else Seq.empty
     val stagesJson = stages

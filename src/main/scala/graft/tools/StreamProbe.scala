@@ -55,6 +55,14 @@ object StreamProbe {
     //    (changelog-free local instances) vs the default HDFS-backed one.
     val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", cpus)
     val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "hdfs")
+    // Round-15 order #5: the USER-FACING path to the r14 state-partition
+    // finding — leave the session at its batch setting and pin the state
+    // partition count per query through StreamingConf.withStatePartitions
+    // (the knob the streaming API ships). STREAM_PARTS above re-sizes the
+    // whole session instead (the r14 probe protocol); this proves the two
+    // paths price identically.
+    val apiParts: Option[Int] =
+      sys.env.get("SPARK_GRAFT_STREAM_API_PARTS").map(_.toInt)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", streamParts)
@@ -218,11 +226,14 @@ object StreamProbe {
       val tap = new ProgressTap
       spark.streams.addListener(tap)
       val t0 = System.nanoTime()
-      val q = build().writeStream
+      def startQuery() = build().writeStream
         .format("noop")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
+      val q = apiParts.fold(startQuery())(n =>
+        graft.streaming.StreamingConf.withStatePartitions(spark, n)(
+          startQuery()))
       try {
         if (manualStop(name)) {
           val expected = expectedRows(sourceOf(name))
@@ -271,7 +282,7 @@ object StreamProbe {
         println(line)
         line
       }
-    println(s"""{"probe":"streaming","sf":"$sfDir","files":$files,"state_parts":$streamParts,"provider":"$provider","ops":[${results.mkString(",")}]}""")
+    println(s"""{"probe":"streaming","sf":"$sfDir","files":$files,"state_parts":$streamParts,"api_state_parts":${apiParts.getOrElse(-1)},"provider":"$provider","ops":[${results.mkString(",")}]}""")
     spark.stop()
   }
 }
