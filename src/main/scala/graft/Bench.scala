@@ -142,13 +142,19 @@ object Bench {
     }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
-    // Machine-wide IO counters (Linux /proc; (-1,-1) elsewhere): the 1-min
-    // load average cannot see a bench stalled on disk — iowaiting tasks
-    // count as runnable-adjacent noise at best. iowait share of total cpu
-    // ticks + sectors read over the bench window make an IO-bound record
+    // Machine-wide IO + steal counters (Linux /proc; -1s elsewhere): the
+    // 1-min load average cannot see a bench stalled on disk (iowait) or a
+    // VM shorted by its hypervisor (steal — stolen ticks never appear as
+    // runnable tasks, so a neighbor VM's burst slows every driver-bound
+    // loop while load reads "quiet"). iowait/steal shares of total cpu
+    // ticks + sectors read over the bench window make such a record
     // attributable without a re-run (round-15 order #1b: the r14
-    // clusters_dist child was QUIET by load and 3.3× its cert band).
-    def ioSnapshot(): (Double, Double, Long) =
+    // clusters_dist child was QUIET by load and 3.3× its cert band; this
+    // host's cumulative steal is nonzero, and the r15 quiet-host
+    // reproduction landed IN the cert band — BASELINE.md).
+    final case class IoStat(total: Double, iowait: Double, steal: Double,
+                            sectors: Long)
+    def ioSnapshot(): IoStat =
       try {
         val stat = scala.io.Source.fromFile("/proc/stat")
         val cpu = try stat.getLines().next().trim.split("\\s+").drop(1)
@@ -160,15 +166,40 @@ object Bench {
           .filter(f => f.length > 5 &&
             f(2).matches("(sd[a-z]+|vd[a-z]+|xvd[a-z]+|nvme\\d+n\\d+)"))
           .map(_(5).toLong).sum finally disks.close()
-        (cpu.sum, cpu(4), sectors)
-      } catch { case _: Throwable => (-1.0, -1.0, -1L) }
+        // /proc/stat cpu fields: user nice system idle iowait irq softirq
+        // steal — index 4 and 7 after the label drop
+        IoStat(cpu.sum, cpu(4), if (cpu.length > 7) cpu(7) else -1.0, sectors)
+      } catch { case _: Throwable => IoStat(-1.0, -1.0, -1.0, -1L) }
+    // cgroup CPU-quota throttling (ms, cumulative): the THIRD contention
+    // channel invisible to load/iowait/steal — a containerized bench whose
+    // cgroup hits cpu.max freezes whole quota periods and nothing in
+    // /proc/stat moves. v2 reports throttled_usec at /sys/fs/cgroup,
+    // v1 throttled_time (ns) under cpu/; -1 = neither readable.
+    def throttledMs(): Double =
+      try {
+        val p = Seq("/sys/fs/cgroup/cpu.stat", "/sys/fs/cgroup/cpu/cpu.stat")
+          .find(f => new java.io.File(f).exists())
+        p.flatMap { f =>
+          val src = scala.io.Source.fromFile(f)
+          val lines = try src.getLines().toList finally src.close()
+          lines.collectFirst {
+            case l if l.startsWith("throttled_usec ") =>
+              l.split("\\s+")(1).toDouble / 1e3
+            case l if l.startsWith("throttled_time ") =>
+              l.split("\\s+")(1).toDouble / 1e6
+          }
+        }.getOrElse(-1.0)
+      } catch { case _: Throwable => -1.0 }
     val ioStart = ioSnapshot()
-    // delta between two snapshots → (iowait % of cpu ticks, MB read)
-    def ioDelta(a: (Double, Double, Long), b: (Double, Double, Long))
-        : (Double, Double) =
-      if (a._1 < 0 || b._1 < 0 || b._1 <= a._1) (-1.0, -1.0)
-      else (100.0 * (b._2 - a._2) / (b._1 - a._1),
-            (b._3 - a._3) * 512.0 / 1e6)
+    val throttleStart = throttledMs()
+    // delta between two snapshots → (iowait %, steal %, MB read)
+    def ioDelta(a: IoStat, b: IoStat): (Double, Double, Double) =
+      if (a.total < 0 || b.total < 0 || b.total <= a.total)
+        (-1.0, -1.0, -1.0)
+      else (100.0 * (b.iowait - a.iowait) / (b.total - a.total),
+            if (a.steal < 0 || b.steal < 0) -1.0
+            else 100.0 * (b.steal - a.steal) / (b.total - a.total),
+            (b.sectors - a.sectors) * 512.0 / 1e6)
     // Binary-payload family: decoded media batches (tens of MB per task)
     // promote into the old gen during whatever ran before, and the sf1
     // session record showed q_vhash at 12.6x in-session vs 3.2x solo —
@@ -259,7 +290,8 @@ object Bench {
     // session-wide parent load said why).
     final case class ChildRun(rows: Seq[(String, Double, Double)],
                               loadStart: Double, loadEnd: Double,
-                              iowaitPct: Double, diskReadMb: Double)
+                              iowaitPct: Double, stealPct: Double,
+                              diskReadMb: Double, throttledMs: Double)
     def runForked(names: Seq[String], repsOverride: Option[Int] = None)
         : Option[ChildRun] =
       try {
@@ -303,7 +335,8 @@ object Bench {
           def ld(f: String) = cctx.flatMap(c => Option(c.get(f)))
             .fold(-1.0)(_.asDouble)
           Some(ChildRun(rows, ld("load_avg_start"), ld("load_avg_end"),
-            ld("iowait_pct"), ld("disk_read_mb")))
+            ld("iowait_pct"), ld("steal_pct"), ld("disk_read_mb"),
+            ld("throttled_ms")))
         } else {
           System.err.println(
             s"[bench] forked record missing ${names.size - rows.size} rows (rc=$rc)")
@@ -395,8 +428,9 @@ object Bench {
             childCtx += name -> attempts.map(a =>
               s"""{"load_start":${d2j(a.loadStart)},"load_end":${d2j(
                 a.loadEnd)},"iowait_pct":${d2j(a.iowaitPct)},""" +
-              s""""disk_read_mb":${d2j(a.diskReadMb)},"steady":${d3j(
-                a.rows.head._3)}}""")
+              s""""steal_pct":${d2j(a.stealPct)},"disk_read_mb":${d2j(
+                a.diskReadMb)},"throttled_ms":${d2j(a.throttledMs)},""" +
+              s""""steady":${d3j(a.rows.head._3)}}""")
               .mkString(s"""{"attempts":[""",
                 ",", s"""],"kept":${attempts.indexOf(kept) + 1}}""")
             childReps.foreach(r => overrideApplied += name -> r)
@@ -464,8 +498,11 @@ object Bench {
       // a host wave from a plan regression row-by-row (order #1b/#1c).
       val children = childCtx.toSeq
         .sortBy(_._1).map { case (n, j) => s""""$n":$j""" }.mkString(",")
-      val (iowaitPct, diskReadMb) = ioDelta(ioStart, ioSnapshot())
-      s"""{"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"iowait_pct":${d2(iowaitPct)},"disk_read_mb":${d2(diskReadMb)},"sink":"$sinkMode","procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps,"reps_override":{$overrides},"child_retry_load":${d2(retryLoad)},"child_ctx":{$children}}"""
+      val (iowaitPct, stealPct, diskReadMb) = ioDelta(ioStart, ioSnapshot())
+      val thrEnd = throttledMs()
+      val thrDelta =
+        if (throttleStart < 0 || thrEnd < 0) -1.0 else thrEnd - throttleStart
+      s"""{"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"iowait_pct":${d2(iowaitPct)},"steal_pct":${d2(stealPct)},"disk_read_mb":${d2(diskReadMb)},"throttled_ms":${d2(thrDelta)},"sink":"$sinkMode","procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps,"reps_override":{$overrides},"child_retry_load":${d2(retryLoad)},"child_ctx":{$children}}"""
     }
     val json =
       s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","queries":$qsSteady,"value_first":$totalFirst,"queries_first":$qsFirst,"oracle_total":$totalSteady,"production_total":$productionTotal,"queries_bench_only":$qsTwins,"failed":$fs,"sf":"$sfDir","ctx":$ctx}"""
