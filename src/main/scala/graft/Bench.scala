@@ -84,6 +84,19 @@ import org.apache.spark.sql.SparkSession
   * materialized path every round). The record's `ctx.sink` says which
   * mode produced it.
   *
+  * Effective-cores channel (round-16 order #2): the r15 driver record's
+  * inflated rows read `throttled_ms = 0` because cgroup v2 accounts
+  * throttled_usec in the cgroup HOLDING the quota — an ancestor outside
+  * the container's namespace throttles the child while the leaf cpu.stat
+  * the probe reads stays 0. The quota-location-independent detector is
+  * CPU time / wall: the record now carries `queries_eff_cores` (per row,
+  * median over its steady reps of the timed region's own process-CPU /
+  * wall ratio), `ctx.effective_cores` (whole process window), and per
+  * forked attempt `effective_cores` + `row_eff_cores` in `child_ctx`,
+  * plus `ctx.cgroup_path` naming which cpu.stat file the throttled_ms
+  * figure came from. A 2.5-core cap on a 32-proc box is unmistakable
+  * from the record alone, wherever the quota sits.
+  *
   * IO context (round-15 order #1b): `ctx` additionally carries the
   * machine-wide iowait share and disk sectors read over the bench
   * window (`/proc/stat`, `/proc/diskstats` deltas), and each forked
@@ -113,11 +126,49 @@ object Bench {
       Tables.events(spark, sfDir).limit(100).count()
     } catch { case _: Throwable => () }
 
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // Quota-LOCATION-INDEPENDENT throttle detector (round-16 order #2):
+    // effective cores = this JVM's own CPU time / wall. An ancestor-held
+    // cpu.max that the leaf cpu.stat cannot see (cgroup v2 accounts
+    // throttled_usec IN THE CGROUP HOLDING THE QUOTA — the r15 driver
+    // record's inflated rows read throttled_ms=0 for exactly this reason)
+    // still caps how much CPU the process can burn per second: a 2.5-core
+    // allocation on a 32-proc box is unmistakable from the record alone,
+    // wherever the quota sits. Process CPU time comes from the JVM's own
+    // accounting (getProcessCpuTime ≈ getrusage utime+stime), so no
+    // cgroup file is needed at all. Measured per timed rep (each row's
+    // record carries its own ratio) AND over the whole process window.
+    def processCpuSec(): Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        val ns = b.getProcessCpuTime
+        if (ns < 0) -1.0 else ns / 1e9
+      case _ => -1.0
+    }
     var failed = List.empty[String]
     // noop sink = full materialization of every output column (scaladoc);
-    // count stays the default so historical records remain comparable
-    val sinkMode = sys.env.getOrElse("SPARK_GRAFT_SINK", "count")
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // count stays the default so historical records remain comparable.
+    // Normalized + validated: an unrecognized value (typo, wrong case)
+    // must not silently run count-shaped while ctx.sink claims otherwise —
+    // that would be the exact mislabel the sink field exists to prevent.
+    val sinkMode = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_SINK", "count")
+      val norm = raw.trim.toLowerCase(java.util.Locale.ROOT)
+      if (norm != "count" && norm != "noop") {
+        System.err.println(
+          s"[bench] SPARK_GRAFT_SINK='$raw' not in {count, noop}; refusing " +
+            "to run with a mislabelable sink")
+        sys.exit(2)
+      }
+      norm
+    }
+    // Returns (wall seconds, effective cores over the timed region): the
+    // per-rep CPU/wall ratio is the sharpest form of the order-#2 channel —
+    // the whole-process ratio dilutes with the single-threaded session
+    // warmup, while the timed region of a parallel query on an uncapped
+    // 32-proc box burns many cores and a quota-capped one cannot exceed
+    // its cap.
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val c0 = processCpuSec()
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
@@ -129,10 +180,13 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val c1 = processCpuSec()
+      val eff =
+        if (c0 < 0 || c1 < 0 || dt <= 0) -1.0 else (c1 - c0) / dt
       // Drop plan-matched cache entries so the next rep re-executes; persisted
       // intermediates otherwise satisfy the second rep's identical subtrees.
       try { spark.catalog.clearCache() } catch { case _: Throwable => () }
-      dt
+      (dt, eff)
     }
     val reps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     def median(xs: Seq[Double]): Double = {
@@ -140,7 +194,6 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
     // Machine-wide IO + steal counters (Linux /proc; -1s elsewhere): the
     // 1-min load average cannot see a bench stalled on disk (iowait) or a
@@ -167,19 +220,30 @@ object Bench {
             f(2).matches("(sd[a-z]+|vd[a-z]+|xvd[a-z]+|nvme\\d+n\\d+)"))
           .map(_(5).toLong).sum finally disks.close()
         // /proc/stat cpu fields: user nice system idle iowait irq softirq
-        // steal — index 4 and 7 after the label drop
-        IoStat(cpu.sum, cpu(4), if (cpu.length > 7) cpu(7) else -1.0, sectors)
+        // steal [guest guest_nice] — index 4 and 7 after the label drop.
+        // Total = first 8 fields ONLY: the kernel already accounts guest/
+        // guest_nice ticks inside user/nice, so including them would
+        // double-count on VM hosts and deflate the iowait/steal shares.
+        IoStat(cpu.take(8).sum, cpu(4),
+          if (cpu.length > 7) cpu(7) else -1.0, sectors)
       } catch { case _: Throwable => IoStat(-1.0, -1.0, -1.0, -1L) }
     // cgroup CPU-quota throttling (ms, cumulative): the THIRD contention
     // channel invisible to load/iowait/steal — a containerized bench whose
     // cgroup hits cpu.max freezes whole quota periods and nothing in
     // /proc/stat moves. v2 reports throttled_usec at /sys/fs/cgroup,
-    // v1 throttled_time (ns) under cpu/; -1 = neither readable.
+    // v1 throttled_time (ns) under cpu/; -1 = neither readable. The path
+    // actually read goes into the record: in cgroup v2 throttled_usec is
+    // accounted IN THE CGROUP HOLDING THE QUOTA, so a quota on an ancestor
+    // outside this namespace throttles us while our leaf cpu.stat stays 0
+    // (the r15 driver record's inflated rows read throttled_ms=0 for
+    // exactly this reason) — a reader must be able to see WHICH file the
+    // 0 came from.
+    val cgroupStatPath: Option[String] =
+      Seq("/sys/fs/cgroup/cpu.stat", "/sys/fs/cgroup/cpu/cpu.stat")
+        .find(f => new java.io.File(f).exists())
     def throttledMs(): Double =
       try {
-        val p = Seq("/sys/fs/cgroup/cpu.stat", "/sys/fs/cgroup/cpu/cpu.stat")
-          .find(f => new java.io.File(f).exists())
-        p.flatMap { f =>
+        cgroupStatPath.flatMap { f =>
           val src = scala.io.Source.fromFile(f)
           val lines = try src.getLines().toList finally src.close()
           lines.collectFirst {
@@ -190,6 +254,10 @@ object Bench {
           }
         }.getOrElse(-1.0)
       } catch { case _: Throwable => -1.0 }
+    // whole-process window for ctx.effective_cores (per-rep ratios ride
+    // in queries_eff_cores; see processCpuSec scaladoc above)
+    val procCpuStart = processCpuSec()
+    val wallStartNs = System.nanoTime()
     val ioStart = ioSnapshot()
     val throttleStart = throttledMs()
     // delta between two snapshots → (iowait %, steal %, MB read)
@@ -234,8 +302,27 @@ object Bench {
       name == "q_detect_quality"
     def isForked(name: String): Boolean =
       isBinaryFamily(name) || isConstructionHeavy(name)
+    // effCores = median over the steady reps of the timed region's own
+    // CPU/wall ratio (order #2: per-row, quota-location-independent)
+    final case class Row(name: String, first: Double, steady: Double,
+                         effCores: Double)
+    // Pre-rep-1 JIT warmups (round-16 order #5): rows whose timed region
+    // is dominated by driver-JVM math kernels pay C2 compile churn inside
+    // a fresh child's reps — the hook compiles the kernels BEFORE rep 1.
+    // Wall time is recorded per row (ctx.warmup_s), never in any rep.
+    val warmupHooks: Map[String, () => Unit] = Map(
+      "q_detect_quality" ->
+        (() => { graft.model.DetectQuality.jitWarmup(); () }))
+    val warmupDone = scala.collection.mutable.Map.empty[String, Double]
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (String, Double, Double) = {
+        : Row = {
+      warmupHooks.get(name).foreach { hook =>
+        val t0 = System.nanoTime()
+        try hook() catch { case e: Throwable =>
+          System.err.println(s"[bench] $name warmup failed: ${e.getMessage}")
+        }
+        warmupDone += name -> (System.nanoTime() - t0) / 1e9
+      }
       def fence(): Unit = if (gcBarrier && isBinaryFamily(name)) {
         // TWO cycles with breathing room: earlier queries' localCheckpoint
         // blocks are released ASYNCHRONOUSLY (weak refs → ContextCleaner
@@ -247,7 +334,7 @@ object Bench {
         System.gc(); Thread.sleep(100)
       }
       fence()
-      val first = timeOnce(name, fn)
+      val (first, firstEff) = timeOnce(name, fn)
       // iterator, not Range: the failure check must run BEFORE each rep,
       // so a mid-sequence steady-rep crash skips the remaining reps
       val steadies = Iterator.range(2, reps + 1)
@@ -255,10 +342,12 @@ object Bench {
         .map { _ => fence(); timeOnce(name, fn) }.toSeq
       // a steady-rep failure would otherwise record its time-to-crash as
       // the "steady" number — fall back to the valid first-rep measurement
-      val steady =
-        if (failed.contains(name) || steadies.isEmpty) first
-        else median(steadies)
-      (name, first, steady)
+      val (steady, eff) =
+        if (failed.contains(name) || steadies.isEmpty) (first, firstEff)
+        else (median(steadies.map(_._1)),
+              median(steadies.map(_._2).filter(_ >= 0) match {
+                case Seq() => Seq(-1.0); case xs => xs }))
+      Row(name, first, steady, eff)
     }
     // Child-process protocol: SPARK_GRAFT_ONLY restricts the run to a
     // comma-list of query names (the parent sets it when forking the
@@ -288,10 +377,12 @@ object Bench {
     // attributable WITHOUT a re-run (round-14 order #1b: the r12/r13
     // driver records showed 2.6–3.3× phantoms on forked rows and only the
     // session-wide parent load said why).
-    final case class ChildRun(rows: Seq[(String, Double, Double)],
+    final case class ChildRun(rows: Seq[Row],
                               loadStart: Double, loadEnd: Double,
                               iowaitPct: Double, stealPct: Double,
-                              diskReadMb: Double, throttledMs: Double)
+                              diskReadMb: Double, throttledMs: Double,
+                              effectiveCores: Double, procCpuS: Double,
+                              wallS: Double, warmupS: Double)
     def runForked(names: Seq[String], repsOverride: Option[Int] = None)
         : Option[ChildRun] =
       try {
@@ -320,9 +411,12 @@ object Bench {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
         val steady = root.get("queries")
         val first = root.get("queries_first")
+        val effs = Option(root.get("queries_eff_cores"))
         val rows = names.sorted.flatMap { n =>
           Option(steady.get(n)).map { s =>
-            (n, Option(first.get(n)).fold(s.asDouble)(_.asDouble), s.asDouble)
+            Row(n, Option(first.get(n)).fold(s.asDouble)(_.asDouble),
+              s.asDouble,
+              effs.flatMap(e => Option(e.get(n))).fold(-1.0)(_.asDouble))
           }
         }
         if (rows.size == names.size) {
@@ -334,9 +428,15 @@ object Bench {
           val cctx = Option(root.get("ctx"))
           def ld(f: String) = cctx.flatMap(c => Option(c.get(f)))
             .fold(-1.0)(_.asDouble)
+          // warmup_s is a per-row map in the child ctx; forks are
+          // one-query children, so the head name's entry is the child's
+          val warmup = cctx.flatMap(c => Option(c.get("warmup_s")))
+            .flatMap(w => names.sorted.headOption
+              .flatMap(n => Option(w.get(n)))).fold(-1.0)(_.asDouble)
           Some(ChildRun(rows, ld("load_avg_start"), ld("load_avg_end"),
             ld("iowait_pct"), ld("steal_pct"), ld("disk_read_mb"),
-            ld("throttled_ms")))
+            ld("throttled_ms"), ld("effective_cores"), ld("proc_cpu_s"),
+            ld("wall_s"), warmup))
         } else {
           System.err.println(
             s"[bench] forked record missing ${names.size - rows.size} rows (rc=$rc)")
@@ -388,7 +488,7 @@ object Bench {
       java.lang.Double.valueOf(x))
     def d3j(x: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       java.lang.Double.valueOf(x))
-    val forked: Seq[(String, Double, Double)] =
+    val forked: Seq[Row] =
       forkedReg.flatMap { case (name, fn) =>
         // Construction-heavy rows do JIT-heavy DRIVER work (pair-set
         // collect, union-find / propagation loop) that the binary family's
@@ -424,13 +524,24 @@ object Bench {
                 runForked(Seq(name), childReps)
                   .fold(Seq(run1))(run2 => Seq(run1, run2))
               } else Seq(run1)
-            val kept = attempts.minBy(_.rows.head._3)
+            val kept = attempts.minBy(_.rows.head.steady)
             childCtx += name -> attempts.map(a =>
               s"""{"load_start":${d2j(a.loadStart)},"load_end":${d2j(
                 a.loadEnd)},"iowait_pct":${d2j(a.iowaitPct)},""" +
               s""""steal_pct":${d2j(a.stealPct)},"disk_read_mb":${d2j(
                 a.diskReadMb)},"throttled_ms":${d2j(a.throttledMs)},""" +
-              s""""steady":${d3j(a.rows.head._3)}}""")
+              // the child's OWN CPU/wall ratio — the quota-location-
+              // independent throttle channel (order #2): an inflated row
+              // whose child burned ~full cores is a plan/JIT question; one
+              // whose child read 2–3 effective cores on a 32-proc box was
+              // externally capped, wherever the quota lives
+              s""""effective_cores":${d2j(a.effectiveCores)},""" +
+              s""""proc_cpu_s":${d2j(a.procCpuS)},"wall_s":${d2j(a.wallS)},""" +
+              // row_eff_cores: the same ratio over the row's TIMED REPS
+              // only — undiluted by the child's single-threaded warmup
+              s""""row_eff_cores":${d2j(a.rows.head.effCores)},""" +
+              s""""warmup_s":${d2j(a.warmupS)},""" +
+              s""""steady":${d3j(a.rows.head.steady)}}""")
               .mkString(s"""{"attempts":[""",
                 ",", s"""],"kept":${attempts.indexOf(kept) + 1}}""")
             childReps.foreach(r => overrideApplied += name -> r)
@@ -441,19 +552,21 @@ object Bench {
             Seq(measure(name, fn))
         }
       }
-    val results = (inSession ++ forked).sortBy(_._1)
+    val results = (inSession ++ forked).sortBy(_.name)
     val loadEnd = osBean.getSystemLoadAverage
-    def jmapOf(rs: Seq[(String, Double, Double)])(
-        sel: ((String, Double, Double)) => Double): String =
-      rs.map { r => "\"" + r._1 + "\":" + sel(r) }.mkString("{", ",", "}")
-    def jmap(sel: ((String, Double, Double)) => Double): String =
+    def jmapOf(rs: Seq[Row])(sel: Row => Double): String =
+      rs.map { r => "\"" + r.name + "\":" + sel(r) }.mkString("{", ",", "}")
+    def jmap(sel: Row => Double): String =
       jmapOf(results)(sel)
-    val qsSteady = jmap(_._3)
-    val qsFirst = jmap(_._2)
-    val qsTwins = jmapOf(twinResults)(_._3)
+    val qsSteady = jmap(_.steady)
+    val qsFirst = jmap(_.first)
+    // per-row timed-region CPU/wall (order #2): 2 decimals is plenty and
+    // keeps the already-long record line readable
+    val qsEff = jmap(r => math.rint(r.effCores * 100) / 100)
+    val qsTwins = jmapOf(twinResults)(_.steady)
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val totalSteady = results.map(_._3).sum
-    val totalFirst = results.map(_._2).sum
+    val totalSteady = results.map(_.steady).sum
+    val totalFirst = results.map(_.first).sum
     // oracle_total = the registry as-is (every row oracle-green, some
     // paying cross-engine digest parity); production_total = the same
     // workload with each md5-parity row's time replaced by its xxhash/
@@ -464,8 +577,8 @@ object Bench {
     // subtracting a missing md5 row (getOrElse 0) while adding its twin —
     // or adding a twin whose md5 row failed — would silently skew the
     // production subtotal. Skipped pairs are listed on stderr instead.
-    val steadyByName = results.map(r => r._1 -> r._3).toMap
-    val twinByName = twinResults.map(r => r._1 -> r._3).toMap
+    val steadyByName = results.map(r => r.name -> r.steady).toMap
+    val twinByName = twinResults.map(r => r.name -> r.steady).toMap
     val (applied, skipped) = Queries.productionSubstitutes.toSeq
       .partition { case (twin, md5) =>
         twinByName.contains(twin) && steadyByName.contains(md5) &&
@@ -502,10 +615,24 @@ object Bench {
       val thrEnd = throttledMs()
       val thrDelta =
         if (throttleStart < 0 || thrEnd < 0) -1.0 else thrEnd - throttleStart
-      s"""{"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"iowait_pct":${d2(iowaitPct)},"steal_pct":${d2(stealPct)},"disk_read_mb":${d2(diskReadMb)},"throttled_ms":${d2(thrDelta)},"sink":"$sinkMode","procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps,"reps_override":{$overrides},"child_retry_load":${d2(retryLoad)},"child_ctx":{$children}}"""
+      // effective cores over this process's whole bench window: CPU/wall.
+      // Quota-location-independent (scaladoc at processCpuSec) — a record
+      // whose inflated rows sit beside effective_cores ≈ 2–3 on a 32-proc
+      // box names an external CPU cap from the record alone, even when
+      // the leaf cgroup's throttled_ms reads 0.
+      val wallS = (System.nanoTime() - wallStartNs) / 1e9
+      val procCpuEnd = processCpuSec()
+      val procCpuS =
+        if (procCpuStart < 0 || procCpuEnd < 0) -1.0
+        else procCpuEnd - procCpuStart
+      val effCores = if (procCpuS < 0 || wallS <= 0) -1.0 else procCpuS / wallS
+      val cgPath = cgroupStatPath.getOrElse("none")
+      val warmups = warmupDone.toSeq.sortBy(_._1)
+        .map { case (n, s) => s""""$n":${d2(s)}""" }.mkString(",")
+      s"""{"warmup_s":{$warmups},"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"iowait_pct":${d2(iowaitPct)},"steal_pct":${d2(stealPct)},"disk_read_mb":${d2(diskReadMb)},"throttled_ms":${d2(thrDelta)},"cgroup_path":"$cgPath","proc_cpu_s":${d2(procCpuS)},"wall_s":${d2(wallS)},"effective_cores":${d2(effCores)},"sink":"$sinkMode","procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps,"reps_override":{$overrides},"child_retry_load":${d2(retryLoad)},"child_ctx":{$children}}"""
     }
     val json =
-      s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","queries":$qsSteady,"value_first":$totalFirst,"queries_first":$qsFirst,"oracle_total":$totalSteady,"production_total":$productionTotal,"queries_bench_only":$qsTwins,"failed":$fs,"sf":"$sfDir","ctx":$ctx}"""
+      s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","queries":$qsSteady,"value_first":$totalFirst,"queries_first":$qsFirst,"queries_eff_cores":$qsEff,"oracle_total":$totalSteady,"production_total":$productionTotal,"queries_bench_only":$qsTwins,"failed":$fs,"sf":"$sfDir","ctx":$ctx}"""
     println(json)
     // Also persist to a file: log captures of the stdout line have truncated
     // the head of long JSON lines, losing the alphabetically-first per-query

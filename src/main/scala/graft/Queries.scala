@@ -3350,13 +3350,13 @@ object Queries {
          |x AS (SELECT event_type, (ts_us - t0) // 1000000 AS x, v FROM t0),
          |a AS (SELECT event_type, count(*) AS n,
          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(v) AS BIGINT) AS sy,
-         |    CAST(sum(x * x) AS BIGINT) AS sxx,
-         |    CAST(sum(x * v) AS BIGINT) AS sxy,
+         |    sum(CAST(x AS DOUBLE) * x) AS sxx,
+         |    sum(CAST(x AS DOUBLE) * v) AS sxy,
          |    max(x) AS x_last
          |  FROM x GROUP BY 1),
          |sl AS (SELECT event_type, n, x_last, sx, sy,
-         |    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         |      / nullif(n * CAST(sxx AS DOUBLE)
+         |    (n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / nullif(n * sxx
          |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS slope
          |  FROM a)
          |SELECT event_type, n,

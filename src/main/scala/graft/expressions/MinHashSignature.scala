@@ -418,6 +418,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         NearestCell(children(0), children(1), children(2))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_int8_report"),
+      new ExpressionInfo(classOf[Int8Report].getName, "graft_int8_report"),
+      (children: Seq[Expression]) => Int8Report(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_char_entropy"),
       new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
       (children: Seq[Expression]) => CharEntropy(children.head)))

@@ -98,6 +98,31 @@ object DetectQuality {
     Lstm.fromJson(txt)
   }
 
+  /** Deterministic JIT warmup of the frozen model's scoring path
+    * (round-16 order #5): q_detect_quality's cert band was 2.36–7.95 s
+    * across cold-fork contexts for a ~1.7 s steady — the spread is C2
+    * compile churn of the LSTM forward/mse kernels landing inside the
+    * timed reps of a fresh child JVM. Running the same methods on a
+    * synthetic window until they are compiled (well past the tier-4
+    * invocation threshold) moves that churn BEFORE rep 1; the bench
+    * records the warmup's wall time separately so it is visible, never
+    * priced into a steady number. Local mode = one JVM, so driver-side
+    * warmup compiles the very methods the executor threads run. */
+  def jitWarmup(iters: Int = 20000): Double = {
+    val x = breeze.linalg.DenseMatrix.tabulate(Pipeline.SeqLen, 1) {
+      (i, _) => (i % 7) / 7.0
+    }
+    var sink = 0.0
+    var k = 0
+    while (k < iters) {
+      sink += Lstm.mse(x, Lstm.forward(frozenModel, x))
+      k += 1
+    }
+    // returned (and checked) so the loop is observable and cannot be
+    // dead-code-eliminated by the JIT it exists to warm
+    sink
+  }
+
   /** Per-window ground truth from the window id ALONE: window w covers
     * series rows [w, w+L−1] and spikes sit on every [[SpikePeriod]]th
     * row, so w's window is spiked iff the next multiple of the period at

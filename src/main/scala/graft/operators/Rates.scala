@@ -92,9 +92,16 @@ object Rates {
     * distribution with the window's exchange, so ONE shuffle total.
     *
     * Slope from the textbook sums `(nΣxy − ΣxΣy) / (nΣxx − (Σx)²)` with
-    * x = whole seconds since the key's first sample (exact long),
-    * y = milli-units (exact long): both engines reduce identical integers,
-    * then run the identical final double expression. Emits per-HOUR slope
+    * x = whole seconds since the key's first sample, y = milli-units.
+    * Σxx/Σxy accumulate in DOUBLE, not LONG: at 10× scale the integer
+    * Σxx passes 2.4e19 > Long.MaxValue and ANSI mode fails the job
+    * (caught by the round-15 materialized-sink bench — the count
+    * protocol pruned these columns for 8 rounds). Each product is exact
+    * in double (x < 2^26 s, x·y < 2^53) and at oracle scale every
+    * partial sum stays < 2^53, so double accumulation is bit-identical
+    * to the old integer sums where the DuckDB compare runs; past 2^53
+    * it degrades gracefully to ~1e-16 relative error instead of
+    * throwing. Emits per-HOUR slope
     * (`deriv_per_hour`) so 6-dp rounding keeps signal; `predict_val` is in
     * original units. Keys with < 2 samples or zero time-variance yield
     * NULLs (slope undefined), matching SQL division-null semantics. */
@@ -113,14 +120,15 @@ object Rates {
       count(lit(1)).as("n"),
       sum("_x").as("sx"),
       sum(col(milliCol)).as("sy"),
-      sum(col("_x") * col("_x")).as("sxx"),
-      sum(col("_x") * col(milliCol)).as("sxy"),
+      // cast BEFORE the product: the long product itself can overflow
+      sum(col("_x").cast("double") * col("_x")).as("sxx"),
+      sum(col("_x").cast("double") * col(milliCol)).as("sxy"),
       max("_x").as("x_last"))
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")
     val sy = col("sy").cast("double")
-    val num = n * col("sxy").cast("double") - sx * sy
-    val den = n * col("sxx").cast("double") - sx * sx
+    val num = n * col("sxy") - sx * sy
+    val den = n * col("sxx") - sx * sx
     // den == 0 (single sample / constant x) -> NULL via nullif
     val slopeMilliPerSec = num / nullif(den, lit(0.0))
     val predictMilli =

@@ -47,8 +47,23 @@ object Ann {
 
   /** Per-vector int8 reconstruction report: (codes, scale, mean abs error).
     * Dequantized value = q_i / scale; the error fold runs in array order on
-    * both engines. */
-  def int8Report(vec: Column): Column = {
+    * both engines. Dispatches to the native single-pass kernel
+    * (`graft_int8_report`, bit-parity spec-asserted) when the extension is
+    * installed — the compositional form below is three interpreted HOF
+    * folds per vector, which priced the row's MATERIALIZED output at 60×
+    * its count-shaped price in the r15 divergence table (round-16
+    * order #4). */
+  def int8Report(vec: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(s => scala.util.Try(
+        s.catalog.functionExists("graft_int8_report")).getOrElse(false))
+      .map(_ => call_function("graft_int8_report", vec))
+      .getOrElse(int8ReportComposed(vec))
+
+  /** The compositional (built-in HOF) twin — the parity oracle the native
+    * kernel is spec-checked against, and the fallback when the extension
+    * is not installed. */
+  def int8ReportComposed(vec: Column): Column = {
     val maxAbs = aggregate(vec, lit(0.0d),
       (acc, x) => greatest(acc, abs(x.cast("double"))))
     val scale = when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(lit(0.0))

@@ -22,23 +22,33 @@ import org.apache.spark.sql.SparkSession
   *
   * Why it is start-scoped and not a Dataset parameter: Spark sizes a
   * stateful operator from `spark.sql.shuffle.partitions` AS OF QUERY
-  * START — `StreamExecution` clones the session at `start()` and the
-  * value is pinned into the checkpoint's offset metadata for the life
-  * of the query (a restart keeps the original count regardless of the
-  * conf). A `repartition(n)` on the input does NOT do this: the
-  * stateful operator adds its own keyed exchange at the session
-  * default. So the knob wraps the `start()` call, sets the conf for
-  * exactly that window, and restores it — concurrent BATCH work in the
-  * same session only races the conf during query construction, never
-  * after.
+  * START — `StreamExecution` clones the STREAM'S OWN session
+  * (`df.sparkSession`) at `start()` and the value is pinned into the
+  * checkpoint's offset metadata for the life of the query (a restart
+  * keeps the original count regardless of the conf). A `repartition(n)`
+  * on the input does NOT do this: the stateful operator adds its own
+  * keyed exchange at the session default.
+  *
+  * Why the block RECEIVES a session instead of mutating the caller's
+  * (round-16 order #6): the previous shape set the conf on the shared
+  * session and restored it in a `finally`, which raced concurrent batch
+  * planning and concurrent `withStatePartitions` calls during the
+  * window. This shape never mutates shared state at all: the knob hands
+  * the block a `newSession()` clone (same `SparkContext`, `SharedState`
+  * and extensions; its own conf) with `spark.sql.shuffle.partitions`
+  * pre-set to `n`, and the block must BUILD and START the stream from
+  * that session — the pinning reads `df.sparkSession`'s conf, so a
+  * stream built from the caller's session would silently get the
+  * session default (see the spec's control assertion).
   *
   * {{{
-  * val q = StreamingConf.withStatePartitions(spark, 4) {
-  *   StreamingRates.ewma(samples, 0.3).writeStream
+  * val q = StreamingConf.withStatePartitions(spark, 4) { scoped =>
+  *   StreamingRates.ewma(samplesFrom(scoped), 0.3).writeStream
   *     .format("noop").option("checkpointLocation", ckpt)
   *     .trigger(Trigger.AvailableNow()).start()
   * }
   * // q.lastProgress.stateOperators.head.numShufflePartitions == 4
+  * // spark.conf was never touched — concurrent readers see the default
   * }}}
   */
 object StreamingConf {
@@ -47,15 +57,15 @@ object StreamingConf {
 
   /** Build and start a streaming query with its state sharded across `n`
     * partitions (spec-asserted via `StateOperatorProgress
-    * .numShufflePartitions`); the session's batch shuffle setting is
-    * restored before returning. `start` must both construct AND start
-    * the query — a query started after this scope closes gets the
-    * restored session default. */
-  def withStatePartitions[T](spark: SparkSession, n: Int)(start: => T): T = {
+    * .numShufflePartitions`). The block receives a SCOPED session clone
+    * whose shuffle-partition conf is `n`; the source and the `start()`
+    * must both go through it. The caller's session conf is never
+    * mutated, so there is no restore step and nothing to race. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)
+      (start: SparkSession => T): T = {
     require(n > 0, s"state partitions must be positive, got $n")
-    val prev = spark.conf.get(ShufflePartitionsKey)
-    spark.conf.set(ShufflePartitionsKey, n.toString)
-    try start
-    finally spark.conf.set(ShufflePartitionsKey, prev)
+    val scoped = spark.newSession()
+    scoped.conf.set(ShufflePartitionsKey, n.toString)
+    start(scoped)
   }
 }

@@ -59,8 +59,15 @@ object ScoreScaleProbe {
     }
     def timeOnce(parts: Int): Double = {
       val t0 = System.nanoTime()
+      // ONE forward pass (round-16 ADVICE): uncached, `scored` would be
+      // recomputed by both consumers below and windows_per_s would
+      // understate single-pass throughput ~2× (the r15 banked curve has
+      // this double-pass shape — cross-width SHAPE unaffected, absolute
+      // level now honest). localCheckpoint is eager, so the pass runs
+      // here; the (window_id, mse) blocks are 2 numbers/row and are
+      // released by the ContextCleaner when the rep's RDD unroots.
       val scored = graft.Pipeline.scoreWindows(spark, feed, types, params,
-        numParts = Some(parts))
+        numParts = Some(parts)).localCheckpoint(true)
       // the flagship's stats tail rides along so the timed region is the
       // real score_stats prefix delta, not a bare count of mse rows
       val thr = scored.stat.approxQuantile("mse", Array(0.95), 0.0).head

@@ -109,8 +109,13 @@ object StreamProbe {
       spark.read.parquet(embPath).count(),
       targetCell = graft.Queries.AutoBitsTargetCell)
 
-    def stream(path: String): DataFrame =
-      spark.readStream
+    // builders take the session to read from: the state-partition knob
+    // hands each query a conf-scoped session CLONE, and the stateful
+    // operator's partition count pins from df.sparkSession's conf — a
+    // stream built from the parent session would silently ignore the
+    // knob (StreamingConf scaladoc, round-16 order #6)
+    def stream(s: SparkSession, path: String): DataFrame =
+      s.readStream
         .schema(spark.read.parquet(path).schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(path)
@@ -126,30 +131,32 @@ object StreamProbe {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     lazy val refTotal: Long = refVocab.values.sum
 
-    def sampleStream(): org.apache.spark.sql.Dataset[StreamingRates.Sample] =
-      stream(eventsPath).select(
+    def sampleStream(s: SparkSession)
+        : org.apache.spark.sql.Dataset[StreamingRates.Sample] =
+      stream(s, eventsPath).select(
           concat(lit("u"), col("user_id")).as("key"),
           col("ts_us").as("tsUs"),
           (col("value") * 1000).cast("long").as("v"),
           col("event_id").as("seq"))
         .as[StreamingRates.Sample]
 
-    val ops: Seq[(String, () => DataFrame)] = Seq(
+    val ops: Seq[(String, SparkSession => DataFrame)] = Seq(
       // the probe's own floor: a stateless one-column projection through
       // the same source/trigger/sink — what 100 micro-batches of replan +
       // scheduling + state-store-free execution cost, the baseline every
       // stateful row's wall should be read against (per-batch operator
       // cost = row wall − this wall, per-batch)
-      "floor" -> (() => stream(docsPath).select(col("doc_id"))),
-      "sessions" -> (() =>
-        StreamingSessions.sessionize(stream(eventsPath),
+      "floor" -> (s => stream(s, docsPath).select(col("doc_id"))),
+      "sessions" -> (s =>
+        StreamingSessions.sessionize(stream(s, eventsPath),
           "user_id", "ts", gap = "30 minutes", watermark = "10 minutes")),
-      "counter_rate" -> (() => StreamingRates.counterRate(sampleStream()).toDF),
-      "ewma" -> (() => StreamingRates.ewma(sampleStream(), 0.3).toDF),
-      "zscore" -> (() =>
-        StreamingRates.zscore(sampleStream(), rangeUs = 600L * 1000000).toDF),
-      "dedup_ingest" -> (() =>
-        StreamingDedup.nearDupCandidates(stream(docsPath),
+      "counter_rate" -> (s =>
+        StreamingRates.counterRate(sampleStream(s)).toDF),
+      "ewma" -> (s => StreamingRates.ewma(sampleStream(s), 0.3).toDF),
+      "zscore" -> (s =>
+        StreamingRates.zscore(sampleStream(s), rangeUs = 600L * 1000000).toDF),
+      "dedup_ingest" -> (s =>
+        StreamingDedup.nearDupCandidates(stream(s, docsPath),
           "doc_id", "text").toDF),
       // the PRODUCTION posture of dedup-at-ingest: bucket state is
       // TTL-evicted (idle buckets dropped wholesale), so state tracks
@@ -160,16 +167,16 @@ object StreamProbe {
       // run path: with timeouts armed the engine schedules empty batches
       // forever (nearDupCandidates scaladoc), so AvailableNow never
       // self-terminates.
-      "dedup_ingest_ttl" -> (() =>
-        StreamingDedup.nearDupCandidates(stream(docsPath),
+      "dedup_ingest_ttl" -> (s =>
+        StreamingDedup.nearDupCandidates(stream(s, docsPath),
           "doc_id", "text", ttlMs = 10000L).toDF),
-      "semdedup" -> (() =>
-        StreamingSemDedup.admittedStream(stream(embPath),
+      "semdedup" -> (s =>
+        StreamingSemDedup.admittedStream(stream(s, embPath),
           "vec_id", "embedding", threshold = 0.30, bits = semBits).toDF),
-      "drift" -> (() => {
+      "drift" -> (s => {
         val ref = refVocab; val n = refTotal // force before the stream starts
         StreamingDrift.drift(
-          stream(docsPath).select(col("source"),
+          stream(s, docsPath).select(col("source"),
               graft.text.TextStats.tokens(lower(col("text"))).as("tokens"),
               col("doc_id").as("seq"))
             .as[StreamingDrift.Doc], ref, n).toDF
@@ -221,19 +228,27 @@ object StreamProbe {
       override def onQueryTerminated(e: org.apache.spark.sql.streaming
           .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
-    def runOnce(name: String, build: () => DataFrame): Run = {
+    def runOnce(name: String, build: SparkSession => DataFrame): Run = {
       val ckpt = graft.Queries.scratchDir(s"streamprobe-$name-")
       val tap = new ProgressTap
-      spark.streams.addListener(tap)
       val t0 = System.nanoTime()
-      def startQuery() = build().writeStream
-        .format("noop")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      val q = apiParts.fold(startQuery())(n =>
+      // the progress listener is per-SESSION (each StreamingQueryManager
+      // only sees its own runIds), so it must register on the SAME
+      // session the query starts from — the conf-scoped clone when the
+      // knob is in play, the parent otherwise
+      var tapSession: SparkSession = spark
+      def startQuery(s: SparkSession) = {
+        tapSession = s
+        s.streams.addListener(tap)
+        build(s).writeStream
+          .format("noop")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      val q = apiParts.fold(startQuery(spark))(n =>
         graft.streaming.StreamingConf.withStatePartitions(spark, n)(
-          startQuery()))
+          startQuery _))
       try {
         if (manualStop(name)) {
           val expected = expectedRows(sourceOf(name))
@@ -267,7 +282,7 @@ object StreamProbe {
         val stateMid = if (states.isEmpty) 0L else states(states.length / 2)
         val stateEnd = if (states.isEmpty) 0L else states.last
         Run(wall, rows, progress.length, latAvg, latP95, stateMid, stateEnd)
-      } finally spark.streams.removeListener(tap)
+      } finally tapSession.streams.removeListener(tap)
     }
 
     val results = ops

@@ -68,6 +68,24 @@ class RatesSpec extends SparkSpec {
     assert(b.getDouble(2) == 0.0 && b.getDouble(3) == 10.0, b.toString)
   }
 
+  test("derivPredict: sums past Long.MaxValue do not overflow (r15 10x bug)") {
+    // x offsets ~3.1e9 s make a LONG Σxx pass 2^63 with two samples —
+    // the shape that failed loud under ANSI at ld1 in the r15 noop bench
+    // (Rates.scala scaladoc). The double accumulator must survive and
+    // still produce the exact line through the points.
+    val big = 3100000000L // seconds
+    val df = Seq(
+      ("k", 0L, 0L, 1000L),
+      ("k", big * 1000000L, 1L, 1000L + big /* slope 1 milli/s */),
+      ("k", 2L * big * 1000000L, 2L, 1000L + 2L * big))
+      .toDF("k", "ts_us", "id", "v")
+    val r = Rates.derivPredict(df, Seq("k"), "ts_us", "v", 0L).collect()
+    assert(r.length == 1)
+    // 1 milli-unit/sec = 3.6 units/hour / 1000-milli scaling => 3.6 * 1.0
+    assert(math.abs(r(0).getDouble(2) - 3.6) < 1e-4,
+      s"slope per hour: ${r(0).getDouble(2)}")
+  }
+
   test("derivPredict: constant-x key yields NULL slope, not a crash") {
     val one = Seq(("c", 5L, 0L, 100L), ("c", 5L, 1L, 200L))
       .toDF("k", "ts_us", "id", "v")

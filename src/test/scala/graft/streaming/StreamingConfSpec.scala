@@ -1,16 +1,18 @@
 package graft.streaming
 
 import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
-/** The state-partition knob (round-15 order #5): proves
-  * [[StreamingConf.withStatePartitions]] actually changes the STATE
-  * STORE partition count of a stateful query (the engine's own
-  * `StateOperatorProgress.numShufflePartitions`, not a conf echo),
-  * restores the session's batch setting, and does not change results —
-  * the r14 probe measured the 32→4 re-size bit-identical, this pins the
-  * API path to the same contract. */
+/** The state-partition knob (round-15 order #5, reshaped by round-16
+  * order #6): proves [[StreamingConf.withStatePartitions]] actually
+  * changes the STATE STORE partition count of a stateful query (the
+  * engine's own `StateOperatorProgress.numShufflePartitions`, not a
+  * conf echo), does not change results, and — the round-16 contract —
+  * NEVER mutates the caller's session: a concurrent conf read during
+  * the scope sees the session default, because the knob hands the block
+  * a `newSession()` clone instead of set-then-restore on shared state. */
 class StreamingConfSpec extends SparkSpec {
   import StreamingRates._
 
@@ -18,47 +20,64 @@ class StreamingConfSpec extends SparkSpec {
     Sample("a", 1000000L, 5L, 0L), Sample("a", 2000000L, 9L, 1L),
     Sample("b", 1000000L, 4L, 2L), Sample("c", 3000000L, 7L, 3L))
 
-  private def runRate(name: String, parts: Option[Int])
+  // builds the stream FROM the given session (the knob's contract: the
+  // pinning reads df.sparkSession's conf), runs it to completion on the
+  // memory sink, returns (rows, state partition count the engine used)
+  private def runRate(name: String)(s: SparkSession)
       : (Seq[RatePoint], Long) = {
-    implicit val sq = spark.sqlContext
-    import spark.implicits._
+    implicit val sq = s.sqlContext
+    import s.implicits._
     val input = MemoryStream[Sample]
-    def start() = counterRate(input.toDS()).writeStream.format("memory")
+    val q = counterRate(input.toDS()).writeStream.format("memory")
       .queryName(name).outputMode(OutputMode.Append()).start()
-    val q = parts.fold(start())(n =>
-      StreamingConf.withStatePartitions(spark, n)(start()))
     try {
       input.addData(samples)
       q.processAllAvailable()
-      val got = spark.table(name).as[RatePoint].collect()
+      val got = s.table(name).as[RatePoint].collect()
         .sortBy(p => (p.key, p.tsUs)).toSeq
       (got, q.lastProgress.stateOperators.head.numShufflePartitions)
     } finally q.stop()
   }
 
-  test("withStatePartitions pins the state-store partition count; session conf restored; results unchanged") {
+  test("withStatePartitions pins the state-store partition count; results unchanged") {
     val before = spark.conf.get(StreamingConf.ShufflePartitionsKey)
-    val (defaultRows, defaultParts) = runRate("sc_default", None)
+    val (defaultRows, defaultParts) = runRate("sc_default")(spark)
     assert(defaultParts == before.toLong,
       s"control query should shard state at the session default ($before), got $defaultParts")
-    val (knobRows, knobParts) = runRate("sc_knob", Some(2))
+    val (knobRows, knobParts) =
+      StreamingConf.withStatePartitions(spark, 2)(runRate("sc_knob"))
     assert(knobParts == 2L,
       s"knob query should shard state across 2 partitions, got $knobParts")
     assert(spark.conf.get(StreamingConf.ShufflePartitionsKey) == before,
-      "session batch shuffle setting must be restored after start()")
+      "caller session's batch shuffle setting must be untouched")
     assert(knobRows == defaultRows,
       "re-sizing state partitions must not change results")
   }
 
-  test("withStatePartitions restores the conf when start() throws, and rejects n <= 0") {
+  test("a concurrent conf read during the scope sees the session default") {
+    val before = spark.conf.get(StreamingConf.ShufflePartitionsKey)
+    StreamingConf.withStatePartitions(spark, 3) { scoped =>
+      assert(scoped ne spark, "the block must receive a session clone")
+      assert(scoped.conf.get(StreamingConf.ShufflePartitionsKey) == "3")
+      // the round-16 order's DONE criterion: nothing a concurrent batch
+      // planner could read on the shared session ever shows the knob
+      assert(spark.conf.get(StreamingConf.ShufflePartitionsKey) == before,
+        "the caller session's conf must read the default DURING the scope")
+      assert(scoped.sparkContext eq spark.sparkContext,
+        "the clone must share the SparkContext (same executors/state dirs)")
+    }
+    assert(spark.conf.get(StreamingConf.ShufflePartitionsKey) == before)
+  }
+
+  test("caller conf untouched when the block throws, and rejects n <= 0") {
     val before = spark.conf.get(StreamingConf.ShufflePartitionsKey)
     intercept[RuntimeException] {
-      StreamingConf.withStatePartitions(spark, 2)(
+      StreamingConf.withStatePartitions(spark, 2)(_ =>
         throw new RuntimeException("boom"))
     }
     assert(spark.conf.get(StreamingConf.ShufflePartitionsKey) == before)
     intercept[IllegalArgumentException] {
-      StreamingConf.withStatePartitions(spark, 0)(())
+      StreamingConf.withStatePartitions(spark, 0)(_ => ())
     }
   }
 }
