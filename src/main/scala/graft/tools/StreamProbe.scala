@@ -200,7 +200,8 @@ object StreamProbe {
 
     final case class Run(wall: Double, rows: Long, batches: Int,
                          latAvgMs: Double, latP95Ms: Double,
-                         stateMid: Long, stateEnd: Long)
+                         stateMid: Long, stateEnd: Long,
+                         statePartsPinned: Long)
     // Progress accounting rides a StreamingQueryListener, NOT
     // `q.recentProgress`: that is a ring buffer capped by
     // spark.sql.streaming.numRecentProgressUpdates, and the manual-stop
@@ -214,6 +215,10 @@ object StreamProbe {
       val dataBatches = new java.util.concurrent.ConcurrentLinkedQueue[
         (Long, Double, Long)]() // (rows, batchDurationMs, stateRowsMax)
       @volatile var consumed = 0L
+      // the ENGINE's own state-store partition count, not the env echo:
+      // proof in the record that the clone-scoped knob actually pinned
+      // (StateOperatorProgress.numShufflePartitions; -1 = stateless op)
+      @volatile var statePartsPinned = -1L
       override def onQueryStarted(e: org.apache.spark.sql.streaming
           .StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: org.apache.spark.sql.streaming
@@ -224,6 +229,8 @@ object StreamProbe {
           dataBatches.add((p.numInputRows, p.batchDuration.toDouble,
             p.stateOperators.map(_.numRowsTotal).foldLeft(0L)(math.max)))
         }
+        if (p.stateOperators.nonEmpty)
+          statePartsPinned = p.stateOperators.head.numShufflePartitions
       }
       override def onQueryTerminated(e: org.apache.spark.sql.streaming
           .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -281,7 +288,8 @@ object StreamProbe {
         val states = progress.map(_._3)
         val stateMid = if (states.isEmpty) 0L else states(states.length / 2)
         val stateEnd = if (states.isEmpty) 0L else states.last
-        Run(wall, rows, progress.length, latAvg, latP95, stateMid, stateEnd)
+        Run(wall, rows, progress.length, latAvg, latP95, stateMid, stateEnd,
+          tap.statePartsPinned)
       } finally tapSession.streams.removeListener(tap)
     }
 
@@ -293,7 +301,8 @@ object StreamProbe {
         val line = f"""{"op":"$name","rows":${r.rows},"wall_s":${r.wall}%.3f,""" +
           f""""rows_per_s":${r.rows / r.wall}%.0f,"batches":${r.batches},""" +
           f""""batch_ms_avg":${r.latAvgMs}%.0f,"batch_ms_p95":${r.latP95Ms}%.0f,""" +
-          f""""state_rows_mid":${r.stateMid},"state_rows_end":${r.stateEnd}}"""
+          f""""state_rows_mid":${r.stateMid},"state_rows_end":${r.stateEnd},""" +
+          f""""state_parts_pinned":${r.statePartsPinned}}"""
         println(line)
         line
       }
