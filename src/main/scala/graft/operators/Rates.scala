@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** PromQL range-function family, batch form.
   *
@@ -322,5 +324,100 @@ object Rates {
         }
       }
     out.toDF(keyCol, tsCol, valCol, "hw_level", "hw_trend")
+  }
+
+  /** PromQL `quantile_over_time` over a trailing `frameRows`-row frame —
+    * the SLIDING order-statistics twin of the registry's
+    * `percentile(v, p).over(rowsBetween(-frameRows+1, 0))` plan
+    * (`q_quantile_ot`).
+    *
+    * Why it exists (round-16 adjudication, BASELINE.md r16 item 4): the
+    * window plan re-aggregates the whole frame for EVERY row — Spark's
+    * exact `Percentile` builds and sorts a counts map per output row, so
+    * the materialized cost is O(rows · frame log frame) interpreted
+    * work; it is q_quantile_ot's 33× count-vs-noop divergence. This twin
+    * pays one keyed exchange + an in-partition sort (the exact exchange
+    * the window plan also needs), then ONE pass per partition with a
+    * ≤frameRows sorted buffer: binary-search insert/evict per row,
+    * O(rows · frame) memmove at frame=50 ≈ ns-scale per row, all inside
+    * a single mapPartitions. State is bounded by the frame, so the shape
+    * holds at any scale; keys are hash-partitioned, so 100 TB splits by
+    * key exactly like the window plan.
+    *
+    * Numeric contract: REPLICATES Spark's `Percentile` bit-for-bit
+    * (parity spec) — nulls occupy frame slots but not the order
+    * statistics; an all-null frame yields NULL; interpolation is the
+    * engine's exact `lower·(hi−pos) + higher·(pos−lo)` at
+    * pos = p·(n−1), evaluated in the same operation order.
+    *
+    * UN-REGISTERED (the `duplicatedSpansChunked` precedent): built and
+    * spec-pinned this round, left for promotion-by-measurement next
+    * round — the registry row keeps the certified window plan until a
+    * noop-vs-noop record justifies the swap. Appends `q_ot` (double). */
+  def quantileOverTimeSliding(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String, frameRows: Int,
+      p: Double): DataFrame = {
+    require(frameRows > 0, s"frameRows must be positive, got $frameRows")
+    require(p >= 0.0 && p <= 1.0, s"quantile must be in [0,1], got $p")
+    requireAbsent(df, Seq("q_ot"))
+    val cols = (Seq(keyCol) ++ orderCols :+ valueCol).map(col)
+    val sorted = df.select(cols: _*)
+      .repartition(col(keyCol))
+      .sortWithinPartitions((Seq(keyCol) ++ orderCols).map(col): _*)
+    val outSchema = sorted.schema.add("q_ot", DoubleType, nullable = true)
+    val vIdx = sorted.schema.fields.length - 1
+    sorted.mapPartitions { it =>
+      // per-key sliding state: ring of the last frameRows slots (null
+      // slots included — they age out of the frame like any row) and a
+      // sorted multiset of the non-null values, both frame-bounded
+      val ringV = new Array[Long](frameRows)
+      val ringNull = new Array[Boolean](frameRows)
+      var head = 0
+      var filled = 0
+      val ord = new Array[Long](frameRows)
+      var ordN = 0
+      var curKey: Any = None // sentinel unequal to any column value
+      def insertOrd(v: Long): Unit = {
+        val i = java.util.Arrays.binarySearch(ord, 0, ordN, v)
+        val at = if (i >= 0) i else -(i + 1)
+        System.arraycopy(ord, at, ord, at + 1, ordN - at)
+        ord(at) = v
+        ordN += 1
+      }
+      def removeOrd(v: Long): Unit = {
+        val at = java.util.Arrays.binarySearch(ord, 0, ordN, v)
+        System.arraycopy(ord, at + 1, ord, at, ordN - at - 1)
+        ordN -= 1
+      }
+      // Spark Percentile.getPercentile's exact arithmetic: position on
+      // n−1, floor/ceil ranks, lower·(hi−pos) + higher·(pos−lo)
+      def quantile(): Any =
+        if (ordN == 0) null
+        else {
+          val pos = p * (ordN - 1)
+          val lo = math.floor(pos).toInt
+          val hi = math.ceil(pos).toInt
+          if (lo == hi) ord(lo).toDouble
+          else ord(lo).toDouble * (hi - pos) + ord(hi).toDouble * (pos - lo)
+        }
+      it.map { r =>
+        val k = r.get(0)
+        if (k != curKey) {
+          curKey = k; head = 0; filled = 0; ordN = 0
+        }
+        if (filled == frameRows) { // evict the slot leaving the frame
+          if (!ringNull(head)) removeOrd(ringV(head))
+        } else filled += 1
+        val isNull = r.isNullAt(vIdx)
+        ringNull(head) = isNull
+        if (!isNull) {
+          val v = r.getLong(vIdx)
+          ringV(head) = v
+          insertOrd(v)
+        }
+        head = (head + 1) % frameRows
+        Row.fromSeq(r.toSeq :+ quantile())
+      }
+    }(RowEncoder.encoderFor(outSchema))
   }
 }

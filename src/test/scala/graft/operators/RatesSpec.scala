@@ -68,6 +68,49 @@ class RatesSpec extends SparkSpec {
     assert(b.getDouble(2) == 0.0 && b.getDouble(3) == 10.0, b.toString)
   }
 
+  test("quantileOverTimeSliding is bit-identical to the percentile window plan") {
+    // the registry plan (q_quantile_ot's exact shape, smaller frame so
+    // the fixture exercises full frames, partial head frames, ties,
+    // evictions and a null inside + outside the frame)
+    def windowPlan(df: org.apache.spark.sql.DataFrame, frame: Int, p: Double) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("ts_us", "id")
+        .rowsBetween(-(frame - 1), 0)
+      df.withColumn("q_ot", percentile(col("v"), lit(p)).over(w))
+        .select("k", "ts_us", "id", "v", "q_ot").orderBy("id")
+    }
+    val withNulls = Seq(
+      ("a", 1L, 0L, Some(5000L)), ("a", 2L, 1L, Some(7000L)),
+      ("a", 3L, 2L, None), ("a", 4L, 3L, Some(9000L)),
+      ("a", 5L, 4L, Some(1000L)), ("a", 6L, 5L, Some(1000L)),
+      ("b", 1L, 6L, None), ("b", 2L, 7L, Some(10000L)),
+      ("c", 1L, 8L, None))
+      .toDF("k", "ts_us", "id", "v")
+    val rng = new scala.util.Random(7)
+    val random = (0 until 3000).map { i =>
+      (s"k${i % 5}", (i / 5).toLong, i.toLong,
+        if (rng.nextInt(50) == 0) None else Some(rng.nextInt(100000).toLong))
+    }.toDF("k", "ts_us", "id", "v")
+    for ((df, frame, p) <- Seq((withNulls, 3, 0.5), (random, 50, 0.5),
+        (random, 7, 0.9), (random, 1, 0.25))) {
+      val want = windowPlan(df, frame, p).collect()
+      val got = Rates.quantileOverTimeSliding(df, "k", Seq("ts_us", "id"),
+        "v", frame, p).orderBy("id").collect()
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getLong(2) == w.getLong(2))
+        val (gn, wn) = (g.isNullAt(4), w.isNullAt(4))
+        assert(gn == wn, s"null shape differs at id=${g.getLong(2)} " +
+          s"(frame=$frame p=$p)")
+        if (!gn) assert(
+          java.lang.Double.doubleToRawLongBits(g.getDouble(4)) ==
+            java.lang.Double.doubleToRawLongBits(w.getDouble(4)),
+          s"id=${g.getLong(2)} frame=$frame p=$p: " +
+            s"${g.getDouble(4)} vs ${w.getDouble(4)}")
+      }
+    }
+  }
+
   test("derivPredict: sums past Long.MaxValue do not overflow (r15 10x bug)") {
     // x offsets ~3.1e9 s make a LONG Σxx pass 2^63 with two samples —
     // the shape that failed loud under ANSI at ld1 in the r15 noop bench
