@@ -1337,12 +1337,18 @@ object Queries {
       // PromQL quantile_over_time: exact trailing-50-sample median per
       // series (ROWS frame over a total order; integer inputs make the
       // midpoint interpolation bit-identical cross-engine).
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("ts_us", "event_id")
-        .rowsBetween(-49, 0)
-      milliEvents(s, d)
-        .withColumn("med_ot",
-          round(percentile(col("v"), lit(0.5)).over(w) / 1000.0, 6))
+      // Plan (promoted round 17): Rates.quantileOverTimeSliding — one
+      // keyed exchange + ONE pass with a frame-bounded order-statistics
+      // ring, replacing percentile().over(rows frame) which re-sorted the
+      // 50-row frame per output row (the row's 33× count-vs-noop
+      // divergence). Bit-parity with the window plan is spec-pinned
+      // (RatesSpec frames 1–50, p .25/.5/.9, null shapes); measured
+      // 3.9× at sf0.1 / 8.9× at 10× under the noop sink
+      // (bench/r16/QUANTILE_SLIDING_{sf01,ld1}_r16.json).
+      graft.operators.Rates.quantileOverTimeSliding(milliEvents(s, d),
+          "event_type", Seq("ts_us", "event_id"), "v",
+          frameRows = 50, p = 0.5)
+        .withColumn("med_ot", round(col("q_ot") / 1000.0, 6))
         .select("event_type", "ts_us", "event_id", "med_ot")
         .orderBy("event_id")
     }),

@@ -29,15 +29,26 @@ import org.apache.spark.sql.types._
   *    nulls the sum (plus propagates) and mae is null;
   *  - mae: errSum / size(vec) in double.
   *
-  * Two DOCUMENTED edge divergences, spec-pinned (the parity contract is
-  * scoped to non-null, non-empty vectors — what the embeddings table
-  * guarantees and the oracle row exercises):
+  * Three DOCUMENTED edge divergences, spec-pinned (the parity contract
+  * is scoped to non-null, non-empty vectors of FINITE elements — what
+  * the embeddings table guarantees and the oracle row exercises):
   *  - empty vector: the kernel is total (mae = 0.0/0 = NaN) where the
   *    HOF plan raises ANSI DIVIDE_BY_ZERO — a library function should
   *    not throw on a well-typed row;
   *  - null vector: the kernel returns a null struct (standard null-in →
   *    null-out) where the HOF plan's `when(...).otherwise(0.0)` leaks a
-  *    half-null `struct(null, 0.0, null)`. */
+  *    half-null `struct(null, 0.0, null)`;
+  *  - NaN / Infinity elements: the kernel stays total where the HOF
+  *    plan's `round(...).cast("long")` throws a CAST error under
+  *    Spark 4's default ANSI mode. Kernel semantics: a NaN max-abs
+  *    fails `> 0.0` so scale = 0.0 (an Inf max-abs gives 127/Inf = 0.0
+  *    too); `v·0.0` is then NaN for NaN/Inf elements and 0.0 for finite
+  *    ones, and `NaN.toLong` = 0 — so every code is 0, and mae is
+  *    NaN (NaN present) or Infinity (Inf present, |v−0| sum). Codes of
+  *    0 at scale 0.0 is also the all-zero-vector convention, so a
+  *    non-finite vector degrades to "unquantizable, dequantizes to 0"
+  *    with the damage visible in mae rather than an executor-killing
+  *    throw mid-pipeline. */
 object Int8QuantUtil {
 
   /** Spark's Round-on-double at scale 0 (RoundBase: scala BigDecimal of

@@ -32,7 +32,33 @@ import org.apache.spark.sql.types._
   * data — only over the schema. */
 object Profile {
 
-  def profile(df: DataFrame): DataFrame = {
+  def profile(df: DataFrame): DataFrame =
+    profileWith(df, countDistinct(_))
+
+  /** The approx-distinct production twin of [[profile]] (round-17
+    * order #6 probe): IDENTICAL output schema and identical values in
+    * every field except `n_distinct`, which comes from
+    * `approx_count_distinct` (HyperLogLog++, `rsd` relative error)
+    * instead of exact `countDistinct`.
+    *
+    * Why it exists: the exact profile's one multiplier is the
+    * multi-countDistinct Expand — ×n_cols rows into the aggregate — and
+    * it is q_table_profile's 24× count-vs-noop divergence (BASELINE.md
+    * divergence table). HLL sketches are distinct-free aggregates: no
+    * Expand, one pass at ×1 rows, constant sketch state per column —
+    * the shape a 100 TB dataset-card run wants when ~2% error on
+    * distinct counts is acceptable. UNREGISTERED: the registry row
+    * keeps the exact plan (the certification stance in [[profile]]'s
+    * scaladoc — approximate variants are opt-in, never silently
+    * default); this twin is measured noop-vs-noop by
+    * `tools/TableProfileProbe` and would only be promoted to a
+    * bench-only production-twin row on a ≥1.5× record, like the
+    * xxhash64 MinHash twin. */
+  def profileApprox(df: DataFrame, rsd: Double = 0.02): DataFrame =
+    profileWith(df, approx_count_distinct(_, rsd))
+
+  private def profileWith(df: DataFrame,
+      distinctAgg: Column => Column): DataFrame = {
     val fields = df.schema.fields
     require(fields.nonEmpty, "cannot profile an empty schema")
     def numd(f: StructField): Option[Column] = f.dataType match {
@@ -47,7 +73,7 @@ object Profile {
     val aggs = fields.flatMap { f =>
       val c = col(f.name)
       Seq(count(c).as(s"_c_${f.name}"),
-        countDistinct(c).as(s"_d_${f.name}")) ++
+        distinctAgg(c).as(s"_d_${f.name}")) ++
         numd(f).toSeq.flatMap { n =>
           Seq(min(n).as(s"_mn_${f.name}"), max(n).as(s"_mx_${f.name}"),
             sum(floor(n * 1e6).cast("decimal(38,0)")).as(s"_s_${f.name}"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** PromQL range-function family, batch form.
   *
@@ -327,12 +327,12 @@ object Rates {
   }
 
   /** PromQL `quantile_over_time` over a trailing `frameRows`-row frame —
-    * the SLIDING order-statistics twin of the registry's
-    * `percentile(v, p).over(rowsBetween(-frameRows+1, 0))` plan
-    * (`q_quantile_ot`).
+    * the one-pass sliding order-statistics plan behind `q_quantile_ot`
+    * (bit-identical twin of
+    * `percentile(v, p).over(rowsBetween(-frameRows+1, 0))`).
     *
-    * Why it exists (round-16 adjudication, BASELINE.md r16 item 4): the
-    * window plan re-aggregates the whole frame for EVERY row — Spark's
+    * Why it replaced the window plan (round-16 adjudication, BASELINE.md
+    * r16 item 4): the window plan re-aggregates the whole frame for EVERY row — Spark's
     * exact `Percentile` builds and sorts a counts map per output row, so
     * the materialized cost is O(rows · frame log frame) interpreted
     * work; it is q_quantile_ot's 33× count-vs-noop divergence. This twin
@@ -350,15 +350,28 @@ object Rates {
     * engine's exact `lower·(hi−pos) + higher·(pos−lo)` at
     * pos = p·(n−1), evaluated in the same operation order.
     *
-    * UN-REGISTERED (the `duplicatedSpansChunked` precedent): built and
-    * spec-pinned this round, left for promotion-by-measurement next
-    * round — the registry row keeps the certified window plan until a
-    * noop-vs-noop record justifies the swap. Appends `q_ot` (double). */
+    * PROMOTED round 17 (was the `duplicatedSpansChunked`-style held-back
+    * twin in r16): registered as the plan behind `q_quantile_ot` on the
+    * bit-parity spec (frames 1–50, p .25/.5/.9, null shapes) plus the
+    * banked noop-vs-noop records — 3.9× at sf0.1, 8.9× at 10×
+    * (`bench/r16/QUANTILE_SLIDING_{sf01,ld1}_r16.json`).
+    *
+    * Projection contract: the output is EXACTLY
+    * `keyCol ++ orderCols :+ valueCol :+ q_ot` (double, nullable) — any
+    * other input column is dropped, by design: the one-pass buffer keys
+    * its ring on ordinal positions, and callers that need more columns
+    * join back on (key, order) or select them in beforehand. The value
+    * column must be LongType (the order-statistics ring stores primitive
+    * longs — the exact-integer contract the registry row feeds it). */
   def quantileOverTimeSliding(df: DataFrame, keyCol: String,
       orderCols: Seq[String], valueCol: String, frameRows: Int,
       p: Double): DataFrame = {
     require(frameRows > 0, s"frameRows must be positive, got $frameRows")
     require(p >= 0.0 && p <= 1.0, s"quantile must be in [0,1], got $p")
+    require(df.schema(valueCol).dataType == LongType,
+      s"quantileOverTimeSliding requires a LongType value column; " +
+        s"'$valueCol' is ${df.schema(valueCol).dataType.simpleString} — " +
+        s"cast it to long (exact integers) before calling")
     requireAbsent(df, Seq("q_ot"))
     val cols = (Seq(keyCol) ++ orderCols :+ valueCol).map(col)
     val sorted = df.select(cols: _*)

@@ -52,7 +52,24 @@ object Ann {
     * installed — the compositional form below is three interpreted HOF
     * folds per vector, which priced the row's MATERIALIZED output at 60×
     * its count-shaped price in the r15 divergence table (round-16
-    * order #4). */
+    * order #4).
+    *
+    * Dispatch contract (applies equally to [[cosine]] and
+    * `nearestCellInt`, which use the same pattern): the kernel probe
+    * reads `SparkSession.getActiveSession` at COLUMN-CONSTRUCTION time —
+    * a `Column` carries no session, so the DataFrame that will analyze
+    * the plan cannot be consulted here. In multi-session apps the
+    * extension must therefore be installed (`spark.sql.extensions =
+    * graft.expressions.GraftExtensions`) on every session that analyzes
+    * plans built from this helper, or resolution of the native function
+    * fails. `newSession()` clones — including
+    * `StreamingConf.withStatePartitions` scopes — re-apply the builder's
+    * extensions automatically, so the registry rides along
+    * (spec-asserted in StreamingConfSpec); only a session built WITHOUT
+    * the extension mixing with one built with it can mismatch, and the
+    * worst cases are a loud unresolved-function error (active had it,
+    * analyzer didn't) or a silent fallback to the bit-identical composed
+    * plan (the reverse) — never a wrong answer. */
   def int8Report(vec: Column): Column =
     org.apache.spark.sql.SparkSession.getActiveSession
       .filter(s => scala.util.Try(

@@ -60,11 +60,23 @@ object StreamingConf {
     * .numShufflePartitions`). The block receives a SCOPED session clone
     * whose shuffle-partition conf is `n`; the source and the `start()`
     * must both go through it. The caller's session conf is never
-    * mutated, so there is no restore step and nothing to race. */
+    * mutated, so there is no restore step and nothing to race.
+    *
+    * The clone CARRIES the caller's current runtime SQL confs:
+    * `newSession()` alone initializes from builder-time options only, so
+    * anything the caller `spark.conf.set(...)` after startup (timezone,
+    * ANSI tweaks, codegen flags) would be silently absent from the
+    * session the stream is planned from — every modifiable conf is copied
+    * onto the clone first, then the one knob this scope exists for is
+    * overridden (spec-asserted). Extensions (the graft function registry)
+    * ride along via `newSession()` itself. */
   def withStatePartitions[T](spark: SparkSession, n: Int)
       (start: SparkSession => T): T = {
     require(n > 0, s"state partitions must be positive, got $n")
     val scoped = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (scoped.conf.isModifiable(k)) scoped.conf.set(k, v)
+    }
     scoped.conf.set(ShufflePartitionsKey, n.toString)
     start(scoped)
   }

@@ -103,4 +103,30 @@ class Int8ReportSpec extends SparkSpec {
         .select($"r.mae").head()
     }
   }
+
+  test("documented edge divergence 3: NaN/Infinity elements (kernel total, composed throws)") {
+    // The parity contract is scoped to FINITE elements. Kernel semantics
+    // (scaladoc): non-finite max-abs degrades scale to 0.0, every code to
+    // 0, and the damage surfaces in mae (NaN for a NaN element, Infinity
+    // for an Inf element) — never an executor-killing throw. The composed
+    // plan's round(...).cast("long") throws a CAST error under Spark 4's
+    // default ANSI mode on the same rows.
+    val nanVec = Seq((1L, Seq(1.0f, Float.NaN, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val infVec = Seq((2L, Seq(1.0f, Float.PositiveInfinity, -2.0f)))
+      .toDF("vec_id", "embedding")
+    for ((df, label) <- Seq((nanVec, "NaN"), (infVec, "Inf"))) {
+      val k = df.select(Ann.int8Report($"embedding").as("r"))
+        .select($"r.codes", $"r.scale", $"r.mae").head()
+      assert(k.getSeq[Long](0) == Seq(0L, 0L, 0L),
+        s"$label: all codes must be 0 at degraded scale, got ${k.getSeq[Long](0)}")
+      assert(k.getDouble(1) == 0.0, s"$label: scale must degrade to 0.0")
+      if (label == "NaN") assert(k.getDouble(2).isNaN, "NaN element => NaN mae")
+      else assert(k.getDouble(2).isPosInfinity, "Inf element => Infinity mae")
+      intercept[Exception] {
+        df.select(Ann.int8ReportComposed($"embedding").as("r"))
+          .select($"r.codes").head()
+      }
+    }
+  }
 }

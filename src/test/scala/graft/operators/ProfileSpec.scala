@@ -32,6 +32,43 @@ class ProfileSpec extends SparkSpec {
     assert(s.getString(8) == "a" && s.getString(9) == "b")
   }
 
+  test("profileApprox: same schema, identical non-distinct fields, HLL within rsd, NO Expand") {
+    // deterministic wide-ish fixture: enough distincts that HLL error is
+    // exercised, few enough that rsd=0.02 stays comfortably inside 5%
+    val df = (0 until 5000).map { i =>
+      (i.toLong, (i % 977).toDouble / 4.0,
+        if (i % 100 == 0) null else s"s${i % 313}")
+    }.toDF("id", "v", "s")
+    val exact = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Profile.profileApprox(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(Profile.profileApprox(df).schema == Profile.profile(df).schema,
+      "the twin must keep the registry row's exact output schema")
+    assert(exact.keySet == approx.keySet)
+    exact.keys.foreach { k =>
+      val (e, a) = (exact(k), approx(k))
+      // every field except n_distinct (index 4) identical
+      (0 until e.length).filter(_ != 4).foreach { i =>
+        assert(e.isNullAt(i) == a.isNullAt(i), s"$k field $i null shape")
+        if (!e.isNullAt(i)) assert(e.get(i) == a.get(i),
+          s"$k field $i: ${e.get(i)} vs ${a.get(i)}")
+      }
+      val (ed, ad) = (e.getLong(4), a.getLong(4))
+      assert(math.abs(ad - ed).toDouble / ed <= 0.05,
+        s"$k HLL distinct $ad vs exact $ed drifts past 5%")
+    }
+    // the twin's reason to exist: the exact plan's multi-countDistinct
+    // Expand must be GONE from the approx plan
+    val exactPlan = Profile.profile(df).queryExecution.executedPlan.toString
+    val approxPlan =
+      Profile.profileApprox(df).queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "fixture invalid: exact plan should carry the multi-countDistinct Expand")
+    assert(!approxPlan.contains("Expand"),
+      s"approx plan must not Expand, plan:\n$approxPlan")
+  }
+
   test("profile is ONE aggregate job: no per-column scans of the data") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("a", "b")
     val plan = Profile.profile(df).queryExecution.executedPlan.toString

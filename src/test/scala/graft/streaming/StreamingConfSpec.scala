@@ -69,6 +69,28 @@ class StreamingConfSpec extends SparkSpec {
     assert(spark.conf.get(StreamingConf.ShufflePartitionsKey) == before)
   }
 
+  test("runtime confs set AFTER startup ride onto the scoped clone (r16 ADVICE)") {
+    // newSession() alone starts from builder-time options — a caller's
+    // later spark.conf.set would be silently absent from the session the
+    // stream is planned from. The knob copies modifiable runtime confs.
+    val key = "spark.sql.session.timeZone"
+    val before = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "America/New_York")
+      StreamingConf.withStatePartitions(spark, 2) { scoped =>
+        assert(scoped.conf.get(key) == "America/New_York",
+          "a runtime conf set on the caller must be visible on the clone")
+        assert(scoped.conf.get(StreamingConf.ShufflePartitionsKey) == "2",
+          "the knob override must win over the copied caller value")
+        // the clone also keeps the graft extension registry (newSession
+        // re-applies spark.sql.extensions): the Ann/cosine kernel dispatch
+        // pattern this knob composes with keeps working on the clone
+        assert(scoped.catalog.functionExists("graft_int8_report"),
+          "extension-injected functions must exist on the scoped clone")
+      }
+    } finally spark.conf.set(key, before)
+  }
+
   test("caller conf untouched when the block throws, and rejects n <= 0") {
     val before = spark.conf.get(StreamingConf.ShufflePartitionsKey)
     intercept[RuntimeException] {
