@@ -91,8 +91,19 @@ class RatesSpec extends SparkSpec {
       (s"k${i % 5}", (i / 5).toLong, i.toLong,
         if (rng.nextInt(50) == 0) None else Some(rng.nextInt(100000).toLong))
     }.toDF("k", "ts_us", "id", "v")
+    // boundary quantiles (exact frame-min / frame-max paths), a frame
+    // LARGER than every series (never evicts; partial frames only), and
+    // magnitudes near ±2^63 (the long→double conversion both engines
+    // share must stay bit-identical through the interpolation)
+    val extremes = Seq(
+      ("a", 1L, 0L, Some(Long.MaxValue)), ("a", 2L, 1L, Some(Long.MinValue)),
+      ("a", 3L, 2L, Some(Long.MaxValue - 1L)), ("a", 4L, 3L, Some(0L)),
+      ("a", 5L, 4L, Some(Long.MinValue + 1L)), ("b", 1L, 5L, Some(Long.MaxValue)))
+      .toDF("k", "ts_us", "id", "v")
     for ((df, frame, p) <- Seq((withNulls, 3, 0.5), (random, 50, 0.5),
-        (random, 7, 0.9), (random, 1, 0.25))) {
+        (random, 7, 0.9), (random, 1, 0.25),
+        (withNulls, 10, 1.0), (random, 5, 0.0),
+        (extremes, 3, 0.5), (extremes, 2, 0.75))) {
       val want = windowPlan(df, frame, p).collect()
       val got = Rates.quantileOverTimeSliding(df, "k", Seq("ts_us", "id"),
         "v", frame, p).orderBy("id").collect()
