@@ -69,6 +69,24 @@ class ProfileSpec extends SparkSpec {
       s"approx plan must not Expand, plan:\n$approxPlan")
   }
 
+  test("profileApprox ≡ profile on a ZERO-ROW table (empty partitions are routine)") {
+    // dataset-card runs hit empty shards; both plans must agree exactly
+    // here (counts 0, distincts 0, typed stats null) — no rsd slack
+    // needed since HLL of nothing is 0
+    val empty = Seq.empty[(Long, Double, String)].toDF("id", "v", "s")
+    val e = Profile.profile(empty).collect().map(r => r.getString(0) -> r).toMap
+    val a = Profile.profileApprox(empty).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(e.keySet == a.keySet && e.nonEmpty)
+    e.keys.foreach { k =>
+      (0 until e(k).length).foreach { i =>
+        assert(e(k).isNullAt(i) == a(k).isNullAt(i), s"$k field $i null shape")
+        if (!e(k).isNullAt(i))
+          assert(e(k).get(i) == a(k).get(i), s"$k field $i")
+      }
+    }
+  }
+
   test("profile is ONE aggregate job: no per-column scans of the data") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("a", "b")
     val plan = Profile.profile(df).queryExecution.executedPlan.toString
