@@ -144,6 +144,22 @@ object Bench {
         if (ns < 0) -1.0 else ns / 1e9
       case _ => -1.0
     }
+    // GC-time channel (round-17 "what's wrong #2" chase): the r17 driver
+    // record's q_detect_quality read ~612 CPU-s/rep vs ~20 at cert —
+    // ~30× CPU inflation no validated env channel explains. The prime
+    // suspect is a GC storm in the forked child (driver-side LSTM
+    // allocation pattern under a contended heap): cumulative stop-the-
+    // world collection time is the one JVM-side signal that separates
+    // "the work itself ran slow" from "the heap thrashed". Deltas over
+    // the process window ride ctx.gc_ms, and each forked attempt carries
+    // its child's own value in child_ctx — a 13.7× row whose child shows
+    // hundreds of seconds of GC is named from the record alone.
+    def gcTimeMs(): Double =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(b => math.max(0L, b.getCollectionTime)).sum.toDouble
+      } catch { case _: Throwable => -1.0 }
     var failed = List.empty[String]
     // noop sink = full materialization of every output column (scaladoc);
     // count stays the default so historical records remain comparable.
@@ -260,6 +276,7 @@ object Bench {
     val wallStartNs = System.nanoTime()
     val ioStart = ioSnapshot()
     val throttleStart = throttledMs()
+    val gcStart = gcTimeMs()
     // delta between two snapshots → (iowait %, steal %, MB read)
     def ioDelta(a: IoStat, b: IoStat): (Double, Double, Double) =
       if (a.total < 0 || b.total < 0 || b.total <= a.total)
@@ -382,7 +399,8 @@ object Bench {
                               iowaitPct: Double, stealPct: Double,
                               diskReadMb: Double, throttledMs: Double,
                               effectiveCores: Double, procCpuS: Double,
-                              wallS: Double, warmupS: Double)
+                              wallS: Double, warmupS: Double,
+                              gcMs: Double)
     def runForked(names: Seq[String], repsOverride: Option[Int] = None)
         : Option[ChildRun] =
       try {
@@ -436,7 +454,7 @@ object Bench {
           Some(ChildRun(rows, ld("load_avg_start"), ld("load_avg_end"),
             ld("iowait_pct"), ld("steal_pct"), ld("disk_read_mb"),
             ld("throttled_ms"), ld("effective_cores"), ld("proc_cpu_s"),
-            ld("wall_s"), warmup))
+            ld("wall_s"), warmup, ld("gc_ms")))
         } else {
           System.err.println(
             s"[bench] forked record missing ${names.size - rows.size} rows (rc=$rc)")
@@ -541,6 +559,9 @@ object Bench {
               // only — undiluted by the child's single-threaded warmup
               s""""row_eff_cores":${d2j(a.rows.head.effCores)},""" +
               s""""warmup_s":${d2j(a.warmupS)},""" +
+              // the child JVM's cumulative stop-the-world GC time over its
+              // whole window — the heap-thrash channel (order #3 chase)
+              s""""gc_ms":${d2j(a.gcMs)},""" +
               s""""steady":${d3j(a.rows.head.steady)}}""")
               .mkString(s"""{"attempts":[""",
                 ",", s"""],"kept":${attempts.indexOf(kept) + 1}}""")
@@ -626,10 +647,12 @@ object Bench {
         if (procCpuStart < 0 || procCpuEnd < 0) -1.0
         else procCpuEnd - procCpuStart
       val effCores = if (procCpuS < 0 || wallS <= 0) -1.0 else procCpuS / wallS
+      val gcEnd = gcTimeMs()
+      val gcMs = if (gcStart < 0 || gcEnd < 0) -1.0 else gcEnd - gcStart
       val cgPath = cgroupStatPath.getOrElse("none")
       val warmups = warmupDone.toSeq.sortBy(_._1)
         .map { case (n, s) => s""""$n":${d2(s)}""" }.mkString(",")
-      s"""{"warmup_s":{$warmups},"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"iowait_pct":${d2(iowaitPct)},"steal_pct":${d2(stealPct)},"disk_read_mb":${d2(diskReadMb)},"throttled_ms":${d2(thrDelta)},"cgroup_path":"$cgPath","proc_cpu_s":${d2(procCpuS)},"wall_s":${d2(wallS)},"effective_cores":${d2(effCores)},"sink":"$sinkMode","procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps,"reps_override":{$overrides},"child_retry_load":${d2(retryLoad)},"child_ctx":{$children}}"""
+      s"""{"warmup_s":{$warmups},"load_avg_start":${d2(loadStart)},"load_avg_end":${d2(loadEnd)},"iowait_pct":${d2(iowaitPct)},"steal_pct":${d2(stealPct)},"disk_read_mb":${d2(diskReadMb)},"throttled_ms":${d2(thrDelta)},"cgroup_path":"$cgPath","proc_cpu_s":${d2(procCpuS)},"wall_s":${d2(wallS)},"effective_cores":${d2(effCores)},"gc_ms":${d2(gcMs)},"sink":"$sinkMode","procs":${Runtime.getRuntime.availableProcessors},"heap_max_gb":${d1(heapGb)},"reps":$reps,"reps_override":{$overrides},"child_retry_load":${d2(retryLoad)},"child_ctx":{$children}}"""
     }
     val json =
       s"""{"metric":"total_steady","value":$totalSteady,"unit":"sec","queries":$qsSteady,"value_first":$totalFirst,"queries_first":$qsFirst,"queries_eff_cores":$qsEff,"oracle_total":$totalSteady,"production_total":$productionTotal,"queries_bench_only":$qsTwins,"failed":$fs,"sf":"$sfDir","ctx":$ctx}"""

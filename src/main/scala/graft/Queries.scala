@@ -1216,14 +1216,20 @@ object Queries {
       val day = milliEvents(s, d)
         .withColumn("day_bkt", expr("ts_us div 86400000000"))
         .select("event_type", "day_bkt", "v")
+      // graft_percentile = bit-identical primitive-buffer kernel
+      // (ExactPercentileSpec; guide §4 — the built-in's boxed update path)
+      import graft.expressions.ExactPercentiles.pctl
+      import org.apache.spark.sql.types.DoubleType
       val med = day.groupBy("event_type", "day_bkt")
-        .agg(expr("percentile(v, 0.5)").as("med"), count(lit(1)).as("n"))
+        .agg(pctl(col("v"), lit(0.5), day.schema("v").dataType).as("med"),
+          count(lit(1)).as("n"))
       day.join(broadcast(med), Seq("event_type", "day_bkt"))
         .withColumn("adev", expr("abs(CAST(v AS DOUBLE) - med)"))
         .groupBy("event_type", "day_bkt")
         .agg(max("n").as("n"),
           round(max("med") / 1000.0, 6).as("med"),
-          round(expr("percentile(adev, 0.5)") / 1000.0, 6).as("mad"))
+          round(pctl(col("adev"), lit(0.5), DoubleType) / 1000.0, 6)
+            .as("mad"))
         .orderBy("event_type", "day_bkt")
     }),
 
@@ -1510,18 +1516,24 @@ object Queries {
         scratchDir("graft_curation")).report
     }),
 
-    "q_len_percentiles" -> ((s, d) =>
+    "q_len_percentiles" -> ((s, d) => {
       // Length-distribution profile per language — the curation dashboard
       // staple. EXACT linear-interpolation percentiles (Spark `percentile`
       // ≡ DuckDB `quantile_cont`), not approx sketches, so the result is
-      // oracle-checkable; one map-side-combinable aggregate.
-      Tables.documents(s, d)
-        .groupBy("lang")
-        .agg(
-          round(expr("percentile(n_chars, 0.5)"), 6).as("q50"),
-          round(expr("percentile(n_chars, 0.9)"), 6).as("q90"),
-          round(expr("percentile(n_chars, 0.99)"), 6).as("q99"))
-        .orderBy("lang")),
+      // oracle-checkable; ONE map-side-combinable array-percentile
+      // aggregate (all three φs share a single value→count buffer) on the
+      // bit-identical graft_percentile kernel (ExactPercentileSpec).
+      val docs = Tables.documents(s, d)
+      docs.groupBy("lang")
+        .agg(graft.expressions.ExactPercentiles.pctl(col("n_chars"),
+          array(lit(0.5), lit(0.9), lit(0.99)),
+          docs.schema("n_chars").dataType).as("_qs"))
+        .select(col("lang"),
+          round(element_at(col("_qs"), 1), 6).as("q50"),
+          round(element_at(col("_qs"), 2), 6).as("q90"),
+          round(element_at(col("_qs"), 3), 6).as("q99"))
+        .orderBy("lang")
+    }),
 
     "q_sample_hash" -> ((s, d) =>
       // Reproducible 30% corpus sample: keep iff md5-hash-bucket(id) < 300.
@@ -1929,13 +1941,16 @@ object Queries {
         .orderBy("doc_id")
     }),
 
-    "q_doc_stats" -> ((s, d) =>
-      Tables.documents(s, d)
-        .groupBy("lang")
+    "q_doc_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.groupBy("lang")
         .agg(count(lit(1)).as("cnt"),
           round(avg("n_chars"), 6).as("avg_chars"),
-          median(col("n_chars")).as("median_chars"))
-        .orderBy("lang")),
+          // median ≡ percentile(c, 0.5); bit-identical kernel dispatch
+          graft.expressions.ExactPercentiles.pctl(col("n_chars"), lit(0.5),
+            docs.schema("n_chars").dataType).as("median_chars"))
+        .orderBy("lang")
+    }),
 
     "q_embed_norm" -> ((s, d) =>
       Tables.embeddings(s, d)
@@ -2600,7 +2615,10 @@ object Queries {
           expr("ts_us div 600000000") * lit(600000000L))
         .groupBy("bucket_us")
         .agg(count(lit(1)).as("cnt"),
-          expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("_qs"))
+          // bit-identical primitive-buffer kernel (ExactPercentileSpec)
+          graft.expressions.ExactPercentiles.pctl(col("value"),
+            array(lit(0.5), lit(0.9), lit(0.99)),
+            org.apache.spark.sql.types.DoubleType).as("_qs"))
         .select(col("bucket_us"), col("cnt"),
           round(element_at(col("_qs"), 1), 6).as("q50"),
           round(element_at(col("_qs"), 2), 6).as("q90"),
@@ -5632,6 +5650,20 @@ object Queries {
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2")),
 
+    "q_table_profile_approx" -> ((s, d) =>
+      // HLL++ production twin of q_table_profile (round-17 order #6
+      // adjudication, landed r18 per its sanctioned outcome): identical
+      // output schema and identical values except n_distinct, which is
+      // approx_count_distinct (rsd 2%) instead of exact countDistinct —
+      // no multi-countDistinct Expand, one pass at ×1 rows, constant
+      // sketch state per column. Measured 4.3× noop-vs-noop at sf0.1
+      // (bench/r17/TABLEPROFILE_sf01_r17.json: 3.67 → 0.85 s). The
+      // registry row keeps the EXACT plan (the certification stance);
+      // ProfileSpec pins non-distinct-field parity incl. the zero-row
+      // case. DuckDB's approx_count_distinct uses a different HLL
+      // implementation, so the twin is not oracle-replayable — bench-only.
+      graft.operators.Profile.profileApprox(Tables.orders(s, d))),
+
     "q_simhash_pairs_prod" -> ((s, d) => {
       // xxhash64-basis twin of the PRIMARY q_simhash_pairs row (same
       // overlay, bands, maxDist — only the token-hash kernel differs):
@@ -5657,5 +5689,6 @@ object Queries {
     "q_simhash" -> "q_simhash_md5",
     "q_ann_lsh" -> "q_ann_lsh_md5",
     "q_cosine_neardup" -> "q_cosine_neardup_md5",
-    "q_simhash_pairs_prod" -> "q_simhash_pairs")
+    "q_simhash_pairs_prod" -> "q_simhash_pairs",
+    "q_table_profile_approx" -> "q_table_profile")
 }

@@ -435,5 +435,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorAvgDouble].getName, "graft_vec_avg"),
       (children: Seq[Expression]) =>
         VectorAvgDouble(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_percentile"),
+      new ExpressionInfo(classOf[ExactPercentile].getName, "graft_percentile"),
+      (children: Seq[Expression]) =>
+        ExactPercentile(children(0), children(1)).toAggregateExpression()))
   }
 }

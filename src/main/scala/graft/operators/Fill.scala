@@ -156,9 +156,14 @@ object Fill {
   def fillMean(df: DataFrame, cols: Seq[String]): DataFrame =
     fillWithAgg(df, cols, c => avg(col(c)))
 
-  /** Fill each column's nulls with that column's exact median (`preprocess_data.py:56-62`). */
+  /** Fill each column's nulls with that column's exact median
+    * (`preprocess_data.py:56-62`). `median` ≡ `percentile(c, 0.5)` —
+    * Spark's Median IS PercentileBase at p=0.5 — so the fit dispatches to
+    * the bit-identical primitive-buffer graft_percentile kernel when
+    * registered (ExactPercentileSpec pins parity). */
   def fillMedian(df: DataFrame, cols: Seq[String]): DataFrame =
-    fillWithAgg(df, cols, c => median(col(c)))
+    fillWithAgg(df, cols, c => graft.expressions.ExactPercentiles.pctl(
+      col(c), lit(0.5), df.schema(c).dataType))
 
   private def fillWithAgg(df: DataFrame, cols: Seq[String],
                           aggFor: String => org.apache.spark.sql.Column): DataFrame =

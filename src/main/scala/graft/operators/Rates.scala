@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType}
 
 /** PromQL range-function family, batch form.
   *
@@ -372,6 +372,15 @@ object Rates {
       s"quantileOverTimeSliding requires a LongType value column; " +
         s"'$valueCol' is ${df.schema(valueCol).dataType.simpleString} — " +
         s"cast it to long (exact integers) before calling")
+    // Key-change detection below compares r.get(0) with ==; for BinaryType
+    // that is Array[Byte] REFERENCE equality, so every row would reset the
+    // frame and quantiles would be silently wrong (frame size 1). All
+    // other external types (string/numeric/Seq/Row/Map) have value
+    // equality. Cast binary keys to string (or hash to long) first.
+    require(df.schema(keyCol).dataType != BinaryType,
+      s"quantileOverTimeSliding key column '$keyCol' is BinaryType: " +
+        "Array[Byte] has reference equality, which would reset the frame " +
+        "on every row — cast the key to string or hash it to long first")
     requireAbsent(df, Seq("q_ot"))
     val cols = (Seq(keyCol) ++ orderCols :+ valueCol).map(col)
     val sorted = df.select(cols: _*)

@@ -127,9 +127,14 @@ object Scalers {
     // ONE percentile aggregate per column with an array of percentages —
     // all three quantiles share a single sort buffer (three separate
     // percentile calls would build and sort three buffers: measured 5.1 s
-    // vs 1.7 s on 600k rows × 2 columns)
+    // vs 1.7 s on 600k rows × 2 columns). Runs on the primitive-buffer
+    // graft_percentile kernel when registered (bit-identical to the
+    // built-in — ExactPercentileSpec; the built-in's boxed OpenHashMap
+    // update path priced this fit at ~2 s of q_scale_robust's 2.4 s
+    // cert steady, optimization guide §4).
     val aggs = cols.map(c =>
-      percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)))
+      graft.expressions.ExactPercentiles.pctl(col(c),
+          array(lit(0.25), lit(0.5), lit(0.75)), df.schema(c).dataType)
         .as(s"q_$c"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     def qs(c: String): Seq[Double] = {
@@ -167,11 +172,20 @@ object Scalers {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
-    require(!df.columns.contains("_w_lo") && !df.columns.contains("_w_hi"),
-      "input already has internal column _w_lo/_w_hi")
-    val bounds = df.groupBy(keyCols.map(col): _*).agg(
-      percentile(col(valCol), lit(pLo)).as("_w_lo"),
-      percentile(col(valCol), lit(pHi)).as("_w_hi"))
+    require(!df.columns.contains("_w_lo") && !df.columns.contains("_w_hi") &&
+      !df.columns.contains("_w"),
+      "input already has internal column _w/_w_lo/_w_hi")
+    // ONE array-percentile aggregate: both bounds share a single
+    // value→count buffer per group (two scalar percentile calls would
+    // build and update two); element-wise results are bit-identical to
+    // the scalar calls by construction (same per-p selection). Kernel
+    // dispatch as in fitRobust.
+    val bounds = df.groupBy(keyCols.map(col): _*)
+      .agg(graft.expressions.ExactPercentiles.pctl(col(valCol),
+        array(lit(pLo), lit(pHi)), df.schema(valCol).dataType).as("_w"))
+      .select(col("*"), element_at(col("_w"), 1).as("_w_lo"),
+        element_at(col("_w"), 2).as("_w_hi"))
+      .drop("_w")
     df.join(broadcast(bounds), keyCols, "inner")
       .withColumn(valCol,
         greatest(least(col(valCol), col("_w_hi")), col("_w_lo")))

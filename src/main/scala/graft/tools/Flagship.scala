@@ -96,9 +96,11 @@ object Flagship {
       val t0 = System.nanoTime()
       val n = body
       val dt = (System.nanoTime() - t0) / 1e9
-      val cpu = processCpuSec() - c0
+      val c1 = processCpuSec()
       try { spark.catalog.clearCache() } catch { case _: Throwable => () }
-      val eff = if (c0 < 0 || dt <= 0) -1.0 else cpu / dt
+      // both readings must be valid: a -1 sentinel on EITHER side would
+      // otherwise emit a garbage negative ratio instead of -1
+      val eff = if (c0 < 0 || c1 < 0 || dt <= 0) -1.0 else (c1 - c0) / dt
       (dt, eff, n)
     }
     // full materialization: every output column reaches the sink, so no
@@ -147,15 +149,20 @@ object Flagship {
       .mkString("{", ",", "}")
 
     val windowWall = (System.nanoTime() - windowT0) / 1e9
-    val windowCpu = processCpuSec() - windowCpu0
+    val windowCpu1 = processCpuSec()
+    val windowCpu =
+      if (windowCpu0 < 0 || windowCpu1 < 0) -1.0 else windowCpu1 - windowCpu0
     val windowEff =
-      if (windowCpu0 < 0 || windowWall <= 0) -1.0 else windowCpu / windowWall
+      if (windowCpu < 0 || windowWall <= 0) -1.0 else windowCpu / windowWall
     val thrDelta = {
       val end = throttledMs()
       if (throttleStart < 0 || end < 0) -1.0 else end - throttleStart
     }
     val ctx = f"""{"proc_cpu_s":$windowCpu%.1f,"wall_s":$windowWall%.1f,"effective_cores":$windowEff%.2f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"throttled_ms":$thrDelta%.1f,"cgroup_path":"${cgroupStatPath.getOrElse("none")}","procs":${Runtime.getRuntime.availableProcessors}}"""
-    println(f"""{"probe":"flagship","sf":"$sfDir","rows":$rows,"first_s":$first%.3f,"steady_s":$steady%.3f,"steady_eff_cores":$effSteady%.2f,"reps":${runs.size},"rep_detail":$repsJson,"stage_prefix_s":$stagesJson,"ctx":$ctx}""")
+    // fmt 2 since r17: top-level load_avg moved into ctx (start/end) and
+    // stage_prefix_s values became {wall_s, eff_cores} objects — tooling
+    // that parses pre-r17 records can dispatch on this field
+    println(f"""{"probe":"flagship","fmt":2,"sf":"$sfDir","rows":$rows,"first_s":$first%.3f,"steady_s":$steady%.3f,"steady_eff_cores":$effSteady%.2f,"reps":${runs.size},"rep_detail":$repsJson,"stage_prefix_s":$stagesJson,"ctx":$ctx}""")
     spark.stop()
   }
 }

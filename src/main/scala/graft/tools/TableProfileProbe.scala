@@ -21,7 +21,9 @@ object TableProfileProbe {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: TableProfileProbe <sfDir> [reps]")
     val sfDir = args(0)
-    val reps = if (args.length > 1) args(1).toInt else 4
+    // min 2: `median(times.tail)` below needs at least one steady rep
+    // (reps=1 would index an empty seq) — same clamp Flagship applies
+    val reps = math.max(2, if (args.length > 1) args(1).toInt else 4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -75,7 +75,13 @@ class DetectorSoakSpec extends SparkSpec {
       System.gc(); Thread.sleep(50); System.gc()
       Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
     }
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    // Snapshot the persisted-RDD IDS we do not own: earlier suites in the
+    // shared forked JVM may hold persisted RDDs whose weak refs the soak's
+    // own System.gc() calls hand to the ContextCleaner mid-test, so a
+    // size == size assert races their reclamation (r17: Map went 2→0 and
+    // the suite flaked). The soak's invariant is only that IT leaks
+    // nothing — assert no NEW ids survive, never count other suites'.
+    val cachedIdsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val heapBefore = gcUsedHeap()
 
     // 1,000 deliberately-failed jobs would each print a task-failure
@@ -96,7 +102,9 @@ class DetectorSoakSpec extends SparkSpec {
     assert(retries.getOrElse("m2", 0L) == cycles.toLong, retries)
 
     // 2) no Spark-side leak: every cycle's persist was released
-    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore)
+    val newIds =
+      spark.sparkContext.getPersistentRDDs.keySet.diff(cachedIdsBefore)
+    assert(newIds.isEmpty, s"soak leaked persisted RDD ids: $newIds")
 
     // 3) gauges still live after the soak, with current values
     val text = exp.render()
