@@ -338,7 +338,18 @@ object Dedup {
       .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
+      // |A ∪ B| = |A| + |B| − |A ∩ B| exactly: shingle arrays are DISTINCT
+      // by construction (shinglesFromTokens array_distincts; the short-doc
+      // branch is a singleton), so the arithmetic form is bit-identical to
+      // size(array_union(...)) — including nulls (size(null) = null
+      // propagates through both forms) — while skipping the union array's
+      // per-pair materialization, the single most expensive expression in
+      // the verify stage (guide §4: cheaper identical expression over
+      // building a throwaway array). Inclusion–exclusion parity is pinned
+      // by DedupSpec's jaccardVerify fixtures (identical/near/disjoint
+      // docs) and the six oracle rows built on this verify.
+      .withColumn("uni",
+        size(col("sh1")) + size(col("sh2")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
