@@ -125,4 +125,65 @@ class StreamingDedupSpec extends SparkSpec {
     val pairs = got.values().asScala.flatten.toSeq.distinct
     assert(pairs == Seq((1L, 2L)), pairs.toString)
   }
+
+  test("TTL state tracks recently-ACTIVE buckets and drains when idle; " +
+      "the exact path tracks stream length (the SCALE.md asymmetry, pinned)") {
+    // The r14 wall-clock-TTL finding, until now prose in SCALE.md: on the
+    // TTL'd path `state_rows_end` is a function of how many buckets were
+    // touched within one TTL window — NOT of how many the stream has ever
+    // seen — and idle buckets DRAIN. On the exact (ttlMs = 0) path state is
+    // monotone in distinct buckets. Both invariants asserted from the
+    // engine's own StateOperatorProgress.numRowsTotal.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def doc(i: Int): (Long, String) =
+      (i.toLong, s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i " +
+        s"golf$i hotel$i india$i juliet$i kilo$i lima$i")
+    def rowsTotal(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.apply(0).numRowsTotal).getOrElse(-1L)
+
+    // --- TTL'd path: drain when idle ---
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = nearDupCandidates(in1.toDF().toDF("id", "text"), "id", "text",
+        ttlMs = 100L)
+      .writeStream.format("memory").queryName("sd_ttl_rows")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in1.addData((1 to 10).map(doc))
+      // ProcessingTimeTimeout keeps the stream running empty batches, so
+      // processAllAvailable never returns (see the re-admit test above) —
+      // poll progress instead
+      val deadline = System.currentTimeMillis + 60000
+      while (rowsTotal(q1) <= 0 && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      val peak = rowsTotal(q1)
+      assert(peak > 0, s"no state rows observed; progress=" +
+        Option(q1.lastProgress).map(_.json).orNull)
+      // all ten docs now idle past the 100 ms TTL: the continuous
+      // timeout-check batches must EVICT their buckets — poll until state
+      // drains to zero (bounded wait, not a fixed sleep)
+      while (rowsTotal(q1) != 0 && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      assert(rowsTotal(q1) == 0,
+        s"TTL state did not drain below peak=$peak after idle; " +
+          s"rows=${rowsTotal(q1)}")
+    } finally q1.stop()
+
+    // --- exact path: monotone, tracks every bucket ever seen ---
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = nearDupCandidates(in2.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.format("memory").queryName("sd_exact_rows")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in2.addData((1 to 10).map(doc)); q2.processAllAvailable()
+      val afterTen = rowsTotal(q2)
+      Thread.sleep(300) // longer than the TTL'd path's horizon
+      in2.addData(Seq(doc(11))); q2.processAllAvailable()
+      val afterEleven = rowsTotal(q2)
+      assert(afterTen > 0 && afterEleven > afterTen,
+        s"exact path state must grow with distinct buckets and never " +
+          s"drain: $afterTen -> $afterEleven")
+    } finally q2.stop()
+  }
 }
