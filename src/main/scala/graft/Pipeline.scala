@@ -58,14 +58,19 @@ object Pipeline {
     val winIdx = windows.schema.fieldIndex("window")
     val nf = featureCols.size
     windows.repartition(scoreParts, col("window_id")).mapPartitions { it =>
-      val p = bc.value
+      // One allocation-bounded scorer per task: bit-identical to
+      // Lstm.mse(x, Lstm.forward(p, x)) (LstmScorerSpec) without the
+      // ~0.5 MB/window of Breeze temporaries that turned the driver's
+      // 96 GB young gen into a page-zeroing CPU storm (round-18 verdict
+      // order #1 — see ReusableScorer's scaladoc for the numbers).
+      val scorer = new Lstm.ReusableScorer(bc.value)
       it.map { r =>
         val rows = r.getSeq[Row](winIdx)
         val x = DenseMatrix.tabulate(rows.size, nf) { (i, j) =>
           val v = rows(i).get(j)
           if (v == null) 0.0 else v.asInstanceOf[Double]
         }
-        val mse = Lstm.mse(x, Lstm.forward(p, x))
+        val mse = scorer.mse(x)
         // window_id is Int from the global window path, Long from the
         // bucketed one — normalize to Long
         Row(r.get(widIdx).asInstanceOf[Number].longValue, mse)

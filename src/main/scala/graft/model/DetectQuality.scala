@@ -112,10 +112,14 @@ object DetectQuality {
     val x = breeze.linalg.DenseMatrix.tabulate(Pipeline.SeqLen, 1) {
       (i, _) => (i % 7) / 7.0
     }
+    // warm the path scoring actually runs (Pipeline.scoreWindows uses the
+    // allocation-bounded ReusableScorer since round 19; bit-identical
+    // values, so the returned sink is unchanged)
+    val scorer = new Lstm.ReusableScorer(frozenModel)
     var sink = 0.0
     var k = 0
     while (k < iters) {
-      sink += Lstm.mse(x, Lstm.forward(frozenModel, x))
+      sink += scorer.mse(x)
       k += 1
     }
     // returned (and checked) so the loop is observable and cannot be

@@ -91,6 +91,170 @@ object Lstm {
     s / (x.rows * x.cols)
   }
 
+  /** Allocation-bounded scorer: `mse(x) ≡ mse(x, forward(p, x))` with the
+    * buffers reused across windows instead of ~12 fresh Breeze temporaries
+    * per LSTM timestep (≈0.5 MB of garbage PER WINDOW at u=64).
+    *
+    * Why (round-18 verdict order #1, q_detect_quality's anti-scaling):
+    * the driver benches with `-Xmx96g`; at that heap G1 lets the young
+    * gen balloon instead of collecting, so the scorer's allocation storm
+    * turns into kernel page-zeroing + concurrent-GC CPU that the GC-pause
+    * channel never sees (measured on this row, 32 cores, REPS=6:
+    * proc_cpu 1298 s at 96g vs 175 s at 8g for the SAME work, gc_ms
+    * ~0.5 s in both). Under machine load those extra CPU-seconds become
+    * wall time — faster at 8 cores than 32, the verdict's smoking gun.
+    * Bounding the allocation removes the cause instead of tuning around
+    * it.
+    *
+    * BIT-PARITY CONTRACT (spec-pinned in LstmScorerSpec, raw-double-bits
+    * vs [[forward]]+[[mse]]): every floating-point operation is the SAME
+    * operation on the SAME values in the SAME order —
+    *  - the two per-step GEMVs call the IDENTICAL netlib entry point
+    *    Breeze's `DenseMatrix * DenseVector` resolves to
+    *    (`dev.ludovic.netlib.blas.BLAS.getInstance().dgemv`) with the
+    *    IDENTICAL argument mapping (trans flag, physical dims,
+    *    majorStride, the row-slice's (offset=t, stride=l) access pattern
+    *    — stride is NOT normalized to 1, so netlib's stride-dependent
+    *    kernel selection cannot diverge), into a zeroed output exactly
+    *    like Breeze's fresh `DenseVector.zeros`;
+    *  - the output layer's dot replicates Breeze's `canDotD` blasPath for
+    *    a strided row slice: `blas.ddot(n, h4, t, l, wCol, off, 1)`
+    *    (stride ≠ 1 rules out the small-dot fast path, read from the
+    *    decompiled breeze 2.1.0 bytecode);
+    *  - gates/state/output are per-element scalar ops in the same
+    *    shape: z = (wx + uh) + b; c' = σ(z_f)·c + σ(z_i)·relu(z_c);
+    *    h = σ(z_o)·relu(c'); x̂ = σ(dot + b) — each element independent,
+    *    so buffer reuse cannot reorder any accumulation;
+    *  - the decoder's RepeatVector reads the code row (offset l−1,
+    *    stride l) in place of materializing `repeated` — same values,
+    *    same (offset, stride) SHAPE as a row slice, so the GEMV sees an
+    *    identical access pattern;
+    *  - mse accumulates row-major over (i, j) exactly like [[mse]].
+    *
+    * One scorer per task (mapPartitions closure) — NOT thread-safe. Falls
+    * back to forward+mse for transposed parameter matrices (never
+    * produced by fromJson/glorotInit; belt and braces, not a hot path). */
+  final class ReusableScorer(p: AeParams) {
+    private val blas = dev.ludovic.netlib.blas.BLAS.getInstance
+    private val layers = Array(p.enc1, p.enc2, p.dec1, p.dec2)
+    private val plainLayout = layers.forall(q =>
+      !q.w.isTranspose && !q.u.isTranspose) && !p.out.w.isTranspose
+    // per-(l, nf) buffers, (re)sized lazily; hidden-state matrices are
+    // column-major l×units like Breeze's hs
+    private var bufL = -1
+    private var bufNf = -1
+    private var hs: Array[Array[Double]] = _ // one (l×units) per layer
+    private var xhat: Array[Double] = _      // l×nf column-major
+    private val maxU = layers.map(_.units).max
+    private val z = new Array[Double](4 * maxU)
+    private val wx = new Array[Double](4 * maxU)
+    private val uh = new Array[Double](4 * maxU)
+    private val h = new Array[Double](maxU)
+    private val c = new Array[Double](maxU)
+
+    private def ensure(l: Int, nf: Int): Unit = {
+      if (l != bufL || nf != bufNf) {
+        hs = layers.map(q => new Array[Double](l * q.units))
+        xhat = new Array[Double](l * nf)
+        bufL = l; bufNf = nf
+      }
+    }
+
+    /** One layer over a column-major (l × inputDim) input read as row
+      * slices (offset=rowOff(t), stride=l for matrices; the repeated code
+      * row passes a constant rowOff) into `out` (column-major l×units). */
+    private def runLayerInto(q: LstmParams, xData: Array[Double],
+                             rowOff: Int => Int, xStride: Int, l: Int,
+                             out: Array[Double]): Unit = {
+      val u = q.units
+      val inDim = q.inputDim
+      val wData = q.w.data; val wOff = q.w.offset; val wStride = q.w.majorStride
+      val uData = q.u.data; val uOff = q.u.offset; val uStride = q.u.majorStride
+      val bData = q.b.data; val bOff = q.b.offset; val bStrd = q.b.stride
+      java.util.Arrays.fill(h, 0, u, 0.0)
+      java.util.Arrays.fill(c, 0, u, 0.0)
+      var t = 0
+      while (t < l) {
+        // wx = q.w.t * x_t  (Breeze: dgemv("T", physRows, physCols, 1.0,
+        // data, offset, majorStride, x.data, x.offset, x.stride, 0.0,
+        // zeros.data, 0, 1))
+        java.util.Arrays.fill(wx, 0, 4 * u, 0.0)
+        blas.dgemv("T", inDim, 4 * u, 1.0, wData, wOff, wStride,
+          xData, rowOff(t), xStride, 0.0, wx, 0, 1)
+        // uh = q.u.t * h
+        java.util.Arrays.fill(uh, 0, 4 * u, 0.0)
+        blas.dgemv("T", u, 4 * u, 1.0, uData, uOff, uStride,
+          h, 0, 1, 0.0, uh, 0, 1)
+        var j = 0
+        while (j < 4 * u) {
+          z(j) = (wx(j) + uh(j)) + bData(bOff + j * bStrd)
+          j += 1
+        }
+        j = 0
+        while (j < u) {
+          // c' = f*c + i*g; h = o * relu(c') — the exact per-element
+          // shape of runLayer's (f *:* c) + (i *:* g) and o *:* relu(c)
+          val iG = sigmoid(z(j))
+          val fG = sigmoid(z(u + j))
+          val gG = relu(z(2 * u + j))
+          val oG = sigmoid(z(3 * u + j))
+          c(j) = fG * c(j) + iG * gG
+          h(j) = oG * relu(c(j))
+          out(t + j * l) = h(j)
+          j += 1
+        }
+        t += 1
+      }
+    }
+
+    /** Reconstruction MSE of one window — bit-identical to
+      * `Lstm.mse(x, Lstm.forward(p, x))`. */
+    def mse(x: DenseMatrix[Double]): Double = {
+      // fall back for layouts/shapes the raw-array path doesn't cover
+      // (never produced by scoreWindows; the reference path bounds-checks)
+      if (!plainLayout || x.isTranspose ||
+        x.cols != p.enc1.inputDim || x.cols != p.out.w.cols)
+        return Lstm.mse(x, forward(p, x))
+      val l = x.rows
+      val nf = x.cols
+      ensure(l, nf)
+      runLayerInto(p.enc1, x.data, t => x.offset + t, x.majorStride, l, hs(0))
+      runLayerInto(p.enc2, hs(0), t => t, l, l, hs(1))
+      // decoder input = RepeatVector(code): the code row of h2, read at
+      // (offset l−1, stride l) for every t
+      runLayerInto(p.dec1, hs(1), _ => l - 1, l, l, hs(2))
+      runLayerInto(p.dec2, hs(2), t => t, l, l, hs(3))
+      val u4 = p.dec2.units
+      val wData = p.out.w.data; val wOff = p.out.w.offset
+      val wStride = p.out.w.majorStride
+      val bData = p.out.b.data; val bOff = p.out.b.offset
+      val bStrd = p.out.b.stride
+      var j = 0
+      while (j < nf) {
+        var t = 0
+        while (t < l) {
+          val dot = blas.ddot(u4, hs(3), t, l, wData, wOff + j * wStride, 1)
+          xhat(t + j * l) = sigmoid(dot + bData(bOff + j * bStrd))
+          t += 1
+        }
+        j += 1
+      }
+      // mse: row-major accumulation, same loop shape as Lstm.mse
+      var s = 0.0
+      var i = 0
+      while (i < l) {
+        var jj = 0
+        while (jj < nf) {
+          val d = x.data(x.offset + i + jj * x.majorStride) - xhat(i + jj * l)
+          s += d * d
+          jj += 1
+        }
+        i += 1
+      }
+      s / (l * nf)
+    }
+  }
+
   /** Per-feature MSE over the time axis (A8 model path). */
   def perFeatureMse(x: DenseMatrix[Double], xhat: DenseMatrix[Double]): Array[Double] =
     Array.tabulate(x.cols) { j =>
