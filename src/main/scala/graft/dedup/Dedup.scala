@@ -332,12 +332,44 @@ object Dedup {
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, k: Int = 3,
                     threshold: Double = 0.8): DataFrame = {
+    // Kernel dispatch (session contract like ExactPercentiles.pctl, checked
+    // on the DataFrame's OWN session): with graft_sorted_inter_size
+    // registered, each doc's shingle set is sorted ONCE (sort_array,
+    // before the join fans it into many pairs) and the per-pair
+    // intersection count becomes a zero-allocation sorted merge instead
+    // of array_intersect's per-pair hash-set build + throwaway result
+    // array — which the jaccard filter's join-condition pushdown
+    // evaluates TWICE per pair. Counting distinct common values is
+    // order-invariant, so the pre-sort is transparent; parity with
+    // size(array_intersect(..)) on arbitrary arrays (dups, nulls,
+    // unicode) is spec-pinned in SortedIntersectSizeSpec, and the
+    // unregistered-session fallback stays on the built-in composition —
+    // bit-identical either way.
+    val useKernel = scala.util.Try(docs.sparkSession.catalog
+      .functionExists("graft_sorted_inter_size")).getOrElse(false)
+    val shExpr = shinglesFromTokens(col("_tk"), k)
+    // localCheckpoint: the shingle table feeds BOTH join branches (sh1
+    // and sh2 aliases), and Catalyst re-executes shared subtrees — the
+    // round-19 decomposition probe (JaccardProbe) measured the double
+    // tokenize+shingle build as the row's dominant term (~2×0.45 s of a
+    // 2.0 s noop at sf0.1), not the intersect. Materializing once is the
+    // house pattern (eager, reference-tracked, reclaimed when the frame
+    // is garbage — prefixSumPartitioned / duplicatedSpans precedent);
+    // rows = one small (id, shingles) row per doc, never corpus-token
+    // sized. Re-probed this round after the r18 deferral, per the
+    // verdict's order #3.
     val sh = docs.select(col(idCol), normTokens(col(textCol)).as("_tk"))
-      .select(col(idCol), shinglesFromTokens(col("_tk"), k).as("sh"))
+      .select(col(idCol),
+        (if (useKernel) sort_array(shExpr) else shExpr).as("sh"))
+      .localCheckpoint(true)
+    val interExpr =
+      if (useKernel)
+        call_function("graft_sorted_inter_size", col("sh1"), col("sh2"))
+      else size(array_intersect(col("sh1"), col("sh2")))
     pairs
       .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("inter", interExpr)
       // |A ∪ B| = |A| + |B| − |A ∩ B| exactly: shingle arrays are DISTINCT
       // by construction (shinglesFromTokens array_distincts; the short-doc
       // branch is a singleton), so the arithmetic form is bit-identical to

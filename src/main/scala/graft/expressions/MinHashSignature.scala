@@ -440,5 +440,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ExactPercentile].getName, "graft_percentile"),
       (children: Seq[Expression]) =>
         ExactPercentile(children(0), children(1)).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_inter_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName,
+        "graft_sorted_inter_size"),
+      (children: Seq[Expression]) =>
+        SortedIntersectSize(children(0), children(1))))
   }
 }
