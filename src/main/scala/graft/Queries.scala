@@ -1307,10 +1307,15 @@ object Queries {
     "q_ewma" -> ((s, d) =>
       // EWMA smoothing (holt_winters' smoothing half / pandas ewm
       // adjust=True) in the bounded-lag closed form: alpha=0.3, k=40 lags
-      // (dropped tail weight 0.7^40 ~ 6e-7, below the 6-dp floor). One
-      // keyed window pass; weight literals shared with the oracle text
-      // via Rates.ewmaWeights.
-      graft.operators.Rates.ewma(milliEvents(s, d), Seq("event_type"),
+      // (dropped tail weight 0.7^40 ~ 6e-7, below the 6-dp floor).
+      // Since round 19 the plan is Rates.ewmaSliding — the q_quantile_ot
+      // promotion pattern: same keyed exchange + in-partition sort the
+      // WindowExec plan paid, then ONE mapPartitions ring pass instead of
+      // 40 interpreted lag reads per row. Bit-parity with Rates.ewma
+      // (identical fold order, engine-evaluated division/round) is
+      // spec-pinned in RatesSpec; weight literals still shared with the
+      // oracle text via Rates.ewmaWeights.
+      graft.operators.Rates.ewmaSliding(milliEvents(s, d), Seq("event_type"),
           Seq("ts_us", "event_id"), "v", alpha = EwmaAlpha, k = EwmaK)
         .select("event_type", "ts_us", "event_id", "v", "ewma_val")
         .orderBy("event_id")),

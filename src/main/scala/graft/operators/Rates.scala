@@ -268,6 +268,116 @@ object Rates {
   def ewmaWeights(alpha: Double, k: Int): Seq[Double] =
     Iterator.iterate(1.0)(_ * (1.0 - alpha)).take(k).toSeq
 
+  /** [[ewma]] as ONE streaming pass — the q_quantile_ot promotion pattern
+    * (round-19, verdict order #4): `repartition(key)` +
+    * `sortWithinPartitions` (the exact exchange+sort the WindowExec plan
+    * also pays) + a mapPartitions ring of the last k values, instead of a
+    * WindowExec materializing k lag reads per row through interpreted
+    * offset-frame readers.
+    *
+    * BIT-PARITY with [[ewma]] (spec-pinned in RatesSpec): the numerator
+    * and denominator replicate the window form's left-fold exactly —
+    * terms accumulated j = 0..k−1 in order, each
+    * `present ? (double) v_j · w_j : 0.0` (a missing lag and a NULL value
+    * both contribute literal 0.0 to BOTH sums, matching
+    * `when(x.isNotNull, …).otherwise(0.0)`); the fold emits RAW
+    * (numer, denom) columns and the `numer / denom / 1000.0` division
+    * chain plus the 6-dp round run as the ENGINE's own expressions over
+    * them — so division semantics (including ANSI mode's
+    * DIVIDE_BY_ZERO error on an all-null frame, which the window form
+    * raises too — spec-pinned) and rounding are never reimplemented.
+    *
+    * Projection contract (same as [[quantileOverTimeSliding]]): output is
+    * EXACTLY `keyCols ++ ordCols :+ milliCol :+ ewma_val` — select other
+    * columns in beforehand or join them back. `milliCol` must be
+    * LongType (the exact-integer milli contract the registry row feeds);
+    * `ordCols` must totally order samples within a key; BinaryType keys
+    * are rejected (Array[Byte] reference equality would silently reset
+    * the ring — same guard as quantileOverTimeSliding). */
+  def ewmaSliding(df: DataFrame, keyCols: Seq[String], ordCols: Seq[String],
+                  milliCol: String, alpha: Double, k: Int): DataFrame = {
+    require(keyCols.nonEmpty && ordCols.nonEmpty,
+      "keyCols and ordCols must be non-empty")
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
+    require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    require(df.schema(milliCol).dataType == LongType,
+      s"ewmaSliding requires a LongType value column; '$milliCol' is " +
+        s"${df.schema(milliCol).dataType.simpleString}")
+    keyCols.foreach(c => require(df.schema(c).dataType != BinaryType,
+      s"ewmaSliding key column '$c' is BinaryType: Array[Byte] has " +
+        "reference equality — cast to string or hash to long first"))
+    requireAbsent(df, Seq("ewma_val"))
+    val weights = ewmaWeights(alpha, k).toArray
+    val cols = (keyCols ++ ordCols :+ milliCol).map(col)
+    val sorted = df.select(cols: _*)
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ ordCols).map(col): _*)
+    // raw fold sums are non-null by construction: both whens default to
+    // 0.0, same as the window form's fold
+    val outSchema = sorted.schema
+      .add("_ewma_numer", DoubleType, nullable = false)
+      .add("_ewma_denom", DoubleType, nullable = false)
+    val nKeys = keyCols.size
+    val vIdx = sorted.schema.fields.length - 1
+    val kk = k
+    val raw = sorted.mapPartitions { it =>
+      val vals = new Array[Double](kk)
+      val has = new Array[Boolean](kk)
+      var head = -1
+      var count = 0 // rows seen for the current key, capped at kk
+      var curKey: Array[Any] = null
+      it.map { r =>
+        var keyChanged = curKey == null
+        if (!keyChanged) {
+          var i = 0
+          while (i < nKeys && !keyChanged) {
+            if (r.get(i) != curKey(i)) keyChanged = true
+            i += 1
+          }
+        }
+        if (keyChanged) {
+          curKey = Array.tabulate[Any](nKeys)(r.get)
+          count = 0
+        }
+        head += 1
+        if (head == kk) head = 0
+        if (r.isNullAt(vIdx)) has(head) = false
+        else {
+          has(head) = true
+          // the window form evaluates cast(v as double) per term; the
+          // cast is a pure function of the long, so hoisting it to push
+          // time cannot change any product
+          vals(head) = r.getLong(vIdx).toDouble
+        }
+        if (count < kk) count += 1
+        var numer = 0.0
+        var denom = 0.0
+        var j = 0
+        while (j < kk) {
+          if (j < count) {
+            var ri = head - j
+            if (ri < 0) ri += kk
+            if (has(ri)) {
+              numer += vals(ri) * weights(j)
+              denom += weights(j)
+            } else {
+              numer += 0.0
+              denom += 0.0
+            }
+          } else {
+            numer += 0.0
+            denom += 0.0
+          }
+          j += 1
+        }
+        Row.fromSeq(r.toSeq :+ numer :+ denom)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+    raw.select((keyCols ++ ordCols :+ milliCol).map(col) :+
+      round(col("_ewma_numer") / col("_ewma_denom") / 1000.0, 6)
+        .as("ewma_val"): _*)
+  }
+
   /** PromQL `holt_winters()` — double (level + trend) exponential
     * smoothing, the Prometheus recurrence exactly (s₀ = x₀,
     * b₀ = x₁ − x₀; sᵢ = sf·xᵢ + (1−sf)(sᵢ₋₁ + bᵢ₋₁);

@@ -190,6 +190,89 @@ class RatesSpec extends SparkSpec {
     assert(got.head == 5.0)
   }
 
+  test("ewmaSliding == ewma BITWISE on adversarial fixtures") {
+    // interleaved keys, isolated nulls (an ALL-null frame raises ANSI
+    // DIVIDE_BY_ZERO through BOTH forms — pinned separately below),
+    // negatives, zeros, values past 2^53's double-exact range — every
+    // row compared as raw double bits
+    val rows: Seq[(String, Long, java.lang.Long)] =
+      Seq[(String, Long, java.lang.Long)](
+        ("a", 0L, 5000L), ("a", 1L, null), ("a", 2L, -3000L),
+        ("a", 3L, 0L), ("a", 4L, 9007199254740993L), ("a", 5L, 1L),
+        ("b", 0L, 7L), ("b", 1L, null), ("b", 2L, 55L), ("b", 3L, null),
+        ("c", 0L, 42L)) ++
+        (0 until 100).map(i => ("d", i.toLong,
+          java.lang.Long.valueOf(if (i % 7 == 0) -i * 997L else i * 31L))) ++
+        (0 until 10).map(i => ("e", i.toLong,
+          if (i % 3 == 2) null else java.lang.Long.valueOf(i * 13L)))
+    val df = rows.toDF("k", "ord", "v")
+    for (kLags <- Seq(2, 5, 40)) {
+      def collect(out: org.apache.spark.sql.DataFrame) = out
+        .orderBy("k", "ord")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3)))).toSeq
+      val win = collect(Rates.ewma(df, Seq("k"), Seq("ord"), "v", 0.3, kLags)
+        .select("k", "ord", "v", "ewma_val"))
+      val ring = collect(
+        Rates.ewmaSliding(df, Seq("k"), Seq("ord"), "v", 0.3, kLags))
+      assert(ring == win, s"k=$kLags")
+    }
+  }
+
+  test("ewmaSliding == ewma on the sf0.001 milli events (registry shape)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val milli = graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("ts_us"), col("event_id"),
+        expr("cast(round(value * 1000) as long)").as("v"))
+    def collect(out: org.apache.spark.sql.DataFrame) = out
+      .select("event_type", "ts_us", "event_id", "v", "ewma_val")
+      .orderBy("event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(4)))).toSeq
+    val win = collect(
+      Rates.ewma(milli, Seq("event_type"), Seq("ts_us", "event_id"), "v",
+        0.3, 40))
+    val ring = collect(
+      Rates.ewmaSliding(milli, Seq("event_type"), Seq("ts_us", "event_id"),
+        "v", 0.3, 40))
+    assert(ring.nonEmpty && ring == win)
+  }
+
+  test("ewmaSliding error-parity: an all-null frame raises ANSI DIVIDE_BY_ZERO like the window form") {
+    val df = Seq[(String, Long, java.lang.Long)](("z", 0L, null))
+      .toDF("k", "ord", "v")
+    val e1 = intercept[Throwable] {
+      Rates.ewma(df, Seq("k"), Seq("ord"), "v", 0.3, 2).collect()
+    }
+    val e2 = intercept[Throwable] {
+      Rates.ewmaSliding(df, Seq("k"), Seq("ord"), "v", 0.3, 2).collect()
+    }
+    Seq(e1, e2).foreach { e =>
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString("; ")
+      assert(chain.contains("DIVIDE_BY_ZERO"), chain)
+    }
+  }
+
+  test("ewmaSliding guards: non-long value, binary key, taken name") {
+    intercept[IllegalArgumentException] {
+      Rates.ewmaSliding(Seq(("a", 1L, 2.0)).toDF("k", "ord", "v"),
+        Seq("k"), Seq("ord"), "v", 0.5, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Rates.ewmaSliding(
+        Seq((Array[Byte](1), 1L, 2L)).toDF("k", "ord", "v"),
+        Seq("k"), Seq("ord"), "v", 0.5, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Rates.ewmaSliding(Seq(("a", 1L, 2L, 0.0)).toDF("k", "ord", "v", "ewma_val"),
+        Seq("k"), Seq("ord"), "v", 0.5, 2)
+    }
+  }
+
   test("rateWindow: frame increase is reset-aware, rate spans the frame") {
     // one key: ctr 5, 9, 2(reset), 7 at ts 0s, 10s, 20s, 40s; range 25s
     val df = Seq(("a", 0L, 0L, 5L), ("a", 10000000L, 1L, 9L),
