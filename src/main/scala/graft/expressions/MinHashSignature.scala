@@ -446,5 +446,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_sorted_inter_size"),
       (children: Seq[Expression]) =>
         SortedIntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, "graft_bpe_count"),
+      (children: Seq[Expression]) => BpeCount(children(0), children(1))))
   }
 }

@@ -51,20 +51,39 @@ object Bpe {
     * work + one aggregate. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[Merge]): DataFrame = {
-    var df = docs
+    val words = docs
       .select(col(idCol), explode(TextStats.tokens(lower(col(textCol))))
         .as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
-      .select(col(idCol), concat(lit(","),
-        regexp_replace(col("w"), "(.)", "$1,,"), lit("_,")).as("s"))
-    merges.foreach { m =>
-      val Array(a, b) = m.pair.split(" ")
-      df = df.select(col(idCol),
-        expr(s"replace(s, ',$a,,$b,', ',$a$b,')").as("s"))
-    }
-    df.select(col(idCol),
-        size(filter(split(col("s"), ","), y => y =!= lit(""))).as("n_sym"))
-      .groupBy(idCol)
+    // Kernel dispatch (session contract like ExactPercentiles.pctl,
+    // checked on the DataFrame's own session): graft_bpe_count collapses
+    // the per-word comma-form chain — one regexp_replace per char, one
+    // whole-string replace PER MERGE, a regex split and an interpreted
+    // HOF filter — into a single symbol-array pass per merge.
+    // Left-to-right non-overlapping equivalence with Spark's `replace`
+    // and the comma framing is spec-pinned in BpeCountSpec; unregistered
+    // sessions keep the expression chain — identical counts either way.
+    val useKernel = scala.util.Try(docs.sparkSession.catalog
+      .functionExists("graft_bpe_count")).getOrElse(false)
+    val nSym =
+      if (useKernel) {
+        val mergesArr =
+          if (merges.isEmpty) typedLit(Array.empty[String])
+          else array(merges.map(m => lit(m.pair)): _*)
+        words.select(col(idCol),
+          call_function("graft_bpe_count", col("w"), mergesArr).as("n_sym"))
+      } else {
+        var df = words.select(col(idCol), concat(lit(","),
+          regexp_replace(col("w"), "(.)", "$1,,"), lit("_,")).as("s"))
+        merges.foreach { m =>
+          val Array(a, b) = m.pair.split(" ")
+          df = df.select(col(idCol),
+            expr(s"replace(s, ',$a,,$b,', ',$a$b,')").as("s"))
+        }
+        df.select(col(idCol),
+          size(filter(split(col("s"), ","), y => y =!= lit(""))).as("n_sym"))
+      }
+    nSym.groupBy(idCol)
       .agg(sum("n_sym").as("bpe_tokens"), count(lit(1)).as("n_words"))
   }
 
