@@ -28,6 +28,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // stderr marker BEFORE each dump: planner warnings (WindowExec's
+      // "No Partition Defined" from the single-partition-by-design
+      // oracle-parity rows) land on the same stream, so any warning in
+      // the log is attributable to the query whose marker precedes it
+      // (round-19 attribution order — the r18 entry_tail carried ~10
+      // anonymous warnings)
+      System.err.println(s"[verify] dumping $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
