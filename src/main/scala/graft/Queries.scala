@@ -1221,14 +1221,14 @@ object Queries {
       import graft.expressions.ExactPercentiles.pctl
       import org.apache.spark.sql.types.DoubleType
       val med = day.groupBy("event_type", "day_bkt")
-        .agg(pctl(col("v"), lit(0.5), day.schema("v").dataType).as("med"),
+        .agg(pctl(day, col("v"), lit(0.5), day.schema("v").dataType).as("med"),
           count(lit(1)).as("n"))
       day.join(broadcast(med), Seq("event_type", "day_bkt"))
         .withColumn("adev", expr("abs(CAST(v AS DOUBLE) - med)"))
         .groupBy("event_type", "day_bkt")
         .agg(max("n").as("n"),
           round(max("med") / 1000.0, 6).as("med"),
-          round(pctl(col("adev"), lit(0.5), DoubleType) / 1000.0, 6)
+          round(pctl(day, col("adev"), lit(0.5), DoubleType) / 1000.0, 6)
             .as("mad"))
         .orderBy("event_type", "day_bkt")
     }),
@@ -1530,7 +1530,7 @@ object Queries {
       // bit-identical graft_percentile kernel (ExactPercentileSpec).
       val docs = Tables.documents(s, d)
       docs.groupBy("lang")
-        .agg(graft.expressions.ExactPercentiles.pctl(col("n_chars"),
+        .agg(graft.expressions.ExactPercentiles.pctl(docs, col("n_chars"),
           array(lit(0.5), lit(0.9), lit(0.99)),
           docs.schema("n_chars").dataType).as("_qs"))
         .select(col("lang"),
@@ -1952,8 +1952,8 @@ object Queries {
         .agg(count(lit(1)).as("cnt"),
           round(avg("n_chars"), 6).as("avg_chars"),
           // median ≡ percentile(c, 0.5); bit-identical kernel dispatch
-          graft.expressions.ExactPercentiles.pctl(col("n_chars"), lit(0.5),
-            docs.schema("n_chars").dataType).as("median_chars"))
+          graft.expressions.ExactPercentiles.pctl(docs, col("n_chars"),
+            lit(0.5), docs.schema("n_chars").dataType).as("median_chars"))
         .orderBy("lang")
     }),
 
@@ -2615,20 +2615,25 @@ object Queries {
       // over-time read). ONE percentile call with all three φs shares a
       // single sort buffer per group; Spark `percentile` ≡ DuckDB
       // `quantile_cont` interpolation, hash-exact at 6 dp.
-      Tables.events(s, d)
-        .withColumn("bucket_us",
+      {
+      val ev = Tables.events(s, d)
+      ev.withColumn("bucket_us",
           expr("ts_us div 600000000") * lit(600000000L))
         .groupBy("bucket_us")
         .agg(count(lit(1)).as("cnt"),
-          // bit-identical primitive-buffer kernel (ExactPercentileSpec)
-          graft.expressions.ExactPercentiles.pctl(col("value"),
+          // bit-identical primitive-buffer kernel (ExactPercentileSpec);
+          // dispatch on the ACTUAL column type, not a hardcoded
+          // DoubleType — a schema drift falls back to the built-in
+          // instead of failing analysis (r18 ADVICE item 2)
+          graft.expressions.ExactPercentiles.pctl(ev, col("value"),
             array(lit(0.5), lit(0.9), lit(0.99)),
-            org.apache.spark.sql.types.DoubleType).as("_qs"))
+            ev.schema("value").dataType).as("_qs"))
         .select(col("bucket_us"), col("cnt"),
           round(element_at(col("_qs"), 1), 6).as("q50"),
           round(element_at(col("_qs"), 2), 6).as("q90"),
           round(element_at(col("_qs"), 3), 6).as("q99"))
-        .orderBy("bucket_us")),
+        .orderBy("bucket_us")
+      }),
 
     "q_hist_fraction" -> ((s, d) => {
       // PromQL histogram_fraction over the A7 histogram: interpolated

@@ -119,7 +119,7 @@ final class PctlCountMap(initialCapacity: Int = 64) {
   * Column alone cannot be type-checked here — unsupported types (decimal,
   * float, date) stay on the built-in. */
 object ExactPercentiles {
-  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   import org.apache.spark.sql.functions.{call_function, percentile}
 
   def isSupported(dt: DataType): Boolean = dt match {
@@ -133,6 +133,19 @@ object ExactPercentiles {
         s.catalog.functionExists("graft_percentile")).getOrElse(false))
       .map(_ => call_function("graft_percentile", value, percentage))
       .getOrElse(percentile(value, percentage))
+
+  /** Dispatch checked against the DataFrame's OWN session — the session
+    * the column will be analyzed in. Prefer this overload whenever the
+    * frame is in hand (r18 ADVICE item 3): in a multi-session app the
+    * active session can have the kernel registered while
+    * `df.sparkSession` does not, which would fail analysis instead of
+    * falling back. */
+  def pctl(df: DataFrame, value: Column, percentage: Column,
+           dt: DataType): Column =
+    if (isSupported(dt) && scala.util.Try(df.sparkSession.catalog
+      .functionExists("graft_percentile")).getOrElse(false))
+      call_function("graft_percentile", value, percentage)
+    else percentile(value, percentage)
 }
 
 case class ExactPercentile(
@@ -175,7 +188,14 @@ case class ExactPercentile(
         s"$prettyName percentage must be a literal")
     else percentageExpression.dataType match {
       case DoubleType | ArrayType(DoubleType, _) =>
-        if (percentages.forall(p => p >= 0.0 && p <= 1.0))
+        // a NULL percentage literal (scalar OR array) folds to an empty
+        // `percentages` and would otherwise crash (results.head) or
+        // return an empty array at eval — reject at analysis like the
+        // built-in Percentile does (r18 ADVICE item 1)
+        if (percentageExpression.eval() == null)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName percentage must not be null")
+        else if (percentages.forall(p => p >= 0.0 && p <= 1.0))
           TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
           s"$prettyName percentages must be in [0, 1]")

@@ -163,7 +163,7 @@ object Fill {
     * registered (ExactPercentileSpec pins parity). */
   def fillMedian(df: DataFrame, cols: Seq[String]): DataFrame =
     fillWithAgg(df, cols, c => graft.expressions.ExactPercentiles.pctl(
-      col(c), lit(0.5), df.schema(c).dataType))
+      df, col(c), lit(0.5), df.schema(c).dataType))
 
   private def fillWithAgg(df: DataFrame, cols: Seq[String],
                           aggFor: String => org.apache.spark.sql.Column): DataFrame =

@@ -133,7 +133,7 @@ object Scalers {
     // update path priced this fit at ~2 s of q_scale_robust's 2.4 s
     // cert steady, optimization guide §4).
     val aggs = cols.map(c =>
-      graft.expressions.ExactPercentiles.pctl(col(c),
+      graft.expressions.ExactPercentiles.pctl(df, col(c),
           array(lit(0.25), lit(0.5), lit(0.75)), df.schema(c).dataType)
         .as(s"q_$c"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
@@ -181,7 +181,7 @@ object Scalers {
     // the scalar calls by construction (same per-p selection). Kernel
     // dispatch as in fitRobust.
     val bounds = df.groupBy(keyCols.map(col): _*)
-      .agg(graft.expressions.ExactPercentiles.pctl(col(valCol),
+      .agg(graft.expressions.ExactPercentiles.pctl(df, col(valCol),
         array(lit(pLo), lit(pHi)), df.schema(valCol).dataType).as("_w"))
       .select(col("*"), element_at(col("_w"), 1).as("_w_lo"),
         element_at(col("_w"), 2).as("_w_hi"))

@@ -136,4 +136,20 @@ class ExactPercentileSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_percentile") ||
       e.getMessage.toLowerCase.contains("datatype mismatch"))
   }
+
+  test("null percentage literal is rejected at analysis, like the built-in") {
+    // r18 ADVICE item 1: used to pass checkInputDataTypes (empty forall)
+    // and crash at eval on results.head
+    val df = Seq(("a", 1.0), ("a", 2.0)).toDF("k", "v")
+    val eScalar = intercept[Exception] {
+      df.agg(call_function("graft_percentile", col("v"),
+        lit(null).cast("double"))).head()
+    }
+    assert(eScalar.getMessage.contains("graft_percentile"))
+    val eArray = intercept[Exception] {
+      df.agg(call_function("graft_percentile", col("v"),
+        lit(null).cast("array<double>"))).head()
+    }
+    assert(eArray.getMessage.contains("graft_percentile"))
+  }
 }

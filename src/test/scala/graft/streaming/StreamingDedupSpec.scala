@@ -145,26 +145,32 @@ class StreamingDedupSpec extends SparkSpec {
 
     // --- TTL'd path: drain when idle ---
     val in1 = MemoryStream[(Long, String)]
+    // ttl 500 ms (not 100): the >0 progress window must span several
+    // 50 ms polls — with a 100 ms TTL a post-eviction batch could
+    // overwrite the one numRowsTotal>0 snapshot before any poll saw it,
+    // a 60-s-timeout flake (r18 ADVICE item 4)
     val q1 = nearDupCandidates(in1.toDF().toDF("id", "text"), "id", "text",
-        ttlMs = 100L)
+        ttlMs = 500L)
       .writeStream.format("memory").queryName("sd_ttl_rows")
       .outputMode(OutputMode.Append()).start()
     try {
       in1.addData((1 to 10).map(doc))
       // ProcessingTimeTimeout keeps the stream running empty batches, so
       // processAllAvailable never returns (see the re-admit test above) —
-      // poll progress instead
+      // poll progress instead, tracking the PEAK across every poll in ONE
+      // loop (the peak and the drain race otherwise)
       val deadline = System.currentTimeMillis + 60000
-      while (rowsTotal(q1) <= 0 && System.currentTimeMillis < deadline)
+      var peak = -1L
+      while ((peak <= 0 || rowsTotal(q1) != 0) &&
+        System.currentTimeMillis < deadline) {
+        peak = math.max(peak, rowsTotal(q1))
         Thread.sleep(50)
-      val peak = rowsTotal(q1)
+      }
       assert(peak > 0, s"no state rows observed; progress=" +
         Option(q1.lastProgress).map(_.json).orNull)
-      // all ten docs now idle past the 100 ms TTL: the continuous
-      // timeout-check batches must EVICT their buckets — poll until state
-      // drains to zero (bounded wait, not a fixed sleep)
-      while (rowsTotal(q1) != 0 && System.currentTimeMillis < deadline)
-        Thread.sleep(100)
+      // all ten docs now idle past the TTL: the continuous timeout-check
+      // batches must have EVICTED their buckets (the loop above only
+      // exits with peak>0 once state is back to zero)
       assert(rowsTotal(q1) == 0,
         s"TTL state did not drain below peak=$peak after idle; " +
           s"rows=${rowsTotal(q1)}")
@@ -178,7 +184,7 @@ class StreamingDedupSpec extends SparkSpec {
     try {
       in2.addData((1 to 10).map(doc)); q2.processAllAvailable()
       val afterTen = rowsTotal(q2)
-      Thread.sleep(300) // longer than the TTL'd path's horizon
+      Thread.sleep(700) // longer than the TTL'd path's horizon (500 ms)
       in2.addData(Seq(doc(11))); q2.processAllAvailable()
       val afterEleven = rowsTotal(q2)
       assert(afterTen > 0 && afterEleven > afterTen,
