@@ -1473,7 +1473,7 @@ object Queries {
     "q_tfidf_topk" -> ((s, d) =>
       // Top-5 salient terms per document by smoothed raw-IDF TF-IDF.
       graft.text.TextStats.tfIdfTopK(Tables.documents(s, d), "doc_id",
-          "text", k = 5)
+          "text", k = 5, checkpoint = shingleCheckpoint(s, d))
         .orderBy("doc_id", "rk")),
 
     "q_doc_chunks" -> ((s, d) =>
@@ -2553,7 +2553,8 @@ object Queries {
       // positional self-join), surprisal carried as exact micro-nat
       // BIGINTs, one final double expression. See TextStats scaladoc.
       graft.text.TextStats.bigramSurprisal(
-          Tables.documents(s, d), "doc_id", "text")
+          Tables.documents(s, d), "doc_id", "text",
+          checkpoint = shingleCheckpoint(s, d))
         .orderBy("doc_id")),
 
     "q_source_kl" -> ((s, d) =>
@@ -2588,7 +2589,8 @@ object Queries {
       // shingles first seen in THIS doc (min-doc-id index join, no
       // all-pairs). Integer counts + one exact division.
       graft.text.TextStats.ngramNovelty(
-          Tables.documents(s, d), "doc_id", "text", k = 3)
+          Tables.documents(s, d), "doc_id", "text", k = 3,
+          checkpoint = shingleCheckpoint(s, d))
         .orderBy("doc_id")),
 
     "q_oov_rate" -> ((s, d) =>

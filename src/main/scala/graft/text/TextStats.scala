@@ -137,10 +137,17 @@ object TextStats {
     * rides in-plan as a broadcast 1-row aggregate — no eager action at
     * construction time. */
   def tfIdfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
-                textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+                textCol: String, k: Int,
+                checkpoint: DataFrame => DataFrame =
+                  _.localCheckpoint(true)): org.apache.spark.sql.DataFrame = {
     val nRow = df.agg(count(lit(1)).cast("double").as("_n"))
-    val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
-      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    // materialize the (doc, term) counts ONCE: the table feeds BOTH the
+    // df marginal and the score join, and Catalyst re-executes shared
+    // subtrees (the round-19 jaccardVerify finding; same house pattern —
+    // eager, reference-tracked, size-gated by the caller at builder scale)
+    val tf = checkpoint(df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nRow))
@@ -510,7 +517,9 @@ object TextStats {
     * 1-row V broadcast, and one token-keyed equi-join back — the same
     * minimum LM-scoring shape as unigram, one aggregate deeper. Docs
     * with < 2 tokens have no bigrams and emit no row (both engines). */
-  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                      checkpoint: DataFrame => DataFrame =
+                        _.localCheckpoint(true)): DataFrame = {
     val tk = df.select(col(idCol), tokens(lower(col(textCol))).as("_tk"))
     val bg = tk.filter(size(col("_tk")) >= 2)
       .select(col(idCol), explode(zip_with(
@@ -518,7 +527,12 @@ object TextStats {
         slice(col("_tk"), lit(2), size(col("_tk")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("_b"))
       .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
-    val bf = bg.groupBy(idCol, "w1", "w2").agg(count(lit(1)).as("tf"))
+    // materialize per-doc bigram counts ONCE: bf feeds both the LM
+    // cascade (c12 -> c1) and the final surprisal join — without the
+    // checkpoint the tokenize+zip+explode+groupBy subtree runs twice
+    // (round-19 jaccardVerify finding; size-gated by the caller)
+    val bf = checkpoint(
+      bg.groupBy(idCol, "w1", "w2").agg(count(lit(1)).as("tf")))
     val c12 = bf.groupBy("w1", "w2").agg(sum("tf").as("c12"))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val vocabN = df.select(explode(tokens(lower(col(textCol)))).as("token"))
@@ -762,12 +776,19 @@ object TextStats {
     * no window over the corpus — the min-id table plays the role a
     * first-occurrence index would. */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3): DataFrame = {
+                   k: Int = 3,
+                   checkpoint: DataFrame => DataFrame =
+                     _.localCheckpoint(true)): DataFrame = {
     import graft.dedup.Dedup
-    val sh = df
+    // materialize the exploded shingle rows ONCE: sh feeds both the
+    // first-seen index and the join back — the tokenize+shingle+explode
+    // subtree otherwise runs twice (round-19 jaccardVerify finding;
+    // size-gated by the caller — this IS a corpus-shingle-row table,
+    // the duplicatedSpans checkpoint precedent)
+    val sh = checkpoint(df
       .select(col(idCol), Dedup.normTokens(col(textCol)).as("_tk"))
       .select(col(idCol),
-        explode(Dedup.shinglesFromTokens(col("_tk"), k)).as("shingle"))
+        explode(Dedup.shinglesFromTokens(col("_tk"), k)).as("shingle")))
     val first = sh.groupBy("shingle").agg(min(col(idCol)).as("_first"))
     sh.join(first, Seq("shingle"))
       .groupBy(idCol)
